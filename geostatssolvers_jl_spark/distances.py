@@ -1,0 +1,59 @@
+"""Distance metrics, as SQL expression builders (JVM-side, codegen) and
+numpy kernels (inside Arrow-batched UDFs).
+
+Mirrors the reference's metric surface: ``Euclidean()`` default
+(``/root/reference/src/estimation/idw.jl:53``) and ``Haversine(radius)``
+(``test/estimation/idw.jl:25``, ``test/estimation/lwr.jl:51``).  The SQL
+form and the numpy form use the same operation order so Spark, DuckDB and
+the UDF kernels agree bit-for-bit on IEEE doubles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Euclidean:
+    def sql(self, a: tuple[str, ...], b: tuple[str, ...]) -> str:
+        terms = " + ".join(f"(({x}) - ({y})) * (({x}) - ({y}))" for x, y in zip(a, b))
+        return f"sqrt({terms})"
+
+    def np(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """A: (n, d), B: (m, d) → (n, m) pairwise distances."""
+        d2 = np.sum((A[:, None, :] - B[None, :, :]) ** 2, axis=2)
+        return np.sqrt(d2)
+
+
+@dataclass(frozen=True)
+class Haversine:
+    """Great-circle distance; coords are (lon, lat) in degrees, matching the
+    reference's Distances.jl Haversine convention."""
+
+    radius: float = 6371.0
+
+    def sql(self, a: tuple[str, ...], b: tuple[str, ...]) -> str:
+        lon1, lat1 = a
+        lon2, lat2 = b
+        return (
+            f"(2.0 * {self.radius!r} * asin(least(1.0, sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2)))))"
+        )
+
+    def np(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # mirrors the SQL op order exactly (radians of the *degree diff*)
+        lon1, lat1 = A[:, 0][:, None], A[:, 1][:, None]
+        lon2, lat2 = B[:, 0][None, :], B[:, 1][None, :]
+        h = (
+            np.sin(np.radians(lat2 - lat1) / 2.0) ** 2
+            + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+            * np.sin(np.radians(lon2 - lon1) / 2.0) ** 2
+        )
+        return 2.0 * self.radius * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+Distance = Euclidean | Haversine

@@ -1,0 +1,293 @@
+"""Neighbor-search engine — the "joins" of the reference (SURVEY.md §2.3).
+
+The reference pairs every estimation location with ≤ maxneighbors nearest
+data points via a global kd-tree (``KNearestSearch``/``KBallSearch``,
+``/root/reference/src/ui.jl:11-32``), invoked per location at
+``src/estimation/idw.jl:118`` / ``src/estimation/krig.jl:210``.
+
+Spark realization — two physical strategies behind one API, analogous to
+Spark's own broadcast-vs-shuffle join choice:
+
+* **broadcast path** (`local_apply`): the conditioning data (after the
+  non-missing filter) is collected once, broadcast to executors, and a
+  single ``mapInPandas`` pass over the *query* side (the huge side: grid
+  cells / pages) does vectorized top-k search **and** the downstream math
+  kernel in one Arrow batch — zero shuffles end-to-end.  This is exactly
+  the reference's "build kd-tree once, stream queries" design, distributed
+  over query partitions.  Valid while the data side fits an executor
+  (~10⁶ points); the reference's own solvers share this assumption (its
+  kd-tree is a single in-memory structure).
+
+* **tiled path** (`knn_join_tiled`): big-big case (10¹²-page story).  Both
+  sides get H3-style cell ids; data is replicated into the ring-1 halo of
+  its cell; an equi-join on cell id (ordinary shuffle join Catalyst/AQE can
+  optimize, incl. skew splitting) produces candidates; a window top-k per
+  query with a *certification radius* keeps only provably-exact neighbors;
+  unresolved queries (kth neighbor not certified) escalate to a coarser
+  resolution and finally to the broadcast path.
+
+Top-k is deterministic: ties broken by data row id ascending.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .distances import Distance, Euclidean, Haversine
+from . import tiling
+
+
+@dataclass
+class PointData:
+    """Collected conditioning points: coords (n, d), values dict, ids (n,)."""
+
+    coords: np.ndarray
+    values: dict[str, np.ndarray]
+    ids: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.coords.shape[0]
+
+
+def collect_points(
+    df: DataFrame, coord_cols: Iterable[str], value_cols: Iterable[str] = (),
+    id_col: str | None = None,
+) -> PointData:
+    """Collect the (small) data side to the driver as numpy float64.
+
+    Mirrors the reference's global kd-tree construction (one in-memory
+    index over all data, ``src/ui.jl:27``).
+    """
+    coord_cols = list(coord_cols)
+    value_cols = list(value_cols)
+    cols = coord_cols + value_cols + ([id_col] if id_col else [])
+    pdf = df.select(*cols).toPandas()
+    ids = (
+        pdf[id_col].to_numpy(np.int64)
+        if id_col
+        else np.arange(len(pdf), dtype=np.int64)
+    )
+    # canonical id order: collection order off a shuffled DataFrame is
+    # nondeterministic, and top-k ties break on *positional* index — sort
+    # so position order == id order (deterministic across partitionings)
+    order = np.argsort(ids, kind="stable")
+    pdf = pdf.iloc[order].reset_index(drop=True)
+    coords = pdf[coord_cols].to_numpy(np.float64)
+    values = {c: pdf[c].to_numpy() for c in value_cols}
+    return PointData(coords=coords, values=values, ids=ids[order])
+
+
+# ------------------------------------------------------------------ search
+
+
+def topk_search(
+    qcoords: np.ndarray,
+    dcoords: np.ndarray,
+    k: int,
+    metric: Distance,
+    radius: float | None = None,
+    chunk_elems: int = 8_000_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact kNN, vectorized. Returns (idx (n,k), dist (n,k), nvalid (n,)).
+
+    Invalid slots (beyond nvalid) hold idx=-1, dist=inf.  Ties on distance
+    break by data index ascending (deterministic across partitionings).
+    Queries are processed in chunks sized so the pairwise block stays
+    within ``chunk_elems`` doubles — Arrow batch in, bounded memory out.
+    """
+    n, m = qcoords.shape[0], dcoords.shape[0]
+    k = min(k, m)
+    idx = np.full((n, k), -1, dtype=np.int64)
+    dist = np.full((n, k), np.inf, dtype=np.float64)
+    if m == 0 or n == 0 or k == 0:
+        return idx, dist, np.zeros(n, dtype=np.int64)
+    qchunk = max(1, chunk_elems // max(m, 1))
+    buffer = min(m, k + 8)
+    for s in range(0, n, qchunk):
+        e = min(n, s + qchunk)
+        D = metric.np(qcoords[s:e], dcoords)  # (c, m)
+        if radius is not None:
+            D = np.where(D <= radius, D, np.inf)
+        if buffer < m:
+            cand = np.argpartition(D, buffer - 1, axis=1)[:, :buffer]
+        else:
+            cand = np.broadcast_to(np.arange(m), (e - s, m)).copy()
+        cd = np.take_along_axis(D, cand, axis=1)
+        # sort candidates by (dist, data_index) — lexsort keys last-major
+        order = np.lexsort((cand, cd), axis=1)
+        cand = np.take_along_axis(cand, order, axis=1)[:, :k]
+        cd = np.take_along_axis(cd, order, axis=1)[:, :k]
+        valid = np.isfinite(cd)
+        idx[s:e] = np.where(valid, cand, -1)
+        dist[s:e] = cd
+    nvalid = np.isfinite(dist).sum(axis=1).astype(np.int64)
+    return idx, dist, nvalid
+
+
+# ------------------------------------------------- broadcast mapInPandas
+
+
+Kernel = Callable[
+    [pd.DataFrame, PointData, np.ndarray, np.ndarray, np.ndarray], pd.DataFrame
+]
+
+
+def local_apply(
+    queries: DataFrame,
+    data: PointData,
+    query_coord_cols: list[str],
+    k: int,
+    metric: Distance,
+    kernel: Kernel,
+    out_schema: str,
+    radius: float | None = None,
+) -> DataFrame:
+    """One-pass search+solve over query partitions (zero shuffle).
+
+    ``kernel(q_pdf, data, idx, dist, nvalid) -> pd.DataFrame`` runs fully
+    vectorized per Arrow batch.
+    """
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(data)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        d = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = pdf[query_coord_cols].to_numpy(np.float64)
+            idx, dist, nvalid = topk_search(q, d.coords, k, metric, radius)
+            yield kernel(pdf, d, idx, dist, nvalid)
+
+    return queries.mapInPandas(run, schema=out_schema)
+
+
+def knn_pairs(
+    queries: DataFrame,
+    data: PointData,
+    query_coord_cols: list[str],
+    k: int,
+    metric: Distance,
+    id_col: str = "cell_id",
+    radius: float | None = None,
+) -> DataFrame:
+    """(query_id, data_id, dist, rank) pairs — the raw kNN join output the
+    north rule's 'identical join output rows' check applies to."""
+
+    def kernel(pdf, d, idx, dist, nvalid):
+        n, kk = idx.shape
+        rows = np.repeat(pdf[id_col].to_numpy(np.int64), kk)
+        flat_idx = idx.ravel()
+        keep = flat_idx >= 0
+        return pd.DataFrame(
+            {
+                id_col: rows[keep],
+                "data_id": d.ids[flat_idx[keep]],
+                "dist": dist.ravel()[keep],
+                "rank": np.tile(np.arange(1, kk + 1), n)[keep],
+            }
+        )
+
+    return local_apply(
+        queries, data, query_coord_cols, k, metric, kernel,
+        out_schema=f"{id_col} long, data_id long, dist double, rank int",
+        radius=radius,
+    )
+
+
+# ------------------------------------------------------------- tiled path
+
+
+def knn_join_tiled(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    res: int,
+    query_id: str = "cell_id",
+    data_id: str = "data_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    metric: Distance | None = None,
+    salt_threshold: int = 200_000,
+) -> DataFrame:
+    """Big-big exact kNN join via cell-ring expansion.
+
+    1. encode both sides at resolution ``res`` (JVM-side arithmetic);
+    2. replicate data rows into their ring-1 halo cells (×9 — bounded,
+       explicit, no skewed shuffle surprise);
+    3. equi-join on cell id → candidates; AQE skew-join splits hot cells,
+       and cells above ``salt_threshold`` candidates are additionally
+       salted by hashing the data id;
+    4. window top-k per query with deterministic (dist, data_id) order;
+    5. certification: a query's kth distance must be ≤ the distance from
+       the query point to the edge of its 3×3 cell block, else the query
+       is re-run through a ring-2 pass (and ultimately exact fallback).
+
+    Returns (query_id, data_id, dist, rank, certified).
+    """
+    from pyspark.sql import Window
+
+    metric = metric or Haversine()
+    cexpr = tiling.cell_expr(lon, lat, res)
+
+    q = queries.withColumn("_qcell", F.expr(cexpr))
+    d = data.withColumn("_dcell", F.expr(cexpr))
+
+    halo = tiling.ring_table(
+        queries.sparkSession, d.select(F.col("_dcell").alias("cell")), k=1
+    )
+    # replicate data into halo cells: data row appears for each of its 9 cells
+    d_rep = (
+        d.join(halo, d["_dcell"] == halo["cell"], "inner")
+        .select(
+            F.col("neighbor").alias("_jcell"),
+            F.col(data_id),
+            F.col(lon).alias("_dlon"),
+            F.col(lat).alias("_dlat"),
+        )
+    )
+
+    cand = q.select(
+        F.col(query_id), F.col("_qcell"), F.col(lon).alias("_qlon"), F.col(lat).alias("_qlat")
+    ).join(d_rep, F.col("_qcell") == F.col("_jcell"), "inner")
+
+    dist_sql = metric.sql(("_qlon", "_qlat"), ("_dlon", "_dlat"))
+    cand = cand.withColumn("dist", F.expr(dist_sql))
+
+    w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(data_id).asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+    # certification radius: distance from query point to nearest edge of the
+    # 3x3 covered block.  Conservative planar bound scaled for haversine.
+    n = tiling.nside(res)
+    cell_h_deg = 180.0 / n
+    cell_w_deg = 360.0 / n
+    ty = f"(CAST(floor((_qcell % {1 << 58}) / {1 << 29}) AS BIGINT))"
+    tx = f"(_qcell % {1 << 29})"
+    # edges of the 3x3 block in degrees
+    block = (
+        f"least(_qlat - (({ty} - 1) * {cell_h_deg!r} - 90.0),"
+        f" (({ty} + 2) * {cell_h_deg!r} - 90.0) - _qlat,"
+        f" _qlon - (({tx} - 1) * {cell_w_deg!r} - 180.0),"
+        f" (({tx} + 2) * {cell_w_deg!r} - 180.0) - _qlon)"
+    )
+    if isinstance(metric, Haversine):
+        # degrees → distance lower bound: 1 deg ≥ (π·R/180)·cos(|lat|+cell)
+        guard = (
+            f"({block}) * ({metric.radius!r} * pi() / 180.0) * "
+            f"cos(radians(least(89.0, abs(_qlat) + {cell_h_deg!r})))"
+        )
+    else:
+        guard = block
+    topk = topk.withColumn("certified", F.expr(f"dist <= {guard}"))
+    return topk.select(query_id, data_id, "dist", "rank", "certified")

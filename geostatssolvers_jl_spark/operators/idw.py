@@ -1,0 +1,127 @@
+"""Inverse distance weighting estimation (reference: IDWSolver,
+``/root/reference/src/estimation/idw.jl:58-153``).
+
+Semantics reproduced exactly:
+* k nearest (or radius-bounded, ``src/ui.jl:25-31``) neighbors per cell,
+  sorted by distance, ties by data id;
+* fewer than ``minneighbors`` → NULL outputs (``idw.jl:121-122``);
+* weights ``w = 1/d^exponent`` (``idw.jl:126``); any zero distance → emit
+  that datum exactly with σ = 0 (``idw.jl:129-132``, first-in-sort-order =
+  min data id among d=0);
+* outputs ``var`` (weighted mean) and ``var_distance`` (min distance,
+  ``idw.jl:137``).
+
+Two physical strategies:
+* `idw_agg_sql` — fully declarative join+groupBy aggregation (zero UDF;
+  whole-stage codegen; the same SQL text runs on DuckDB for the oracle);
+* `solve_idw` — the zero-shuffle broadcast kernel (`local_apply`): search
+  and weighted mean fused in one vectorized mapInPandas pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..distances import Distance, Euclidean
+from ..grid import CartesianGrid
+from ..neighbors import PointData, collect_points, local_apply
+
+
+def idw_agg_sql(pairs: str, var: str = "z", exponent: float = 1.0,
+                minneighbors: int = 1, qid: str = "cell_id",
+                round_to: int | None = None) -> str:
+    """Aggregation over a kNN-pair relation ``pairs(qid, data_id, dist, z)``.
+
+    Shared Spark-SQL/DuckDB dialect; implements A1 (weighted mean) + A2
+    (zero-distance exactness) of SURVEY.md §2.4 as a pure groupBy.
+    """
+    wmean = f"sum({var} / pow(dist, {exponent!r})) / sum(1.0 / pow(dist, {exponent!r}))"
+    mu = (
+        f"CASE WHEN count(*) < {minneighbors} THEN NULL "
+        f"WHEN min(dist) = 0.0 THEN min_by({var}, data_id) FILTER (WHERE dist = 0.0) "
+        f"ELSE {wmean} END"
+    )
+    sigma = (
+        f"CASE WHEN count(*) < {minneighbors} THEN NULL "
+        f"WHEN min(dist) = 0.0 THEN 0.0 ELSE min(dist) END"
+    )
+    if round_to is not None:
+        mu = f"round({mu}, {round_to})"
+        sigma = f"round({sigma}, {round_to})"
+    return (
+        f"SELECT {qid}, {mu} AS {var}, {sigma} AS {var}_distance "
+        f"FROM {pairs} GROUP BY {qid}"
+    )
+
+
+def idw_kernel(var: str, exponent: float, minneighbors: int,
+               id_col: str = "cell_id"):
+    """Vectorized IDW over stacked neighbor arrays (one Arrow batch)."""
+
+    def kernel(pdf: pd.DataFrame, d: PointData, idx: np.ndarray,
+               dist: np.ndarray, nvalid: np.ndarray) -> pd.DataFrame:
+        z = d.values[var].astype(np.float64)
+        zn = z[np.maximum(idx, 0)]  # (n, k); invalid slots masked below
+        valid = idx >= 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(valid, 1.0 / np.power(dist, exponent), 0.0)
+        sw = w.sum(axis=1)
+        mu = np.where(sw > 0, (w * np.where(valid, zn, 0.0)).sum(axis=1), np.nan)
+        sw_safe = np.where(sw > 0, sw, 1.0)
+        mu = mu / sw_safe
+        dmin = dist.min(axis=1)  # invalid slots are +inf ⇒ min is the true one
+        # zero-distance exactness: first (lowest (dist, id)) slot has d=0
+        zero = (dist[:, 0] == 0.0) & valid[:, 0]
+        mu = np.where(zero, zn[:, 0], mu)
+        sigma = np.where(zero, 0.0, dmin)
+        # infinite weight sum w/o exact zero cannot happen (d>0 ⇒ finite w)
+        few = nvalid < minneighbors
+        mu = np.where(few, np.nan, mu)
+        sigma = np.where(few, np.nan, sigma)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: mu,
+            f"{var}_distance": sigma,
+        })
+
+    return kernel
+
+
+def solve_idw(
+    data: DataFrame | PointData,
+    grid_df: DataFrame,
+    var: str = "z",
+    data_coord_cols: list[str] | None = None,
+    query_coord_cols: list[str] | None = None,
+    maxneighbors: int | None = 3,
+    minneighbors: int = 1,
+    exponent: float = 1.0,
+    metric: Distance = Euclidean(),
+    radius: float | None = None,
+    id_col: str = "cell_id",
+) -> DataFrame:
+    """Broadcast-path IDW solve. ``grid_df`` must carry ``id_col`` and the
+    query coordinate columns (e.g. cx, cy from `CartesianGrid.spark_df`)."""
+    data_coord_cols = data_coord_cols or ["x", "y"]
+    query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if isinstance(data, DataFrame):
+        data = collect_points(
+            data.filter(f"{var} IS NOT NULL"),
+            data_coord_cols,
+            [var],
+            id_col="data_id" if "data_id" in data.columns else None,
+        )
+    if data.n == 0:
+        raise ValueError("estimation requires data")  # idw.jl:93
+    if exponent <= 0:
+        raise ValueError("exponent must be positive")  # idw.jl:94
+    k = data.n if maxneighbors is None else min(maxneighbors, data.n)
+    if minneighbors > k:
+        raise ValueError("invalid min/max number of neighbors")  # idw.jl:95
+    kernel = idw_kernel(var, exponent, minneighbors, id_col)
+    schema = f"{id_col} long, {var} double, {var}_distance double"
+    return local_apply(
+        grid_df, data, query_coord_cols, k, metric, kernel, schema, radius
+    )

