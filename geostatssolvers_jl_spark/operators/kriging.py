@@ -1,0 +1,299 @@
+"""Kriging estimation (reference: KrigingSolver,
+``/root/reference/src/estimation/krig.jl:76-234``).
+
+Variant selection mirrors ``kriging_ui`` (``src/ui.jl:40-50``):
+drifts → External Drift; degree → Universal; mean → Simple; else Ordinary.
+
+Two physical strategies behind one API, mirroring the reference's
+``exactsolve`` / ``approxsolve`` branch (``krig.jl:151-157``):
+
+* **global** (``maxneighbors=None``): fit once on *all* data — factorize
+  the (n+m)×(n+m) system on the driver, broadcast the inverse + data
+  values, then a ``mapInPandas`` over grid partitions predicts each Arrow
+  batch with two matmuls.  Zero shuffle; scales in the *grid* dimension.
+* **local**: per grid cell, top-k neighbor search feeds stacked
+  (k+m)×(k+m) covariance systems solved with one batched
+  ``np.linalg.solve`` per Arrow batch (the north rule's "stacked
+  covariance matrices, no per-row Python").
+
+Math (public Matheron/GSLIB forms, covariance form C(h) = sill − γ(h)):
+  SK: C λ = c₀;               μ̂ = m + λᵀ(z−m);  σ² = C(0) − λᵀc₀
+  OK/UK/EDK: [[C F],[Fᵀ 0]] [λ;ν] = [c₀;f₀];
+             μ̂ = λᵀz;         σ² = C(0) − λᵀc₀ − νᵀf₀
+with F the drift design (OK: ones; UK: monomials to ``degree``; EDK:
+constant + user drift functions of the coordinates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from itertools import combinations_with_replacement
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..distances import Distance, Euclidean
+from ..neighbors import PointData, collect_points, local_apply, topk_search
+from ..variogram import GaussianVariogram, Variogram
+
+
+# ------------------------------------------------------------- estimators
+
+
+@dataclass(frozen=True)
+class KrigingModel:
+    """Which Kriging variant + its parameters (the preproc 'estimator')."""
+
+    variogram: Variogram = field(default_factory=GaussianVariogram)
+    mean: float | None = None          # Simple Kriging
+    degree: int | None = None          # Universal Kriging
+    drifts: Sequence[Callable] | None = None  # External Drift Kriging
+
+    @property
+    def variant(self) -> str:
+        # latter options override former, ui.jl:40-50
+        if self.drifts is not None:
+            return "EDK"
+        if self.degree is not None:
+            return "UK"
+        if self.mean is not None:
+            return "SK"
+        return "OK"
+
+    def drift_matrix(self, coords: np.ndarray) -> np.ndarray:
+        """F: (..., n, m) drift design for stacked coords (..., n, d)."""
+        v = self.variant
+        if v == "SK":
+            return np.zeros(coords.shape[:-1] + (0,))
+        if v == "OK":
+            return np.ones(coords.shape[:-1] + (1,))
+        if v == "UK":
+            cols = [np.ones(coords.shape[:-1])]
+            d = coords.shape[-1]
+            for deg in range(1, self.degree + 1):
+                for combo in combinations_with_replacement(range(d), deg):
+                    m = np.ones(coords.shape[:-1])
+                    for ax in combo:
+                        m = m * coords[..., ax]
+                    cols.append(m)
+            return np.stack(cols, axis=-1)
+        # EDK: constant + user drifts (vectorized callables of coord columns)
+        cols = [np.ones(coords.shape[:-1])]
+        for fn in self.drifts:
+            cols.append(np.asarray(fn(coords), dtype=np.float64))
+        return np.stack(cols, axis=-1)
+
+
+def _pairwise_cov(gamma: Variogram, A: np.ndarray, B: np.ndarray,
+                  metric: Distance) -> np.ndarray:
+    return gamma.cov(metric.np(A, B))
+
+
+def _batched_pairwise(NC: np.ndarray, metric: Distance) -> np.ndarray:
+    """(B, k, d) stacked neighbor coords → (B, k, k) pairwise distances."""
+    if isinstance(metric, Euclidean):
+        dlt = NC[:, :, None, :] - NC[:, None, :, :]
+        return np.sqrt(np.sum(dlt * dlt, axis=-1))
+    # batched haversine, same op order as distances.Haversine.np
+    lon1, lat1 = NC[:, :, None, 0], NC[:, :, None, 1]
+    lon2, lat2 = NC[:, None, :, 0], NC[:, None, :, 1]
+    h = (
+        np.sin(np.radians(lat2 - lat1) / 2.0) ** 2
+        + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+        * np.sin(np.radians(lon2 - lon1) / 2.0) ** 2
+    )
+    return 2.0 * metric.radius * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+# ------------------------------------------------------------ global path
+
+
+def _fit_global(model: KrigingModel, data: PointData, var: str,
+                metric: Distance):
+    """Factorize the full system once (reference ``exactsolve`` fit at
+    krig.jl:176). Returns pickleable artifacts for broadcast."""
+    X = data.coords
+    z = data.values[var].astype(np.float64)
+    n = X.shape[0]
+    C = _pairwise_cov(model.variogram, X, X, metric)
+    F = model.drift_matrix(X)  # (n, m)
+    m = F.shape[-1]
+    A = np.zeros((n + m, n + m))
+    A[:n, :n] = C
+    A[:n, n:] = F
+    A[n:, :n] = F.T
+    try:
+        Ainv = np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        Ainv = np.linalg.pinv(A)
+    return {"Ainv": Ainv, "X": X, "z": z, "n": n, "m": m}
+
+
+def _predict_global(model: KrigingModel, fit: dict, qcoords: np.ndarray,
+                    metric: Distance) -> tuple[np.ndarray, np.ndarray]:
+    X, z, Ainv, n, m = fit["X"], fit["z"], fit["Ainv"], fit["n"], fit["m"]
+    sill = model.variogram.sill
+    c0 = _pairwise_cov(model.variogram, qcoords, X, metric)  # (q, n)
+    f0 = model.drift_matrix(qcoords)  # (q, m)
+    rhs = np.concatenate([c0, f0], axis=1)  # (q, n+m)
+    lam = rhs @ Ainv.T  # (q, n+m): weights then Lagrange
+    w = lam[:, :n]
+    if model.variant == "SK":
+        mu = model.mean + w @ (z - model.mean)
+    else:
+        mu = w @ z
+    var_ = sill - np.einsum("qi,qi->q", lam, rhs)
+    return mu, np.maximum(var_, 0.0)
+
+
+# ------------------------------------------------------------- local path
+
+
+def _solve_local_batch(
+    model: KrigingModel,
+    d: PointData,
+    var: str,
+    qcoords: np.ndarray,
+    idx: np.ndarray,
+    dist: np.ndarray,
+    nvalid: np.ndarray,
+    metric: Distance,
+    minneighbors: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked per-location Kriging systems, one batched solve."""
+    B, k = idx.shape
+    z_all = d.values[var].astype(np.float64)
+    safe_idx = np.maximum(idx, 0)
+    NC = d.coords[safe_idx]          # (B, k, dim)
+    zn = z_all[safe_idx]             # (B, k)
+    valid = idx >= 0                 # (B, k)
+
+    # pairwise neighbor distances (B, k, k), fully batched
+    H = _batched_pairwise(NC, metric)
+    C = model.variogram.cov(H)  # (B, k, k)
+
+    Fm = model.drift_matrix(NC)          # (B, k, m)
+    m = Fm.shape[-1]
+    fdist = np.where(valid, dist, 0.0)   # keep inf out of the variogram
+    c0 = np.where(valid, model.variogram.cov(fdist), 0.0)  # (B, k)
+    f0 = model.drift_matrix(qcoords)     # (B, m)
+
+    # padded slots (idx == -1): zero row/col + unit diagonal + zero rhs and
+    # drift → their weights solve to exactly 0 without perturbing the rest
+    vmask = valid.astype(np.float64)
+    pair = vmask[:, :, None] * vmask[:, None, :]
+    C = np.where(pair > 0, C, 0.0)
+    ar = np.arange(k)
+    C[:, ar, ar] = np.where(valid, C[:, ar, ar], 1.0)
+    Fm = Fm * vmask[:, :, None]
+
+    A = np.zeros((B, k + m, k + m))
+    A[:, :k, :k] = C
+    A[:, :k, k:] = Fm
+    A[:, k:, :k] = np.transpose(Fm, (0, 2, 1))
+    rhs = np.concatenate([c0, f0], axis=1)  # (B, k+m)
+
+    try:
+        sol = np.linalg.solve(A, rhs[:, :, None])[:, :, 0]
+    except np.linalg.LinAlgError:
+        sol = np.empty_like(rhs)
+        for b in range(B):
+            try:
+                sol[b] = np.linalg.solve(A[b], rhs[b])
+            except np.linalg.LinAlgError:
+                sol[b] = np.linalg.lstsq(A[b], rhs[b], rcond=None)[0]
+
+    w = sol[:, :k] * vmask
+    if model.variant == "SK":
+        mu = model.mean + np.einsum("bk,bk->b", w, (zn - model.mean) * vmask)
+    else:
+        mu = np.einsum("bk,bk->b", w, zn * vmask)
+    var_ = model.variogram.sill - np.einsum("bi,bi->b", sol, rhs)
+    var_ = np.maximum(var_, 0.0)
+
+    few = nvalid < minneighbors
+    mu = np.where(few, np.nan, mu)
+    var_ = np.where(few, np.nan, var_)
+    return mu, var_
+
+
+# ---------------------------------------------------------------- solver
+
+
+def solve_kriging(
+    data: DataFrame | PointData,
+    grid_df: DataFrame,
+    var: str = "z",
+    model: KrigingModel | None = None,
+    data_coord_cols: list[str] | None = None,
+    query_coord_cols: list[str] | None = None,
+    maxneighbors: int | None = None,
+    minneighbors: int = 1,
+    metric: Distance = Euclidean(),
+    radius: float | None = None,
+    id_col: str = "cell_id",
+) -> DataFrame:
+    """Returns (id_col, var, var_variance) over the grid/query DataFrame.
+
+    ``maxneighbors=None`` → global strategy; else local (krig.jl:151-157).
+    ``radius`` realizes the MetricBall neighborhood (KBallSearch).
+    """
+    model = model or KrigingModel()
+    data_coord_cols = data_coord_cols or ["x", "y"]
+    query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if isinstance(data, DataFrame):
+        data = collect_points(
+            data.filter(f"{var} IS NOT NULL"),
+            data_coord_cols,
+            [var],
+            id_col="data_id" if "data_id" in data.columns else None,
+        )
+    if data.n == 0:
+        raise ValueError(f"all samples of {var} are missing, aborting...")
+
+    spark = grid_df.sparkSession
+    schema = f"{id_col} long, {var} double, {var}_variance double"
+
+    if maxneighbors is None:
+        from pyspark import cloudpickle
+
+        fit = _fit_global(model, data, var, metric)
+        # cloudpickle: drift functions may be lambdas/closures, which the
+        # default broadcast pickler rejects
+        bc = spark.sparkContext.broadcast(
+            cloudpickle.dumps((model, fit, metric))
+        )
+
+        def run(batches: Iterable[pd.DataFrame]):
+            mdl, f, met = cloudpickle.loads(bc.value)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = pdf[query_coord_cols].to_numpy(np.float64)
+                mu, v = _predict_global(mdl, f, q, met)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    var: mu, f"{var}_variance": v,
+                })
+
+        return grid_df.mapInPandas(run, schema=schema)
+
+    k = min(maxneighbors, data.n)
+    if minneighbors > k:
+        raise ValueError("invalid min/max number of neighbors")
+
+    def kernel(pdf, d, idx, dist, nvalid):
+        q = pdf[query_coord_cols].to_numpy(np.float64)
+        mu, v = _solve_local_batch(
+            model, d, var, q, idx, dist, nvalid, metric, minneighbors
+        )
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: mu, f"{var}_variance": v,
+        })
+
+    return local_apply(
+        grid_df, data, query_coord_cols, k, metric, kernel, schema, radius
+    )

@@ -1,0 +1,121 @@
+"""Locally weighted regression / LOESS (reference: LWRSolver,
+``/root/reference/src/estimation/lwr.jl:62-158``).
+
+Per location (``lwr.jl:127-145``): take the k nearest neighbors, normalize
+distances δ = d / max(d), weight w = weightfun(δ) (default exp(−3δ²),
+``lwr.jl:58``), fit weighted least squares on the affine design
+X = [1 coords], predict at the location, and report
+σ = ‖W·X·(XᵀWX)⁻¹·x₀‖₂ as ``var_variance`` (Gaussian-residual assumption,
+``lwr.jl:50-51,142-143``).
+
+Spark realization: the shared zero-shuffle broadcast kernel — neighbor
+search and the stacked WLS solves fused in one vectorized mapInPandas
+pass; one batched ``np.linalg.solve`` over (B, p, p) normal matrices.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..distances import Distance, Euclidean
+from ..neighbors import PointData, collect_points, local_apply
+
+
+def default_weightfun(h: np.ndarray) -> np.ndarray:
+    return np.exp(-3.0 * h * h)
+
+
+def lwr_kernel(var: str, weightfun: Callable, minneighbors: int,
+               id_col: str = "cell_id", query_coord_cols: list[str] | None = None):
+    qcols = query_coord_cols or ["cx", "cy"]
+
+    def kernel(pdf: pd.DataFrame, d: PointData, idx: np.ndarray,
+               dist: np.ndarray, nvalid: np.ndarray) -> pd.DataFrame:
+        B, k = idx.shape
+        dim = d.coords.shape[1]
+        p = dim + 1
+        z = d.values[var].astype(np.float64)
+        safe = np.maximum(idx, 0)
+        valid = idx >= 0
+        vm = valid.astype(np.float64)
+
+        fd = np.where(valid, dist, 0.0)
+        dmax = fd.max(axis=1, keepdims=True)
+        dmax = np.where(dmax > 0, dmax, 1.0)
+        delta = fd / dmax
+        w = np.asarray(weightfun(delta), dtype=np.float64) * vm  # (B, k)
+
+        X = np.concatenate(
+            [np.ones((B, k, 1)), d.coords[safe]], axis=2
+        )  # (B, k, p)
+        X = X * vm[:, :, None]
+        zn = z[safe] * vm  # (B, k)
+
+        WX = w[:, :, None] * X                     # (B, k, p)
+        G = np.einsum("bkp,bkq->bpq", X, WX)       # XᵀWX (B, p, p)
+        b = np.einsum("bkp,bk->bp", WX, zn)        # XᵀWz (B, p)
+
+        q = pdf[qcols].to_numpy(np.float64)
+        x0 = np.concatenate([np.ones((B, 1)), q], axis=1)  # (B, p)
+
+        # regularize genuinely singular systems (e.g. k < p) via pinv path
+        try:
+            theta = np.linalg.solve(G, b[:, :, None])[:, :, 0]
+            Ginv_x0 = np.linalg.solve(G, x0[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            Ginv = np.linalg.pinv(G)
+            theta = np.einsum("bpq,bq->bp", Ginv, b)
+            Ginv_x0 = np.einsum("bpq,bq->bp", Ginv, x0)
+
+        mu = np.einsum("bp,bp->b", theta, x0)
+        r = WX @ Ginv_x0[:, :, None]               # W X (XᵀWX)⁻¹ x₀, (B,k,1)
+        sigma = np.sqrt(np.einsum("bk,bk->b", r[:, :, 0], r[:, :, 0]))
+
+        few = nvalid < minneighbors
+        mu = np.where(few, np.nan, mu)
+        sigma = np.where(few, np.nan, sigma)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: mu,
+            f"{var}_variance": sigma,
+        })
+
+    return kernel
+
+
+def solve_lwr(
+    data: DataFrame | PointData,
+    grid_df: DataFrame,
+    var: str = "z",
+    data_coord_cols: list[str] | None = None,
+    query_coord_cols: list[str] | None = None,
+    maxneighbors: int | None = None,
+    minneighbors: int = 1,
+    weightfun: Callable = default_weightfun,
+    metric: Distance = Euclidean(),
+    radius: float | None = None,
+    id_col: str = "cell_id",
+) -> DataFrame:
+    data_coord_cols = data_coord_cols or ["x", "y"]
+    query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if isinstance(data, DataFrame):
+        data = collect_points(
+            data.filter(f"{var} IS NOT NULL"),
+            data_coord_cols,
+            [var],
+            id_col="data_id" if "data_id" in data.columns else None,
+        )
+    if data.n == 0:
+        raise ValueError("estimation requires data")
+    k = data.n if maxneighbors is None else min(maxneighbors, data.n)
+    if minneighbors > k:
+        raise ValueError("invalid min/max number of neighbors")
+    kernel = lwr_kernel(var, weightfun, minneighbors, id_col, query_coord_cols)
+    schema = f"{id_col} long, {var} double, {var}_variance double"
+    return local_apply(
+        grid_df, data, query_coord_cols, k, metric, kernel, schema, radius
+    )
