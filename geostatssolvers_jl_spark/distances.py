@@ -26,6 +26,28 @@ class Euclidean:
         d2 = np.sum((A[:, None, :] - B[None, :, :]) ** 2, axis=2)
         return np.sqrt(d2)
 
+    def np_pairs(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """A: (n, d), B: (n, k, d) → (n, k) distances, canonical op order
+        (matches `sql` bit-for-bit)."""
+        d = A[:, None, :] - B
+        return np.sqrt(np.sum(d * d, axis=-1))
+
+    # --- fast ranking surrogate (BLAS GEMM): key = squared distance ---
+
+    def rank_features(self, P: np.ndarray) -> np.ndarray:
+        # float32: the key matrix is the memory-bandwidth hot spot; exact
+        # float64 distances are recomputed on the selected pairs only
+        return P.astype(np.float32)
+
+    def rank_keys(self, QF: np.ndarray, DF: np.ndarray) -> np.ndarray:
+        """(n, m) keys, monotone in true distance: ‖q‖²−2q·d+‖d‖²."""
+        qn = np.einsum("nd,nd->n", QF, QF)[:, None]
+        dn = np.einsum("md,md->m", DF, DF)[None, :]
+        return qn - np.float32(2.0) * (QF @ DF.T) + dn
+
+    def radius_key(self, r: float) -> float:
+        return r * r
+
 
 @dataclass(frozen=True)
 class Haversine:
@@ -54,6 +76,36 @@ class Haversine:
             * np.sin(np.radians(lon2 - lon1) / 2.0) ** 2
         )
         return 2.0 * self.radius * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+    def np_pairs(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """A: (n, 2) lon/lat deg, B: (n, k, 2) → (n, k), canonical op order."""
+        lon1, lat1 = A[:, None, 0], A[:, None, 1]
+        lon2, lat2 = B[..., 0], B[..., 1]
+        h = (
+            np.sin(np.radians(lat2 - lat1) / 2.0) ** 2
+            + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+            * np.sin(np.radians(lon2 - lon1) / 2.0) ** 2
+        )
+        return 2.0 * self.radius * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+    # --- fast ranking surrogate: key = −(unit-vector dot product) -------
+    # haversine h = (1 − u·v)/2 with u, v unit vectors on the sphere, and
+    # dist = 2R·asin(√h) is monotone in −u·v — so ranking needs only one
+    # GEMM over 3-D features; the expensive trig runs on selected pairs.
+
+    def rank_features(self, P: np.ndarray) -> np.ndarray:
+        lam, phi = np.radians(P[:, 0]), np.radians(P[:, 1])
+        cphi = np.cos(phi)
+        return np.column_stack(
+            [cphi * np.cos(lam), cphi * np.sin(lam), np.sin(phi)]
+        ).astype(np.float32)
+
+    def rank_keys(self, QF: np.ndarray, DF: np.ndarray) -> np.ndarray:
+        return -(QF @ DF.T)
+
+    def radius_key(self, r: float) -> float:
+        # dist ≤ r ⇔ u·v ≥ cos(r/R) ⇔ key ≤ −cos(r/R)
+        return -np.cos(min(r / self.radius, np.pi))
 
 
 Distance = Euclidean | Haversine

@@ -94,8 +94,28 @@ class CartesianGrid:
 
     # --- engine-specific realizations ---
 
-    def spark_df(self, spark: SparkSession, id_col: str = "cell_id") -> DataFrame:
-        df = spark.range(self.ncells).withColumnRenamed("id", id_col)
+    def spark_df(
+        self, spark: SparkSession, id_col: str = "cell_id",
+        scramble: bool = False, num_partitions: int | None = None,
+    ) -> DataFrame:
+        """``scramble=True`` maps range ids through a bijective stride
+        permutation (id·p mod n, gcd(p, n)=1) so each partition holds a
+        spatially balanced mix of cells — kills partition skew from
+        spatially clustered work (hot tiles / cheap poles) as a pure
+        projection, no shuffle.  The result SET is identical."""
+        df = (
+            spark.range(self.ncells, numPartitions=num_partitions)
+            if num_partitions
+            else spark.range(self.ncells)
+        )
+        if scramble and self.ncells > 1:
+            p = 2654435761
+            from math import gcd
+
+            while gcd(p, self.ncells) != 1:
+                p += 2
+            df = df.selectExpr(f"(id * {p}) % {self.ncells} AS id")
+        df = df.withColumnRenamed("id", id_col)
         return df.selectExpr(*self.select_exprs(id_col))
 
     def duck_sql(self, id_col: str = "cell_id") -> str:

@@ -1,0 +1,110 @@
+"""Checkpoint / resume with per-partition lineage + row-count metrics.
+
+North-rule requirement: "every stage checkpoints per-partition lineage +
+row-count metrics ... so a killed job resumes without recompute"
+(BASELINE.json).  The reference has no notion of this (single-process);
+it is an engine addition (SURVEY.md §2.9, §4).
+
+Model: a *stage* writes its output partitioned by a **unit key** (tile
+cell, realization id, shard id...).  Each successfully written unit gets a
+manifest row ``(unit, rows, stage, wall_s)`` committed *after* the data.
+On restart, `pending_units` anti-joins the input's units against the
+manifest — only unfinished units are recomputed.  Unit writes are
+idempotent (dynamic partition overwrite), so a crash between data and
+manifest commit re-runs that unit harmlessly.
+
+Sandbox backend is parquet directories; on a production cluster the same
+two tables are Iceberg tables and the manifest commit is the Iceberg
+snapshot commit — the control flow is identical, only ``format("iceberg")``
+changes (`FORMAT` below).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMAT = "parquet"  # "iceberg" in production
+
+MANIFEST_SCHEMA = "unit long, rows long, stage string, wall_s double"
+
+
+def _manifest_path(base: str) -> str:
+    return f"{base}/_lineage_manifest"
+
+
+def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    try:
+        m = spark.read.schema(MANIFEST_SCHEMA).format(FORMAT).load(
+            _manifest_path(base)
+        )
+        return m.filter(F.col("stage") == stage)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def pending_units(
+    units: DataFrame, spark: SparkSession, base: str, stage: str,
+    unit_col: str = "unit",
+) -> DataFrame:
+    """Anti-join this stage's work units against the done-manifest."""
+    done = read_manifest(spark, base, stage).select(
+        F.col("unit").alias(unit_col)
+    )
+    return units.join(done, unit_col, "left_anti")
+
+
+def commit_units(
+    df: DataFrame,
+    base: str,
+    stage: str,
+    unit_col: str = "unit",
+) -> DataFrame:
+    """Write one batch of finished units + their manifest rows.
+
+    ``df`` must carry ``unit_col``; data lands partitioned by it so a
+    re-run of the same unit overwrites in place (idempotent).  Returns the
+    manifest rows written (the per-partition lineage record).
+    """
+    spark = df.sparkSession
+    t0 = time.time()
+    (
+        df.withColumn("unit", F.col(unit_col).cast("long"))
+        .write.format(FORMAT)
+        .mode("overwrite")
+        .partitionBy("unit")
+        .option("partitionOverwriteMode", "dynamic")
+        .save(f"{base}/{stage}")
+    )
+    wall = time.time() - t0
+    # lineage rows for THIS batch only — never rescan previously-committed
+    # units (at 10^12-row scale a full rescan per batch is the bottleneck)
+    counts = (
+        df.groupBy(F.col(unit_col).cast("long").alias("unit"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            "unit", "rows", F.lit(stage).alias("stage"),
+            F.lit(wall).alias("wall_s"),
+        )
+    )
+    counts.write.format(FORMAT).mode("append").save(_manifest_path(base))
+    return counts
+
+
+def run_stage_resumable(
+    spark: SparkSession,
+    base: str,
+    stage: str,
+    units: DataFrame,
+    compute,  # Callable[[DataFrame], DataFrame]: pending units -> output rows
+    unit_col: str = "unit",
+) -> DataFrame:
+    """Compute only unfinished units, commit data + lineage, return the
+    stage's full output (previous + new)."""
+    todo = pending_units(units, spark, base, stage, unit_col)
+    if todo.limit(1).count() > 0:
+        out = compute(todo)
+        commit_units(out, base, stage, unit_col)
+    return spark.read.format(FORMAT).load(f"{base}/{stage}")

@@ -55,6 +55,36 @@ class PointData:
     def n(self) -> int:
         return self.coords.shape[0]
 
+    def index(self, metric: Distance):
+        """Bucket index, built lazily once per worker process (the broadcast
+        deserializes once per process; the index rides along after that)."""
+        key = repr(metric)
+        cache = self.__dict__.setdefault("_index_cache", {})
+        if key not in cache:
+            from .bucket_index import BucketIndex
+
+            cache[key] = BucketIndex(self.coords, metric)
+        return cache[key]
+
+
+# data sides at least this large route through the bucket index; below it
+# one cache-resident brute-force GEMM is faster than group bookkeeping
+INDEX_THRESHOLD = 2048
+
+
+def search(
+    data: PointData,
+    qcoords: np.ndarray,
+    k: int,
+    metric: Distance,
+    radius: float | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Strategy dispatcher: bucket index for large 2-D data sides, chunked
+    brute force otherwise.  Identical output contract either way."""
+    if data.n >= INDEX_THRESHOLD and data.coords.shape[1] == 2:
+        return data.index(metric).topk(qcoords, k, radius)
+    return topk_search(qcoords, data.coords, k, metric, radius)
+
 
 def collect_points(
     df: DataFrame, coord_cols: Iterable[str], value_cols: Iterable[str] = (),
@@ -87,13 +117,34 @@ def collect_points(
 # ------------------------------------------------------------------ search
 
 
+def shortlist_topk(
+    K: np.ndarray, nbuf: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tie-safe shortlist: the nbuf smallest keys per row, plus per-row
+    overflow sets when keys tie exactly at the shortlist boundary (mass-
+    duplicate locations — common in deduplicated web data).  Returns
+    (sel (c, nbuf) int64, overflow: list of (row, cols) for rows whose
+    boundary ties spill past the buffer)."""
+    c, m = K.shape
+    if nbuf >= m:
+        return np.broadcast_to(np.arange(m), (c, m)).copy(), []
+    sel = np.argpartition(K, nbuf - 1, axis=1)[:, :nbuf]
+    skey = np.take_along_axis(K, sel, axis=1)
+    kth = skey.max(axis=1)
+    n_le = (K <= kth[:, None]).sum(axis=1)
+    overflow = []
+    for row in np.nonzero(n_le > nbuf)[0]:
+        overflow.append((int(row), np.nonzero(K[row] <= kth[row])[0]))
+    return sel, overflow
+
+
 def topk_search(
     qcoords: np.ndarray,
     dcoords: np.ndarray,
     k: int,
     metric: Distance,
     radius: float | None = None,
-    chunk_elems: int = 8_000_000,
+    chunk_elems: int = 1_500_000,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact kNN, vectorized. Returns (idx (n,k), dist (n,k), nvalid (n,)).
 
@@ -108,25 +159,60 @@ def topk_search(
     dist = np.full((n, k), np.inf, dtype=np.float64)
     if m == 0 or n == 0 or k == 0:
         return idx, dist, np.zeros(n, dtype=np.int64)
-    qchunk = max(1, chunk_elems // max(m, 1))
-    buffer = min(m, k + 8)
+
+    # ranking runs on a GEMM-able monotone surrogate (squared distance /
+    # negative chord dot product) — one BLAS call per chunk instead of
+    # full-matrix trig; the canonical-formula distance (bit-identical to
+    # the SQL text, hence to the DuckDB oracle) is evaluated only on the
+    # selected n×k pairs.
+    DF = metric.rank_features(dcoords)
+    rkey = metric.radius_key(radius) if radius is not None else None
+    if rkey is not None:
+        # tiny slack: the surrogate threshold must never exclude a point
+        # the exact canonical cut (applied below) would admit
+        rkey = rkey + 1e-9 * max(1.0, abs(rkey))
+
+    # chunk so the (qchunk, m) float32 key block stays cache-resident
+    # between the GEMM and the argpartition — the whole search is memory-
+    # bandwidth-bound otherwise and stops scaling across executor cores
+    qchunk = max(32, chunk_elems // max(m, 1))
+    buffer = min(m, k + 16)  # float32-ranking slack
     for s in range(0, n, qchunk):
         e = min(n, s + qchunk)
-        D = metric.np(qcoords[s:e], dcoords)  # (c, m)
+        QF = metric.rank_features(qcoords[s:e])
+        K = metric.rank_keys(QF, DF)  # (c, m) monotone in true distance
+        if rkey is not None:
+            K = np.where(K <= rkey, K, np.inf)
+        cand, overflow = shortlist_topk(K, buffer)
+        ck = np.take_along_axis(K, cand, axis=1)
+        valid = np.isfinite(ck)
+        # canonical float64 distances on the FULL buffer, then rank —
+        # float32 keys only shortlist; the final k and their order come
+        # from the exact metric, so float32 cancellation can't leak into
+        # the result (would need >buffer points inside one float32 ulp)
+        cd = metric.np_pairs(qcoords[s:e], dcoords[np.maximum(cand, 0)])
+        cd = np.where(valid, cd, np.inf)
+        order2 = np.lexsort((cand, cd), axis=1)
+        cand = np.take_along_axis(cand, order2, axis=1)[:, :k]
+        cd = np.take_along_axis(cd, order2, axis=1)[:, :k]
+        # exact radius cut on the canonical distance (the surrogate cut
+        # above is the same predicate up to FP rounding of the threshold)
         if radius is not None:
-            D = np.where(D <= radius, D, np.inf)
-        if buffer < m:
-            cand = np.argpartition(D, buffer - 1, axis=1)[:, :buffer]
-        else:
-            cand = np.broadcast_to(np.arange(m), (e - s, m)).copy()
-        cd = np.take_along_axis(D, cand, axis=1)
-        # sort candidates by (dist, data_index) — lexsort keys last-major
-        order = np.lexsort((cand, cd), axis=1)
-        cand = np.take_along_axis(cand, order, axis=1)[:, :k]
-        cd = np.take_along_axis(cd, order, axis=1)[:, :k]
+            cd = np.where(cd <= radius, cd, np.inf)
         valid = np.isfinite(cd)
         idx[s:e] = np.where(valid, cand, -1)
         dist[s:e] = cd
+        # boundary-tie overflow rows: exact re-rank over every tied column
+        for row, cols in overflow:
+            rd = metric.np_pairs(
+                qcoords[s + row][None, :], dcoords[cols][None, :, :]
+            )[0]
+            if radius is not None:
+                rd = np.where(rd <= radius, rd, np.inf)
+            o = np.lexsort((cols, rd))[:k]
+            rv = np.isfinite(rd[o])
+            idx[s + row, : len(o)] = np.where(rv, cols[o], -1)
+            dist[s + row, : len(o)] = rd[o]
     nvalid = np.isfinite(dist).sum(axis=1).astype(np.int64)
     return idx, dist, nvalid
 
@@ -163,7 +249,7 @@ def local_apply(
             if len(pdf) == 0:
                 continue
             q = pdf[query_coord_cols].to_numpy(np.float64)
-            idx, dist, nvalid = topk_search(q, d.coords, k, metric, radius)
+            idx, dist, nvalid = search(d, q, k, metric, radius)
             yield kernel(pdf, d, idx, dist, nvalid)
 
     return queries.mapInPandas(run, schema=out_schema)

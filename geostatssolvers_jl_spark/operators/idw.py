@@ -37,7 +37,13 @@ def idw_agg_sql(pairs: str, var: str = "z", exponent: float = 1.0,
     Shared Spark-SQL/DuckDB dialect; implements A1 (weighted mean) + A2
     (zero-distance exactness) of SURVEY.md §2.4 as a pure groupBy.
     """
-    wmean = f"sum({var} / pow(dist, {exponent!r})) / sum(1.0 / pow(dist, {exponent!r}))"
+    # FILTER keeps zero distances out of the division: Spark ANSI mode
+    # evaluates every CASE branch's aggregates, and the d=0 rows are
+    # handled exactly by the min_by branch (idw.jl:129-132)
+    wmean = (
+        f"sum({var} / pow(dist, {exponent!r})) FILTER (WHERE dist > 0.0) / "
+        f"sum(1.0 / pow(dist, {exponent!r})) FILTER (WHERE dist > 0.0)"
+    )
     mu = (
         f"CASE WHEN count(*) < {minneighbors} THEN NULL "
         f"WHEN min(dist) = 0.0 THEN min_by({var}, data_id) FILTER (WHERE dist = 0.0) "

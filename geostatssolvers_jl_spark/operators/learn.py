@@ -1,0 +1,129 @@
+"""Pointwise geostatistical learning (reference: PointwiseLearn,
+``/root/reference/src/learning/pointwise.jl:28-44``).
+
+Train a model on the source table, predict on the target table, re-attach
+the target domain.  The reference delegates the model to StatsLearnModels
+(its test uses a decision tree, ``test/learning/pointwise.jl:22-26``); this
+engine ships a from-scratch numpy CART (no sklearn in the runtime) plus the
+same driver-fit → broadcast → ``mapInPandas`` inference pattern for any
+pluggable model exposing fit/predict on ndarrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class DecisionTreeClassifier:
+    """Depth-limited CART with gini impurity, numpy-only."""
+
+    max_depth: int = 8
+    min_samples_leaf: int = 2
+    _tree: list = field(default_factory=list)
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "DecisionTreeClassifier":
+        self.classes_, yi = np.unique(y, return_inverse=True)
+        self._tree = []
+        self._build(X, yi, 0)
+        return self
+
+    def _leaf(self, yi) -> int:
+        counts = np.bincount(yi, minlength=len(self.classes_))
+        self._tree.append(("leaf", int(np.argmax(counts))))
+        return len(self._tree) - 1
+
+    def _build(self, X, yi, depth) -> int:
+        n = len(yi)
+        if depth >= self.max_depth or n < 2 * self.min_samples_leaf or len(np.unique(yi)) == 1:
+            return self._leaf(yi)
+        best = None
+        parent_gini = _gini(yi, len(self.classes_))
+        for f in range(X.shape[1]):
+            order = np.argsort(X[:, f], kind="stable")
+            xs, ys = X[order, f], yi[order]
+            # candidate thresholds: quantile subsample for speed
+            qs = np.unique(xs[:: max(1, n // 64)])
+            for t in qs[:-1]:
+                left = ys[xs <= t]
+                right = ys[xs > t]
+                if len(left) < self.min_samples_leaf or len(right) < self.min_samples_leaf:
+                    continue
+                g = (
+                    len(left) * _gini(left, len(self.classes_))
+                    + len(right) * _gini(right, len(self.classes_))
+                ) / n
+                if best is None or g < best[0]:
+                    best = (g, f, t)
+        if best is None or best[0] >= parent_gini - 1e-12:
+            return self._leaf(yi)
+        _, f, t = best
+        node_id = len(self._tree)
+        self._tree.append(None)  # placeholder
+        mask = X[:, f] <= t
+        left = self._build(X[mask], yi[mask], depth + 1)
+        right = self._build(X[~mask], yi[~mask], depth + 1)
+        self._tree[node_id] = ("split", f, t, left, right)
+        return node_id
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        out = np.empty(len(X), dtype=np.int64)
+        for i in range(len(X)):
+            node = self._tree[0]
+            while node[0] == "split":
+                _, f, t, l, r = node
+                node = self._tree[l] if X[i, f] <= t else self._tree[r]
+            out[i] = node[1]
+        return self.classes_[out]
+
+
+def _gini(yi: np.ndarray, ncls: int) -> float:
+    p = np.bincount(yi, minlength=ncls) / max(len(yi), 1)
+    return float(1.0 - (p * p).sum())
+
+
+def pointwise_learn(
+    source: DataFrame,
+    target: DataFrame,
+    features: list[str],
+    label: str,
+    model=None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fit on source (driver), broadcast, predict target via mapInPandas."""
+    from pyspark import cloudpickle
+
+    model = model or DecisionTreeClassifier()
+    out_col = out_col or label
+    src = source.select(*features, label).toPandas()
+    X = src[features].to_numpy(np.float64)
+    y = src[label].to_numpy()
+    model.fit(X, y)
+
+    spark = target.sparkSession
+    bc = spark.sparkContext.broadcast(cloudpickle.dumps((model, features)))
+    keep = [c for c in target.columns if c != label]
+
+    def run(batches):
+        mdl, feats = cloudpickle.loads(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yhat = mdl.predict(pdf[feats].to_numpy(np.float64))
+            out = pdf[keep].copy()
+            out[out_col] = yhat
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in target.schema.fields if f.name != label
+    )
+    label_type = "bigint"
+    for f in source.schema.fields:
+        if f.name == label:
+            label_type = f.dataType.simpleString()
+    return target.mapInPandas(run, schema=f"{fields}, {out_col} {label_type}")

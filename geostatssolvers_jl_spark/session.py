@@ -31,6 +31,12 @@ def get_spark(
     master = master or f"local[{cpus}]"
     # make the engine package importable on executor Python workers; on a
     # real cluster the same is done via `spark-submit --py-files pkg.zip`
+    # one BLAS thread per task: parallelism comes from Spark partitions;
+    # nested OpenBLAS/OMP threading across 32 workers thrashes the cores
+    # (mirrors the reference's own FFTW-threads-vs-partitions tradeoff,
+    # SURVEY.md §4)
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pypath = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in pypath.split(os.pathsep):

@@ -1,0 +1,67 @@
+"""PointwiseLearn tests — mirror /root/reference/test/learning/pointwise.jl."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geostatssolvers_jl_spark.operators.learn import (
+    DecisionTreeClassifier,
+    pointwise_learn,
+)
+
+
+def _make_frames(spark):
+    # F9 fixture (pointwise.jl:4-17): seeded synthetic classification field
+    rng = np.random.default_rng(1234)
+    n = 100
+    ii, jj = np.meshgrid(np.arange(1, n + 1), np.arange(1, n + 1), indexing="ij")
+    X = np.sin(ii / 10.0)
+    Y = np.sin(jj / 10.0)
+    Z = (np.sin(4.0 * (np.abs(X) + np.abs(Y))) < 0).astype(np.int64)
+    Xt = X + 0.1 * rng.standard_normal((n, n))
+    Yt = Y + 0.1 * rng.standard_normal((n, n))
+    cell = (jj - 1) * n + (ii - 1)
+    src = spark.createDataFrame(
+        list(zip(cell.ravel().tolist(), X.ravel().tolist(),
+                 Y.ravel().tolist(), Z.ravel().tolist())),
+        "cell_id long, X double, Y double, Z long",
+    )
+    tgt = spark.createDataFrame(
+        list(zip(cell.ravel().tolist(), Xt.ravel().tolist(),
+                 Yt.ravel().tolist())),
+        "cell_id long, X double, Y double",
+    )
+    return src, tgt, Z.ravel()
+
+
+def test_pointwise_learn_error_rate(spark):
+    # golden: misclassification < 0.15 (pointwise.jl:35-36)
+    src, tgt, truth = _make_frames(spark)
+    pred = pointwise_learn(src, tgt, ["X", "Y"], "Z")
+    rows = {r["cell_id"]: r["Z"] for r in pred.collect()}
+    yhat = np.array([rows[c] for c in range(len(truth))])
+    err = float((yhat != truth).mean())
+    assert err < 0.15, err
+
+
+def test_cart_classifier_numpy():
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, (500, 2))
+    y = (X[:, 0] * X[:, 1] > 0).astype(np.int64)
+    clf = DecisionTreeClassifier(max_depth=6).fit(X, y)
+    acc = (clf.predict(X) == y).mean()
+    assert acc > 0.93
+
+
+def test_error_rate_query(spark):
+    """A8 classification error rate as a declarative aggregation."""
+    src, tgt, truth = _make_frames(spark)
+    pred = pointwise_learn(src, tgt, ["X", "Y"], "Z")
+    joined = pred.alias("p").join(
+        src.selectExpr("cell_id", "Z AS Ztrue"), "cell_id"
+    )
+    err = joined.selectExpr(
+        "avg(CAST(Z <> Ztrue AS DOUBLE)) AS err"
+    ).collect()[0]["err"]
+    assert err < 0.15
