@@ -262,6 +262,129 @@ def q_units_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _change_support_sql(vert_rel: str, nvx: int = 21) -> str:
+    """A7 change of support (spde.jl:108-109): integrate a 21×21 vertex
+    field into 20×20 element values — the mean of each element's 4 corner
+    vertices, a pure groupBy aggregation.  ``vert_rel`` must provide a
+    column ``vid`` in [0, nvx²)."""
+    verts = (
+        f"SELECT vid % {nvx} AS vi, CAST(floor(vid / {nvx}) AS BIGINT) AS vj, "
+        f"CAST(((vid + 1) * 2654435761) % 1000 AS DOUBLE) / 1000.0 AS v "
+        f"FROM {vert_rel}"
+    )
+    contrib = (
+        f"SELECT (vi + di) AS ei, (vj + dj) AS ej, v FROM ({verts}) _v "
+        f"CROSS JOIN (SELECT -1 AS di UNION ALL SELECT 0) _di "
+        f"CROSS JOIN (SELECT -1 AS dj UNION ALL SELECT 0) _dj "
+        f"WHERE vi + di BETWEEN 0 AND {nvx - 2} "
+        f"AND vj + dj BETWEEN 0 AND {nvx - 2}"
+    )
+    return (
+        f"SELECT ej * {nvx - 1} + ei AS element_id, "
+        f"round(avg(v), 6) AS v, count(*) AS n_vertices "
+        f"FROM ({contrib}) _c GROUP BY ej * {nvx - 1} + ei"
+    )
+
+
+def q_change_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.range(21 * 21).selectExpr("id AS vid").createOrReplaceTempView("_verts")
+    return spark.sql(_change_support_sql("_verts"))
+
+
+def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 classification error rate (pointwise.jl:35-36) of the langid
+    heuristic against the documents' true lang — declarative agg."""
+    _register(spark, sf_dir, ("documents",))
+    from geostatssolvers_jl_spark.webtext.textstats import langid_sql
+
+    pred = langid_sql("documents")
+    return spark.sql(
+        f"SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) AS error_rate, "
+        f"count(*) AS n FROM ({pred}) p JOIN documents d ON p.doc_id = d.doc_id"
+    )
+
+
+# ------------------------------------------------------------ webtext ops
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatssolvers_jl_spark.webtext.dedup import minhash_signature_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(minhash_signature_sql("spark"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatssolvers_jl_spark.webtext.dedup import lsh_candidates_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(lsh_candidates_sql("spark"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatssolvers_jl_spark.webtext.dedup import ngram_jaccard_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(ngram_jaccard_sql(
+        "spark", threshold=0.05,
+        pair_pred="a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25",
+    ))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatssolvers_jl_spark.webtext.dedup import simhash_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(simhash_sql("spark"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95)."""
+    _register(spark, sf_dir, ("embeddings",))
+    spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings"
+    ).createOrReplaceTempView("emb_dd")
+    dot = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    nrm = (
+        "sqrt(aggregate(zip_with(a.e, a.e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)) * "
+        "sqrt(aggregate(zip_with(b.e, b.e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+    )
+    return spark.sql(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"round(({dot}) / ({nrm}), 6) AS cos_sim "
+        f"FROM emb_dd a CROSS JOIN emb_dd b "
+        f"WHERE a.vec_id < b.vec_id AND ({dot}) / ({nrm}) >= 0.35"
+    )
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatssolvers_jl_spark.webtext.similarity import bucket_sql
+
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql(bucket_sql("spark"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geostatssolvers_jl_spark.webtext.textstats import fingerprint_expr
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"SELECT doc_id, {fingerprint_expr('text')} AS fp, md5(text) AS full_md5 "
+        f"FROM documents"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing (FakeCodec stub; rows-only check —
+    the decode itself is a documented stub, the Spark plumbing is real)."""
+    from geostatssolvers_jl_spark.sources.pages import load_pages
+    from geostatssolvers_jl_spark.webtext.multimodal import decode_images
+
+    pg = load_pages(spark, sf_dir)
+    return decode_images(pg, binary_col="html", id_col="url")
+
+
 # ------------------------------------------------ non-SQL-expressible ops
 
 
@@ -564,6 +687,64 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 10.0 - 273.15 "
             "+ 273.15, 6) AS temp_k FROM documents"
         ),
+        **_webtext_oracles(),
+        "change_support": _change_support_sql(
+            "(SELECT range AS vid FROM range(441))"
+        ),
+        "error_rate": (
+            "SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) "
+            "AS error_rate, count(*) AS n FROM "
+            f"({_langid_body()}) p JOIN documents d ON p.doc_id = d.doc_id"
+        ),
+    }
+
+
+def _langid_body() -> str:
+    from geostatssolvers_jl_spark.webtext.textstats import langid_sql
+
+    return langid_sql("documents")
+
+
+def _webtext_oracles() -> dict[str, str]:
+    from geostatssolvers_jl_spark.webtext.dedup import (
+        lsh_candidates_sql,
+        minhash_signature_sql,
+        ngram_jaccard_sql,
+        simhash_sql,
+    )
+    from geostatssolvers_jl_spark.webtext.similarity import bucket_sql
+    from geostatssolvers_jl_spark.webtext.textstats import fingerprint_expr
+
+    # DuckDB-native embedding near-dup (independent formulation)
+    dotd = "list_sum(list_transform(range(1, 65), i -> ae[i] * be[i]))"
+    nrmd = (
+        "sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i]))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), i -> be[i] * be[i])))"
+    )
+    emb = (
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS {c} FROM embeddings)"
+    )
+    dedup_emb = (
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"round(({dotd}) / ({nrmd}), 6) AS cos_sim "
+        f"FROM {emb.format(c='ae')} a CROSS JOIN {emb.format(c='be')} b "
+        f"WHERE a.vec_id < b.vec_id AND ({dotd}) / ({nrmd}) >= 0.35"
+    )
+    return {
+        "minhash_signature": minhash_signature_sql("duck"),
+        "dedup_minhash_lsh": lsh_candidates_sql("duck"),
+        "ngram_jaccard": ngram_jaccard_sql(
+            "duck", threshold=0.05,
+            pair_pred="a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25",
+        ),
+        "simhash": simhash_sql("duck"),
+        "dedup_embedding": dedup_emb,
+        "ann_lsh_bucket": bucket_sql("duck"),
+        "fingerprint": (
+            f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "
+            f"md5(text) AS full_md5 FROM documents"
+        ),
     }
 
 
@@ -584,6 +765,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "ann_cosine": q_ann_cosine,
         "units_affine": q_units_affine,
+        "minhash_signature": q_minhash_signature,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_lsh_bucket": q_ann_lsh_bucket,
+        "fingerprint": q_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+        "change_support": q_change_support,
+        "error_rate": q_error_rate,
         # rows-only (linear-algebra / stochastic ops have no SQL equivalent)
         "kriging_fixture_global": q_kriging_fixture_global,
         "kriging_pages_local": q_kriging_pages_local,

@@ -95,6 +95,112 @@ def idw_kernel(var: str, exponent: float, minneighbors: int,
     return kernel
 
 
+# ----------------------------------------------------- compositional data
+
+
+def closure(c: np.ndarray) -> np.ndarray:
+    s = c.sum(axis=-1, keepdims=True)
+    return c / s
+
+
+def ilr(comp: np.ndarray) -> np.ndarray:
+    """Isometric log-ratio transform (public CoDa math), (n, D) → (n, D-1)."""
+    x = np.log(closure(comp))
+    D = x.shape[-1]
+    out = []
+    for i in range(1, D):
+        g = x[..., :i].mean(axis=-1)
+        out.append(np.sqrt(i / (i + 1.0)) * (g - x[..., i]))
+    return np.stack(out, axis=-1)
+
+
+def ilr_inv(y: np.ndarray) -> np.ndarray:
+    """(n, D-1) → (n, D) closed compositions."""
+    D = y.shape[-1] + 1
+    V = _helmert_basis(D)  # ilr basis is orthonormal ⇒ clr = y · Vᵀ
+    return closure(np.exp(y @ V.T))
+
+
+def _helmert_basis(D: int) -> np.ndarray:
+    """Orthonormal basis of the clr hyperplane matching `ilr` above:
+    row i (1-based) = sqrt(i/(i+1)) * [1/i ×i, −1, 0...]."""
+    V = np.zeros((D, D - 1))
+    for i in range(1, D):
+        v = np.zeros(D)
+        v[:i] = 1.0 / i
+        v[i] = -1.0
+        v = v * np.sqrt(i / (i + 1.0))
+        V[:, i - 1] = v
+    return V
+
+
+def aitchison(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Aitchison distance = Euclidean distance between ilr coordinates."""
+    return np.sqrt(((ilr(a) - ilr(b)) ** 2).sum(axis=-1))
+
+
+def solve_idw_compositional(
+    data: DataFrame,
+    grid_df: DataFrame,
+    var: str = "z",
+    data_coord_cols: list[str] | None = None,
+    query_coord_cols: list[str] | None = None,
+    maxneighbors: int | None = None,
+    minneighbors: int = 1,
+    exponent: float = 1.0,
+    metric: Distance = Euclidean(),
+    id_col: str = "cell_id",
+) -> DataFrame:
+    """IDW over composition-valued columns (reference:
+    ``test/estimation/idw.jl:47-65``): spatial neighbor search + weighted
+    mean in ilr space (the Fréchet mean of the Aitchison geometry), output
+    re-closed compositions as an array column."""
+    data_coord_cols = data_coord_cols or ["x", "y"]
+    query_coord_cols = query_coord_cols or ["cx", "cy"]
+    pdf = data.filter(f"{var} IS NOT NULL").select(
+        *data_coord_cols, var
+    ).toPandas()
+    coords = pdf[data_coord_cols].to_numpy(np.float64)
+    comp = np.stack(pdf[var].to_numpy())
+    Y = ilr(comp)
+    d = PointData(
+        coords=coords,
+        values={"_ilr": Y, var: comp},
+        ids=np.arange(len(pdf), dtype=np.int64),
+    )
+    if d.n == 0:
+        raise ValueError("estimation requires data")
+    k = d.n if maxneighbors is None else min(maxneighbors, d.n)
+
+    def kernel(qpdf, dd, idx, dist, nvalid):
+        Yd = dd.values["_ilr"]
+        Cd = dd.values[var]
+        valid = idx >= 0
+        safe = np.maximum(idx, 0)
+        with np.errstate(divide="ignore"):
+            w = np.where(valid, 1.0 / np.power(dist, exponent), 0.0)
+        finite_w = np.where(np.isfinite(w), w, 0.0)
+        sw = finite_w.sum(axis=1, keepdims=True)
+        sw = np.where(sw > 0, sw, 1.0)
+        ym = np.einsum("nk,nkd->nd", finite_w / sw, Yd[safe])
+        out = ilr_inv(ym)
+        zero = (dist[:, 0] == 0.0) & valid[:, 0]
+        out[zero] = closure(Cd[safe[:, 0][zero]])
+        few = nvalid < minneighbors
+        vals = [None if f else row.tolist() for f, row in zip(few, out)]
+        return pd.DataFrame({
+            id_col: qpdf[id_col].to_numpy(np.int64),
+            var: vals,
+        })
+
+    from ..neighbors import local_apply
+
+    schema = f"{id_col} long, {var} array<double>"
+    return local_apply(
+        grid_df, d, query_coord_cols, k, metric, kernel, schema
+    )
+
+
 def solve_idw(
     data: DataFrame | PointData,
     grid_df: DataFrame,

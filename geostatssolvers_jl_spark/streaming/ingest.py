@@ -1,0 +1,75 @@
+"""Incremental pages ingestion (Structured Streaming).
+
+The reference has no streaming surface (SURVEY.md §2.9); the engine's
+incremental story is (a) the batch checkpoint/resume in `lineage.py` and
+(b) this Structured-Streaming ingest for continuously arriving crawl
+shards: ``readStream`` over a parquet/json drop directory → geocode → tile
+assign → watermarked per-tile/per-window counts → sink.  The same geocode
+and tiling expressions as the batch path, so tile assignments are
+identical whether a page arrived in a batch load or through the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tiling
+from ..sources.pages import lat_expr, lon_expr
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string"
+)
+
+
+def stream_pages(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Streaming DataFrame of pages from a drop directory."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(drop_dir)
+    )
+
+
+def tile_counts_stream(
+    pages: DataFrame, res: int = 6, window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked per-tile page counts per event-time window — the
+    streaming analogue of `q_tile_assign`; late pages beyond the watermark
+    are dropped, state is bounded."""
+    geo = pages.selectExpr(
+        "url", "warc_ts", "text", "lang",
+        f"{lon_expr('text')} AS lon",
+        f"{lat_expr('text')} AS lat",
+    ).selectExpr(
+        "*", f"{tiling.cell_expr('lon', 'lat', res)} AS cell"
+    )
+    return (
+        geo.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.approx_count_distinct("url").alias("n_urls"),
+        )
+    )
+
+
+def run_available(stream_df: DataFrame, checkpoint: str,
+                  mode: str = "append") -> list:
+    """Drain everything currently available (Trigger.AvailableNow) into an
+    in-memory table and return the rows — used by tests; production sinks
+    swap ``format("memory")`` for Iceberg/parquet with the same semantics.
+    ``append`` emits only watermark-closed windows (bounded state, the
+    production mode); ``complete`` emits every window (test introspection).
+    """
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName("tile_counts")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.sql("SELECT * FROM tile_counts").collect()

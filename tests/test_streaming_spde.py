@@ -1,0 +1,78 @@
+"""Structured-Streaming ingest + SPDEGS smoke/semantics tests."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from geostatssolvers_jl_spark.grid import CartesianGrid
+from geostatssolvers_jl_spark.simulation.spde import solve_spdegs
+
+
+def test_spdegs_smoke_and_smoothness(spark):
+    grid = CartesianGrid((30, 30))
+    sol = solve_spdegs(spark, grid, nreals=3, correlation_length=5.0, seed=2)
+    pdf = sol.toPandas()
+    assert len(pdf) == 3 * 900
+    Z = pdf.pivot(index="cell_id", columns="real_id", values="z").to_numpy()
+    Z = Z.reshape(30, 30, 3, order="F")
+    # spatial smoothness: adjacent-cell correlation far above lag-10
+    a = np.corrcoef(Z[:-1].ravel(), Z[1:].ravel())[0, 1]
+    b = np.corrcoef(Z[:-10].ravel(), Z[10:].ravel())[0, 1]
+    assert a > 0.8 and a > b + 0.2
+    # determinism
+    sol2 = solve_spdegs(spark, grid, nreals=3, correlation_length=5.0, seed=2)
+    assert sorted(pdf.itertuples(index=False)) == sorted(
+        sol2.toPandas().itertuples(index=False)
+    )
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    from geostatssolvers_jl_spark.streaming.ingest import (
+        run_available,
+        stream_pages,
+        tile_counts_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rows = []
+    for i in range(200):
+        rows.append({
+            "url": f"https://s.example.org/{i}",
+            "warc_ts": f"2024-01-01T00:{i % 60:02d}:00.000Z",
+            "text": f"stream document number {i} with deterministic text",
+            "lang": "en",
+        })
+    (drop / "batch1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:120])
+    )
+    (drop / "batch2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[120:])
+    )
+
+    stream = tile_counts_stream(stream_pages(spark, str(drop)), res=4)
+    # complete mode sees every window; append (production) would emit only
+    # watermark-closed ones — that cut is asserted separately below
+    out = run_available(stream, str(tmp_path / "ckpt"), mode="complete")
+    assert sum(r["n_pages"] for r in out) == 200
+
+    stream2 = tile_counts_stream(stream_pages(spark, str(drop)), res=4)
+    closed = run_available(stream2, str(tmp_path / "ckpt2"), mode="append")
+    # events span 00:00–00:59, watermark 30m ⇒ only windows ending ≤ 00:29
+    assert 0 < sum(r["n_pages"] for r in closed) < 200
+    assert all(r["window"]["end"].minute <= 30 for r in closed)
+    # tile assignment identical to the batch expression
+    from geostatssolvers_jl_spark import tiling
+    from geostatssolvers_jl_spark.sources.pages import lat_expr, lon_expr
+
+    batch = spark.createDataFrame(
+        [(r["text"],) for r in rows], "text string"
+    ).selectExpr(
+        f"{tiling.cell_expr(lon_expr('text'), lat_expr('text'), 4)} AS cell"
+    )
+    batch_cells = {r["cell"] for r in batch.collect()}
+    stream_cells = {r["cell"] for r in out}
+    assert stream_cells == batch_cells

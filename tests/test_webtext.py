@@ -1,0 +1,124 @@
+"""Webtext operator tests: dedup, similarity, textstats, multimodal."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    return con
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    """Exact duplicate texts must share every band → appear as candidates."""
+    from geostatssolvers_jl_spark.webtext.dedup import lsh_candidates_sql
+
+    dup = spark.sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents LIMIT 2000"
+    )
+    dup.createOrReplaceTempView("dup_docs")
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in spark.sql(lsh_candidates_sql("spark", "dup_docs")).collect()
+    }
+    n_docs = docs.count()
+    full_band_pairs = sum(1 for v in cands.values() if v == 4)
+    assert full_band_pairs >= n_docs  # every clone pair shares all 4 bands
+
+
+def test_minhash_signature_parity(spark, docs):
+    from geostatssolvers_jl_spark.webtext.dedup import minhash_signature_sql
+
+    srows = {r["doc_id"]: tuple(r)[1:] for r in
+             spark.sql(minhash_signature_sql("spark")).collect()}
+    con = _duck()
+    drows = {r[0]: tuple(r)[1:] for r in
+             con.execute(minhash_signature_sql("duck")).fetchall()}
+    assert srows == drows
+
+
+def test_simhash_similarity_property(spark, docs):
+    """Near-identical texts get near-identical simhashes (low Hamming)."""
+    from geostatssolvers_jl_spark.webtext.dedup import simhash_sql
+
+    spark.sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, text || ' tiny suffix' FROM documents"
+    ).createOrReplaceTempView("near_docs")
+    rows = {r["doc_id"]: r["simhash"] for r in
+            spark.sql(simhash_sql("spark", "near_docs")).collect()}
+    import numpy as np
+
+    hams = []
+    for did in list(rows)[:50]:
+        if did < 100000 and did + 100000 in rows:
+            x = rows[did] ^ rows[did + 100000]
+            hams.append(bin(x & 0xFFFFFFFF).count("1"))
+    assert hams and np.mean(hams) < 6  # ≤ a few bits flip of 32
+
+
+def test_lsh_bucket_recall(spark):
+    """Hyperplane buckets: identical vectors share buckets; the bucketing
+    is deterministic and matches DuckDB."""
+    from geostatssolvers_jl_spark.webtext.similarity import bucket_sql
+
+    spark.read.parquet(f"{SF}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    srows = {r["vec_id"]: r["bucket"] for r in
+             spark.sql(bucket_sql("spark")).collect()}
+    con = _duck()
+    drows = {r[0]: r[1] for r in con.execute(bucket_sql("duck")).fetchall()}
+    assert srows == drows
+    assert 1 < len(set(srows.values())) <= 256
+
+
+def test_multimodal_plumbing(spark):
+    from geostatssolvers_jl_spark.sources.pages import load_pages
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        FakeCodec,
+        RealCodecUnavailable,
+        decode_images,
+        decode_images_real,
+    )
+
+    pg = load_pages(spark, SF)
+    out = decode_images(pg).collect()
+    assert len(out) == pg.count()
+    assert all(4 <= r["width"] <= 16 and 4 <= r["height"] <= 16 for r in out)
+    assert all(len(r["thumb_md5"]) == 32 for r in out)
+    # determinism of the stub codec
+    img1 = FakeCodec.decode(b"payload")
+    img2 = FakeCodec.decode(b"payload")
+    assert (img1 == img2).all()
+    with pytest.raises(RealCodecUnavailable):
+        decode_images_real(pg)
+
+
+def test_fingerprint_prefix_sensitivity(spark, docs):
+    from geostatssolvers_jl_spark.webtext.textstats import fingerprint_expr
+
+    rows = spark.sql(
+        f"SELECT {fingerprint_expr('text')} AS fp, "
+        f"{fingerprint_expr(chr(39) + 'X' + chr(39) + ' || substr(text, 2)')} AS fp2 "
+        f"FROM documents LIMIT 20"
+    ).collect()
+    assert all(r["fp"] != r["fp2"] for r in rows)  # first byte matters
