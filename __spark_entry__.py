@@ -291,6 +291,31 @@ def q_change_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_change_support_sql("_verts"))
 
 
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events table (batch form of the
+    streaming tile rollup): per-hour, per-type counts + value sums."""
+    _register(spark, sf_dir, ("events",))
+    return spark.sql(
+        "SELECT unix_timestamp(date_trunc('hour', ts)) AS hour_epoch, "
+        "event_type, count(*) AS n_events, round(sum(value), 6) AS total_value "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type"
+    )
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-style top-k per group on events: top-3 users by event count per
+    event_type (window function + rank filter)."""
+    _register(spark, sf_dir, ("events",))
+    return spark.sql(
+        "SELECT event_type, user_id, n_events, rank FROM ("
+        "  SELECT event_type, user_id, n_events, row_number() OVER ("
+        "    PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rank"
+        "  FROM (SELECT event_type, user_id, count(*) AS n_events "
+        "        FROM events GROUP BY event_type, user_id) _c"
+        ") _r WHERE rank <= 3"
+    )
+
+
 def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 classification error rate (pointwise.jl:35-36) of the langid
     heuristic against the documents' true lang — declarative agg."""
@@ -691,6 +716,19 @@ def oracle_sql() -> dict[str, str]:
         "change_support": _change_support_sql(
             "(SELECT range AS vid FROM range(441))"
         ),
+        "events_hourly": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "event_type, count(*) AS n_events, round(sum(value), 6) AS total_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "events_top_users": (
+            "SELECT event_type, user_id, n_events, rank FROM ("
+            "  SELECT event_type, user_id, n_events, row_number() OVER ("
+            "    PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rank"
+            "  FROM (SELECT event_type, user_id, count(*) AS n_events "
+            "        FROM events GROUP BY event_type, user_id) _c"
+            ") _r WHERE rank <= 3"
+        ),
         "error_rate": (
             "SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) "
             "AS error_rate, count(*) AS n FROM "
@@ -775,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "change_support": q_change_support,
         "error_rate": q_error_rate,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
         # rows-only (linear-algebra / stochastic ops have no SQL equivalent)
         "kriging_fixture_global": q_kriging_fixture_global,
         "kriging_pages_local": q_kriging_pages_local,

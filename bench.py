@@ -25,7 +25,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DIMS = (360, 180)
 # scaling runs use 16x the cells so compute dominates fixed overhead —
 # the N→4N criterion measures *throughput* scaling, not session startup
-SCALING_DIMS = (1440, 720)
+SCALING_DIMS = (2880, 1440)
 
 
 def _warm(spark, cores: int):

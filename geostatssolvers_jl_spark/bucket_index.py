@@ -38,7 +38,7 @@ from .distances import Distance, Haversine
 
 class BucketIndex:
     def __init__(self, coords: np.ndarray, metric: Distance,
-                 target: int = 64):
+                 target: int = 32):
         self.metric = metric
         self.coords = coords
         m, dim = coords.shape

@@ -108,4 +108,45 @@ class Haversine:
         return -np.cos(min(r / self.radius, np.pi))
 
 
-Distance = Euclidean | Haversine
+@dataclass(frozen=True)
+class Anisotropic:
+    """Ellipsoid (MetricBall((r₁, r₂, ...))) metric — the reference's
+    anisotropic neighborhoods (``test/simulation/lu.jl:59``): Euclidean
+    distance after per-axis scaling by 1/rᵢ, so the unit ball is the
+    ellipsoid.  Pair with a variogram of range 1 for the GeoStats
+    ``GaussianVariogram(ball)`` pattern."""
+
+    radii: tuple[float, ...]
+
+    def sql(self, a: tuple[str, ...], b: tuple[str, ...]) -> str:
+        terms = " + ".join(
+            f"((({x}) - ({y})) / {r!r}) * ((({x}) - ({y})) / {r!r})"
+            for x, y, r in zip(a, b, self.radii)
+        )
+        return f"sqrt({terms})"
+
+    def _scaled(self, P: np.ndarray) -> np.ndarray:
+        r = np.asarray(self.radii, dtype=np.float64)
+        if P.shape[-1] != r.shape[0]:
+            raise ValueError(
+                f"Anisotropic metric has {r.shape[0]} radii but points are "
+                f"{P.shape[-1]}-dimensional"
+            )
+        return P / r[None, :]
+
+    def np(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        return Euclidean().np(self._scaled(A), self._scaled(B))
+
+    def np_pairs(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        r = np.asarray(self.radii, dtype=np.float64)
+        d = (A[:, None, :] - B) / r
+        return np.sqrt(np.sum(d * d, axis=-1))
+
+    def rank_features(self, P: np.ndarray) -> np.ndarray:
+        return self._scaled(P).astype(np.float32)
+
+    rank_keys = Euclidean.rank_keys
+    radius_key = Euclidean.radius_key
+
+
+Distance = Euclidean | Haversine | Anisotropic

@@ -93,7 +93,11 @@ def _pairwise_cov(gamma: Variogram, A: np.ndarray, B: np.ndarray,
 
 def _batched_pairwise(NC: np.ndarray, metric: Distance) -> np.ndarray:
     """(B, k, d) stacked neighbor coords → (B, k, k) pairwise distances."""
-    if isinstance(metric, Euclidean):
+    from ..distances import Anisotropic, Haversine
+
+    if isinstance(metric, Anisotropic):
+        NC = NC / np.asarray(metric.radii, dtype=np.float64)
+    if not isinstance(metric, Haversine):
         dlt = NC[:, :, None, :] - NC[:, None, :, :]
         return np.sqrt(np.sum(dlt * dlt, axis=-1))
     # batched haversine, same op order as distances.Haversine.np

@@ -1,0 +1,72 @@
+"""Engine-side planning rules (reference: ``/root/reference/src/ui.jl``).
+
+``searcher_ui`` (ui.jl:11-32): clamp ``maxneighbors`` into [1, n_data]
+with a warning (exactly the reference's behavior), then choose kNN vs
+ball-bounded search.  ``kriging_ui`` (ui.jl:40-50): variant dispatch,
+latter options override former.  These are *driver-side planning rules* —
+the Spark analogue of the reference's strategy switches, deciding
+broadcast-global vs local-batched physical plans before Catalyst sees the
+DataFrame (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+
+from .distances import Distance, Euclidean
+from .operators.kriging import KrigingModel
+
+
+@dataclass(frozen=True)
+class SearchPlan:
+    kind: str                  # "knn" | "ball"
+    k: int
+    radius: float | None
+    metric: Distance
+
+
+def searcher_ui(
+    n_data: int,
+    maxneighbors: int | None,
+    metric: Distance = Euclidean(),
+    radius: float | None = None,
+) -> SearchPlan:
+    if maxneighbors is None:
+        k = n_data
+    elif maxneighbors < 1 or maxneighbors > n_data:
+        warnings.warn(
+            f"Invalid maximum number of neighbors. Adjusting to {n_data}..."
+        )
+        k = n_data
+    else:
+        k = maxneighbors
+    kind = "ball" if radius is not None else "knn"
+    return SearchPlan(kind=kind, k=k, radius=radius, metric=metric)
+
+
+def kriging_ui(
+    variogram=None, mean=None, degree=None, drifts=None
+) -> KrigingModel:
+    """Latter options override former (ui.jl:40-50): drifts → EDK,
+    degree → UK, mean → SK, else OK."""
+    from .variogram import GaussianVariogram
+
+    return KrigingModel(
+        variogram=variogram or GaussianVariogram(),
+        mean=None if (drifts is not None or degree is not None) else mean,
+        degree=None if drifts is not None else degree,
+        drifts=drifts,
+    )
+
+
+def choose_strategy(n_data: int, maxneighbors: int | None,
+                    broadcast_limit: int = 2_000_000) -> str:
+    """Physical strategy: the reference's exact-vs-approx switch
+    (krig.jl:151-157) plus the engine's broadcast-vs-tiled switch.
+    Returns 'global' | 'local-broadcast' | 'local-tiled'."""
+    if maxneighbors is None:
+        return "global"
+    if n_data <= broadcast_limit:
+        return "local-broadcast"
+    return "local-tiled"

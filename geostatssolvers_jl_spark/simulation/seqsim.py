@@ -47,6 +47,11 @@ class SGSParams:
     maxneighbors: int = 10
     radius: float | None = None          # MetricBall neighborhood
     path: str = "linear"                 # "linear" | "random"
+    # pluggable CDF-estimator protocol (reference: SeqSim's `estimator`
+    # with fit/predictprob, seq.jl:31 + test/dummy.jl:10-13): a callable
+    # (rng, query_xy, neigh_xy, neigh_z) -> drawn value.  None → the SGS
+    # Simple-Kriging conditional Normal (sgs.jl:64-69).
+    estimator: object | None = None
 
 
 def _sk_draw(
@@ -107,6 +112,8 @@ def _simulate_tile(
                 sel, dist = sel[keep], dist[keep]
         if sel.size < params.minneighbors:
             values[i] = mean + sigma * rng.standard_normal()
+        elif params.estimator is not None:
+            values[i] = params.estimator(rng, pts[i], pts[sel], values[sel])
         else:
             values[i] = _sk_draw(
                 rng, vg, mean, pts[i], pts[sel], values[sel]
@@ -164,10 +171,15 @@ def solve_sgs(
         J, I = np.meshgrid(jj, ii, indexing="ij")
         return (J * nx + I).ravel()
 
-    bc = spark.sparkContext.broadcast((params, init_vals, pts, seed))
+    from pyspark import cloudpickle
+
+    # cloudpickle: pluggable estimators may be lambdas/closures
+    bc = spark.sparkContext.broadcast(
+        cloudpickle.dumps((params, init_vals, pts, seed))
+    )
 
     def gen(batches):
-        pr, iv, p_all, sd = bc.value
+        pr, iv, p_all, sd = cloudpickle.loads(bc.value)
         for pdf in batches:
             for unit in pdf["id"].tolist():
                 real_id, t = int(unit) // ntiles, int(unit) % ntiles

@@ -1,0 +1,81 @@
+"""Plan-quality tests: the physical plans the engine is designed around.
+
+These assert on `.explain` output — a regression here means a shuffle or
+a lost pushdown crept into a hot path, which is invisible to correctness
+tests but dominates cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geostatssolvers_jl_spark.grid import CartesianGrid
+from geostatssolvers_jl_spark.operators.idw import solve_idw
+from geostatssolvers_jl_spark.operators.kriging import KrigingModel, solve_kriging
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_estimation_path_has_no_shuffle(spark, data2d_3pt):
+    """Broadcast-path estimation must be Range → Project → MapInPandas —
+    zero Exchange operators."""
+    grid = CartesianGrid((50, 50))
+    for sol in (
+        solve_idw(data2d_3pt, grid.spark_df(spark), maxneighbors=3),
+        solve_kriging(data2d_3pt, grid.spark_df(spark),
+                      model=KrigingModel(), maxneighbors=3),
+    ):
+        plan = _plan(sol)
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan
+        assert "*(" in plan  # codegen stage marker: grid math stays JVM-side
+
+
+def test_parquet_filter_pushdown(spark):
+    """Filters and projections must reach the parquet scan."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("lang = 'en'")
+        .select("doc_id", "n_chars")
+    )
+    plan = _optimized(df)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1][:200]
+    # column pruning: text (the widest column) is not read
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema
+
+
+def test_grid_scramble_is_projection_only(spark):
+    """Cell-id scrambling must not introduce a shuffle."""
+    g = CartesianGrid((100, 100)).spark_df(spark, scramble=True)
+    plan = _plan(g)
+    assert "Exchange" not in plan
+
+
+def test_ensemble_sink_partitioning(spark, tmp_path):
+    """Simulation output written partitioned by real_id (S4 sink) prunes
+    on read."""
+    from geostatssolvers_jl_spark.simulation.lugs import (
+        LUGSVariable, solve_lugs,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    out = str(tmp_path / "ens")
+    sol = solve_lugs(
+        spark, CartesianGrid((20,)), nreals=4,
+        variables=[LUGSVariable(variogram=GaussianVariogram(range=5.0))],
+        seed=1,
+    )
+    sol.write.partitionBy("real_id").parquet(out)
+    one = spark.read.parquet(out).filter("real_id = 2")
+    plan = _optimized(one)
+    assert one.count() == 20
+    # partition pruning fired: only one of four directories scanned
+    assert "PartitionFilters" in plan and "real_id" in plan
