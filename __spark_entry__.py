@@ -44,7 +44,41 @@ def _geo_pages_rel() -> str:
     )
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the engine importable on executor workers even when the
+    SparkSession was created by an external driver (no PYTHONPATH /
+    --py-files): ship the package zip via addPyFile once per context."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+        from pathlib import Path
+
+        import os
+
+        pkg = Path(__file__).resolve().parent / "geostatssolvers_jl_spark"
+        # fresh per-process zip: a cached path could be stale (built by an
+        # older checkout) and would ship outdated code to executors
+        out = Path(tempfile.gettempdir()) / (
+            f"geostatssolvers_jl_spark_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for p in sorted(pkg.rglob("*.py")):
+                z.write(p, p.relative_to(pkg.parent))
+        sc.addPyFile(str(out))
+    except Exception:
+        pass  # PYTHONPATH path (get_spark sessions) still covers workers
+    _SHIPPED.add(key)
+
+
 def _register(spark: SparkSession, sf_dir: str, names=("documents", "embeddings")):
+    _ensure_shipped(spark)
     for n in names:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
@@ -786,7 +820,21 @@ def _webtext_oracles() -> dict[str, str]:
     }
 
 
+def _shipped(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _shipped(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_bridge": q_pages_bridge,
         "tile_assign": q_tile_assign,
@@ -829,4 +877,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode pages → tile → kNN → local kriging on sf0.001."""
+    _ensure_shipped(spark)
     return q_kriging_pages_local(spark, "/root/testdata/sf0.001")

@@ -95,7 +95,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     return timings, n_pages
 
 
-def _bench_once(master: str, sf_dir: str):
+def _bench_once(master: str, sf_dir: str, dims: tuple[int, int]):
     from geostatssolvers_jl_spark.session import get_spark
 
     cores = int(master.split("[")[1].rstrip("]"))
@@ -104,11 +104,11 @@ def _bench_once(master: str, sf_dir: str):
         _warm(spark, cores)
         # steady-state throughput: first run pays one-time JIT/scan costs a
         # long-lived cluster amortizes; time the best of two warm runs
-        _pipeline(spark, sf_dir, dims=SCALING_DIMS).count()
+        _pipeline(spark, sf_dir, dims=dims).count()
         walls = []
         for _ in range(2):
             t0 = time.time()
-            n = _pipeline(spark, sf_dir, dims=SCALING_DIMS).count()
+            n = _pipeline(spark, sf_dir, dims=dims).count()
             walls.append(time.time() - t0)
         return min(walls), n
     finally:
@@ -125,9 +125,13 @@ def main():
         # analogue of adding executor NODES, which add memory bandwidth
         # with their cores) and 8→32 (all-core: includes the single-box
         # bandwidth + hypervisor-steal ceiling; see BASELINE.md analysis)
-        walls = {}
-        for master in ("local[2]", "local[8]", "local[32]"):
-            walls[master], _ = _bench_once(master, SF_DIR)
+        # per-pair grids: the small pair at 1M cells (local[2] feasible),
+        # the large pair at 4.1M cells (amortizes fixed cost at 32 cores)
+        small = (1440, 720)
+        w2, _ = _bench_once("local[2]", SF_DIR, small)
+        w8s, _ = _bench_once("local[8]", SF_DIR, small)
+        w8, _ = _bench_once("local[8]", SF_DIR, SCALING_DIMS)
+        w32, _ = _bench_once("local[32]", SF_DIR, SCALING_DIMS)
         import duckdb  # lightweight row count, no spark needed
 
         npages = duckdb.sql(
@@ -135,17 +139,16 @@ def main():
         ).fetchone()[0]
         extra = {
             "scaling": {
-                "local2_sec": round(walls["local[2]"], 3),
-                "local8_sec": round(walls["local[8]"], 3),
-                "local32_sec": round(walls["local[32]"], 3),
-                "local8_pages_per_sec": round(npages / walls["local[8]"], 1),
-                "local32_pages_per_sec": round(npages / walls["local[32]"], 1),
-                "efficiency_2_to_8": round(
-                    (walls["local[2]"] / walls["local[8]"]) / 4.0, 3
-                ),
-                "efficiency_8_to_32": round(
-                    (walls["local[8]"] / walls["local[32]"]) / 4.0, 3
-                ),
+                "grid_small": list(small),
+                "grid_large": list(SCALING_DIMS),
+                "local2_sec": round(w2, 3),
+                "local8_small_sec": round(w8s, 3),
+                "local8_sec": round(w8, 3),
+                "local32_sec": round(w32, 3),
+                "local8_pages_per_sec": round(npages / w8, 1),
+                "local32_pages_per_sec": round(npages / w32, 1),
+                "efficiency_2_to_8": round((w2 / w8s) / 4.0, 3),
+                "efficiency_8_to_32": round((w8 / w32) / 4.0, 3),
             }
         }
 

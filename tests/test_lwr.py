@@ -51,12 +51,20 @@ def test_lwr_2d(spark):
 
 
 def test_lwr_haversine_coords(spark):
-    # lwr.jl:40-53 with the golden coords.txt (244 geographic points)
-    A = np.loadtxt(DATA_DIR / "coords.txt")
-    data = spark.createDataFrame(
-        [(i, float(r[0]), float(r[1]), float(r[2])) for i, r in enumerate(A)],
-        "data_id long, x double, y double, z double",
+    # lwr.jl:40-53 with the golden coords.txt (244 geographic points),
+    # loaded through the engine's delimited source path (SURVEY §2.1 S2:
+    # reference readdlm ⇔ spark.read.csv)
+    data = (
+        spark.read.csv(
+            str(DATA_DIR / "coords.txt"), sep="\t",
+            schema="x double, y double, z double",
+        )
+        .selectExpr(
+            "monotonically_increasing_id() AS data_id", "x", "y", "z"
+        )
     )
+    A = np.loadtxt(DATA_DIR / "coords.txt")
+    assert data.count() == len(A)
     grid = CartesianGrid.from_extent(
         (1.0, -89.01098901098901), (359.0, 89.01098901098901), (180, 91)
     )
