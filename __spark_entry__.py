@@ -448,8 +448,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kriging_fixture_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 global Ordinary Kriging on the canonical fixture (rows-only check;
-    exactness goldens live in tests/test_kriging.py)."""
+    """O3 global Ordinary Kriging on the canonical fixture — value-checked
+    against a closed-form oracle (constant system inverse embedded as SQL
+    literals); exactness goldens live in tests/test_kriging.py."""
     from geostatssolvers_jl_spark.operators.kriging import (
         KrigingModel, solve_kriging,
     )
@@ -595,7 +596,9 @@ def q_pointwise_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lwr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 LWR on the canonical fixture (rows-only check)."""
+    """O2 LWR on the canonical fixture — value-checked against the exact-fit
+    closed form (k=3 in 2-D: weights cancel; mu = r.z, sigma = |r| with
+    X^T r = x0 solved by Cramer in SQL)."""
     from geostatssolvers_jl_spark.operators.lwr import solve_lwr
 
     data = spark.createDataFrame(
@@ -755,6 +758,8 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "kriging_fixture_global": _kriging_global_oracle(),
+        "lwr_fixture": _lwr_fixture_oracle(),
         "events_top_users": (
             "SELECT event_type, user_id, n_events, rank FROM ("
             "  SELECT event_type, user_id, n_events, row_number() OVER ("
@@ -775,6 +780,96 @@ def _langid_body() -> str:
     from geostatssolvers_jl_spark.webtext.textstats import langid_sql
 
     return langid_sql("documents")
+
+
+def _kriging_global_oracle() -> str:
+    """Closed-form OK oracle for the 3-point fixture: with fixed data the
+    (3+1)×(3+1) kriging matrix is CONSTANT — invert it here (numpy, i.e.
+    independently of the engine's distributed per-batch solver) and embed
+    the inverse as SQL literals.  λ = A⁻¹·[c₀(q); 1], μ = λ·z,
+    σ² = sill − λ·[c₀; 1]."""
+    import numpy as np
+
+    pts = np.array([[25.0, 25.0], [50.0, 75.0], [75.0, 50.0]])
+    z = [1.0, 0.0, 1.0]
+    r2 = 35.0**2
+    H2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    C = np.exp(-3.0 * H2 / r2)  # sill 1, nugget 0 ⇒ C(h)=exp(−3h²/r²)
+    A = np.zeros((4, 4))
+    A[:3, :3] = C
+    A[:3, 3] = 1.0
+    A[3, :3] = 1.0
+    Ainv = np.linalg.inv(A)
+
+    def c0(i: int) -> str:
+        x, y = pts[i]
+        return (
+            f"exp(-3.0 * ((cx - {x!r}) * (cx - {x!r}) + "
+            f"(cy - {y!r}) * (cy - {y!r})) / {r2!r})"
+        )
+
+    b = [c0(0), c0(1), c0(2), "1.0"]
+    lam = [
+        " + ".join(f"({Ainv[j, i]!r}) * ({b[i]})" for i in range(4))
+        for j in range(4)
+    ]
+    mu = " + ".join(f"({lam[i]}) * ({z[i]!r})" for i in range(3))
+    lam_b = " + ".join(f"({lam[i]}) * ({b[i]})" for i in range(4))
+    return (
+        f"SELECT cell_id, round({mu}, 6) AS z, "
+        f"round(greatest(1.0 - ({lam_b}), 0.0), 6) AS z_variance "
+        f"FROM {FIX_GRID.duck_sql()} _g"
+    )
+
+
+def _lwr_fixture_oracle() -> str:
+    """Closed-form LWR oracle, k = 3 neighbors in 2-D: the weighted LS fit
+    through 3 points is EXACT, so the weights cancel and
+    μ = r·z, σ = ‖r‖ with Xᵀ r = x₀ (X the 3×3 affine design) — solved
+    here by Cramer's rule in SQL over the pivoted kNN join."""
+    pts_sql = (
+        "(SELECT * FROM (VALUES (0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), "
+        "(2, 75.0, 50.0, 1.0), (3, 75.0, 25.0, 0.0)) _v(data_id, x, y, z))"
+    )
+    pairs = knn_pairs_sql(
+        f"({FIX_GRID.duck_sql()})", pts_sql, EUC, k=3,
+        value_cols=("x", "y", "z"),
+    )
+    piv_cols = ", ".join(
+        f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
+        for r in (1, 2, 3) for c in ("x", "y", "z")
+    )
+    piv = f"SELECT cell_id, {piv_cols} FROM ({pairs}) _p GROUP BY cell_id"
+    # grid centroids re-derived for x₀ = [1, cx, cy]
+    piv = (
+        f"SELECT _q.*, _g.cx, _g.cy FROM ({piv}) _q "
+        f"JOIN {FIX_GRID.duck_sql()} _g ON _q.cell_id = _g.cell_id"
+    )
+
+    def det3(c1, c2, c3) -> str:
+        """det of 3x3 with columns c1,c2,c3 (each a 3-tuple of exprs)."""
+        a, b, c = c1
+        d, e, f = c2
+        g, h, i = c3
+        return (
+            f"(({a}) * (({e}) * ({i}) - ({f}) * ({h})) - "
+            f"({d}) * (({b}) * ({i}) - ({c}) * ({h})) + "
+            f"({g}) * (({b}) * ({f}) - ({c}) * ({e})))"
+        )
+
+    # Xᵀ has columns cⱼ = (1, xⱼ, yⱼ); Cramer replaces column j with x₀
+    c = [None, ("1.0", "x1", "y1"), ("1.0", "x2", "y2"), ("1.0", "x3", "y3")]
+    x0 = ("1.0", "cx", "cy")
+    D = det3(c[1], c[2], c[3])
+    r1 = f"({det3(x0, c[2], c[3])}) / ({D})"
+    r2 = f"({det3(c[1], x0, c[3])}) / ({D})"
+    r3 = f"({det3(c[1], c[2], x0)}) / ({D})"
+    mu = f"({r1}) * z1 + ({r2}) * z2 + ({r3}) * z3"
+    sig = f"sqrt(({r1}) * ({r1}) + ({r2}) * ({r2}) + ({r3}) * ({r3}))"
+    return (
+        f"SELECT cell_id, round({mu}, 6) AS z, round({sig}, 6) AS z_variance "
+        f"FROM ({piv}) _f"
+    )
 
 
 def _webtext_oracles() -> dict[str, str]:
