@@ -109,12 +109,22 @@ class CartesianGrid:
             else spark.range(self.ncells)
         )
         if scramble and self.ncells > 1:
+            # permute BLOCKS of contiguous cells, not single cells: tasks
+            # stay load-balanced across space, but each task still holds
+            # contiguous runs so bucket-grouped kernels keep dense groups
+            B = min(1024, self.ncells)
+            nblocks = self.ncells // B
             p = 2654435761
             from math import gcd
 
-            while gcd(p, self.ncells) != 1:
+            while nblocks > 1 and gcd(p, nblocks) != 1:
                 p += 2
-            df = df.selectExpr(f"(id * {p}) % {self.ncells} AS id")
+            if nblocks > 1:
+                df = df.selectExpr(
+                    f"CASE WHEN id < {nblocks * B} THEN "
+                    f"((CAST(floor(id / {B}) AS BIGINT) * {p}) % {nblocks}) * {B} "
+                    f"+ (id % {B}) ELSE id END AS id"
+                )
         df = df.withColumnRenamed("id", id_col)
         return df.selectExpr(*self.select_exprs(id_col))
 

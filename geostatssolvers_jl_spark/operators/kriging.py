@@ -122,6 +122,10 @@ def _fit_global(model: KrigingModel, data: PointData, var: str,
     z = data.values[var].astype(np.float64)
     n = X.shape[0]
     C = _pairwise_cov(model.variogram, X, X, metric)
+    # tiny diagonal regularization (1e-10·sill): exactly-duplicated data
+    # locations (common in deduplicated web corpora) make C singular and
+    # would otherwise dump every batch into a slow per-row fallback
+    C = C + (1e-10 * model.variogram.sill) * np.eye(n)
     F = model.drift_matrix(X)  # (n, m)
     m = F.shape[-1]
     A = np.zeros((n + m, n + m))
@@ -166,8 +170,23 @@ def _solve_local_batch(
     metric: Distance,
     minneighbors: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Stacked per-location Kriging systems, one batched solve."""
+    """Stacked per-location Kriging systems, one batched solve.
+
+    Arrow batches can be 16k+ rows; the stacked (B, k, k) intermediates at
+    that size churn ~100 MB of temporaries per batch and stop scaling
+    across executor cores — process in cache-resident sub-chunks."""
     B, k = idx.shape
+    step = 2048
+    if B > step:
+        mu = np.empty(B)
+        var_ = np.empty(B)
+        for s in range(0, B, step):
+            sl = slice(s, min(B, s + step))
+            mu[sl], var_[sl] = _solve_local_batch(
+                model, d, var, qcoords[sl], idx[sl], dist[sl],
+                nvalid[sl], metric, minneighbors,
+            )
+        return mu, var_
     z_all = d.values[var].astype(np.float64)
     safe_idx = np.maximum(idx, 0)
     NC = d.coords[safe_idx]          # (B, k, dim)
@@ -190,7 +209,11 @@ def _solve_local_batch(
     pair = vmask[:, :, None] * vmask[:, None, :]
     C = np.where(pair > 0, C, 0.0)
     ar = np.arange(k)
-    C[:, ar, ar] = np.where(valid, C[:, ar, ar], 1.0)
+    # +1e-10·sill: same duplicate-location regularization as the global
+    # path — one singular system would otherwise stall the whole batch
+    C[:, ar, ar] = np.where(
+        valid, C[:, ar, ar] + 1e-10 * model.variogram.sill, 1.0
+    )
     Fm = Fm * vmask[:, :, None]
 
     A = np.zeros((B, k + m, k + m))
