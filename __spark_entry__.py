@@ -140,6 +140,25 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the BIG-BIG physical path: cell-ring-expansion tiled join
+    with certification + escalation (`neighbors.knn_join_tiled_exact`) —
+    must produce the identical rows as the oracle's brute-force window."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(f"SELECT * FROM {_geo_pages_rel()} _p")
+    qdf = WORLD_GRID.spark_df(spark).selectExpr(
+        "cell_id", "cx AS lon", "cy AS lat"
+    )
+    out = knn_join_tiled_exact(
+        qdf, pagesdf, k=3, res=4, metric=Haversine(6371.0)
+    )
+    return out.selectExpr(
+        "cell_id", "data_id", "round(dist, 6) AS dist", "rank"
+    )
+
+
 def q_idw_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 IDW over real pages: estimate n_chars on the world grid."""
     from geostatssolvers_jl_spark.operators.idw import solve_idw
@@ -710,6 +729,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT cell_id, data_id, round(dist, 6) AS dist, rank "
             f"FROM ({knn_pages}) _k"
         ),
+        "knn_join_tiled": (
+            f"SELECT cell_id, data_id, round(dist, 6) AS dist, rank FROM ("
+            + knn_pairs_sql(f"({world})", geo_pages, HAV, k=3, value_cols=())
+            + ") _k"
+        ),
         "idw_pages": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
@@ -935,6 +959,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_parent": q_tile_parent,
         "knn_join": q_knn_join,
+        "knn_join_tiled": q_knn_join_tiled,
         "idw_pages": q_idw_pages,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,

@@ -400,3 +400,50 @@ def knn_join_tiled(
         guard = block
     topk = topk.withColumn("certified", F.expr(f"dist <= {guard}"))
     return topk.select(query_id, data_id, "dist", "rank", "certified")
+
+
+def knn_join_tiled_exact(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    res: int,
+    query_id: str = "cell_id",
+    data_id: str = "data_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    metric: Distance | None = None,
+) -> DataFrame:
+    """EXACT big-big kNN join: the ring-1 tiled pass resolves the bulk;
+    queries whose kth neighbor is not certified (sparse tiles, ring
+    boundaries) escalate to the broadcast-index path.  At production
+    resolution the escalated fraction is the sparse tail — its data side
+    is the same broadcast the estimation operators already use.
+
+    Returns (query_id, data_id, dist, rank) — provably identical rows to
+    a brute-force kNN (the north rule's 'identical join output rows').
+    """
+    metric = metric or Haversine()
+    first = knn_join_tiled(
+        queries, data, k, res, query_id, data_id, lon, lat, metric
+    ).cache()
+    # a query is resolved iff it has k certified rows (rank k certified
+    # implies ranks < k certified — same candidate set and smaller dist)
+    resolved_ids = (
+        first.groupBy(query_id)
+        .agg(
+            F.sum(F.col("certified").cast("int")).alias("_nc"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_nc") >= F.least(F.lit(k), F.col("_n")))
+        .filter(F.col("_n") >= k)  # fewer than k candidates ⇒ escalate
+        .select(query_id)
+    )
+    resolved = first.join(resolved_ids, query_id, "semi").select(
+        query_id, data_id, "dist", "rank"
+    )
+    pending = queries.join(resolved_ids, query_id, "anti")
+    pts = collect_points(data, [lon, lat], [], id_col=data_id)
+    fallback = knn_pairs(
+        pending, pts, [lon, lat], k, metric, id_col=query_id
+    )
+    return resolved.unionByName(fallback)

@@ -56,3 +56,45 @@ def test_tiled_certified_matches_exact(spark, points):
     # at res 5 over a dense 60°x40° box, most queries certify at ring 1
     assert n_cert > len(got) * 0.5
     assert len(got) == 400
+
+
+def test_tiled_exact_equals_brute(spark, points):
+    """The escalating tiled join must equal brute-force kNN row-for-row."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    d, q = points
+    out = knn_join_tiled_exact(q, d, k=3, res=5, metric=Haversine(6371.0))
+    got = {(r["cell_id"], r["rank"]): (r["data_id"], round(r["dist"], 9))
+           for r in out.collect()}
+    data = collect_points(d, ["lon", "lat"], [], id_col="data_id")
+    exact = knn_pairs(q, data, ["lon", "lat"], k=3, metric=Haversine(6371.0),
+                      id_col="cell_id").collect()
+    want = {(r["cell_id"], r["rank"]): (r["data_id"], round(r["dist"], 9))
+            for r in exact}
+    assert got == want
+
+
+def test_tiled_exact_sparse_escalation(spark):
+    """Sparse data forces escalation; results still exact."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    rng = np.random.default_rng(11)
+    d = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-170, 170, 25), rng.uniform(-80, 80, 25)))],
+        "data_id long, lon double, lat double",
+    )
+    q = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-179, 179, 60), rng.uniform(-85, 85, 60)))],
+        "cell_id long, lon double, lat double",
+    )
+    out = knn_join_tiled_exact(q, d, k=4, res=6, metric=Haversine(6371.0))
+    data = collect_points(d, ["lon", "lat"], [], id_col="data_id")
+    exact = knn_pairs(q, data, ["lon", "lat"], k=4, metric=Haversine(6371.0),
+                      id_col="cell_id").collect()
+    got = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in out.collect())
+    want = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in exact)
+    assert got == want
