@@ -68,28 +68,35 @@ def commit_units(
     re-run of the same unit overwrites in place (idempotent).  Returns the
     manifest rows written (the per-partition lineage record).
     """
-    spark = df.sparkSession
     t0 = time.time()
-    (
-        df.withColumn("unit", F.col(unit_col).cast("long"))
-        .write.format(FORMAT)
-        .mode("overwrite")
-        .partitionBy("unit")
-        .option("partitionOverwriteMode", "dynamic")
-        .save(f"{base}/{stage}")
-    )
-    wall = time.time() - t0
-    # lineage rows for THIS batch only — never rescan previously-committed
-    # units (at 10^12-row scale a full rescan per batch is the bottleneck)
-    counts = (
-        df.groupBy(F.col(unit_col).cast("long").alias("unit"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .select(
-            "unit", "rows", F.lit(stage).alias("stage"),
-            F.lit(wall).alias("wall_s"),
+    # persist so the manifest counts reuse the materialized rows instead of
+    # re-executing the whole compute DAG (each unit's kriging would run
+    # TWICE per commit otherwise — and a nondeterministic compute could
+    # write counts that disagree with the committed data)
+    df = df.withColumn("unit", F.col(unit_col).cast("long")).persist()
+    try:
+        (
+            df.write.format(FORMAT)
+            .mode("overwrite")
+            .partitionBy("unit")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(f"{base}/{stage}")
         )
-    )
-    counts.write.format(FORMAT).mode("append").save(_manifest_path(base))
+        wall = time.time() - t0
+        # lineage rows for THIS batch only — never rescan previously-
+        # committed units (at 10^12-row scale a full rescan per batch is
+        # the bottleneck)
+        counts = (
+            df.groupBy("unit")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                "unit", "rows", F.lit(stage).alias("stage"),
+                F.lit(wall).alias("wall_s"),
+            )
+        )
+        counts.write.format(FORMAT).mode("append").save(_manifest_path(base))
+    finally:
+        df.unpersist()
     return counts
 
 

@@ -314,6 +314,79 @@ def knn_pairs(
 # ------------------------------------------------------------- tiled path
 
 
+def _block_guard_sql(res: int, ring: int, metric: Distance) -> str:
+    """SQL lower bound on the distance from a query point (``_qlon``,
+    ``_qlat``, cell ``_qcell``) to ANY point outside its (2·ring+1)² cell
+    block — the certification radius of the tiled kNN join.
+
+    Sphere (Haversine): the same exact wrap/pole-safe bounds proven in
+    ``bucket_index._boundary_dist``:
+
+    * lat edges — meridian arc ``R·radians(Δφ)``; DROPPED when the block
+      edge sits on the world boundary (±90): no data exists beyond it and
+      any wrapped path to other data crosses a meridian edge first.
+    * lon edges — distance to the FULL meridian great circle
+      ``R·asin(|cos φ_q · sin Δλ|)``: periodic in Δλ (wrap-safe) and the
+      poles lie on every meridian (over-pole-safe).  The two-edge union
+      covers the block's lon complement only while the block spans
+      < 180°; a block spanning the full circle drops the lon edges, and
+      the awkward middle (≥ 180° but not full) certifies nothing (0).
+
+    Planar (Euclidean/Anisotropic): plain coordinate margins; edges on the
+    world boundary are dropped because out-of-range coords CLAMP into the
+    boundary cells (tiling._tx_expr/_ty_expr), i.e. such points are inside
+    the block's candidate set already.
+    """
+    n = tiling.nside(res)
+    ch = 180.0 / n
+    cw = 360.0 / n
+    ty = f"(CAST(floor((_qcell % {1 << 58}) / {1 << 29}) AS BIGINT))"
+    tx = f"(_qcell % {1 << 29})"
+    bot = f"(({ty} - {ring}) * {ch!r} - 90.0)"
+    top = f"(({ty} + {ring} + 1) * {ch!r} - 90.0)"
+    west = f"(({tx} - {ring}) * {cw!r} - 180.0)"
+    east = f"(({tx} + {ring} + 1) * {cw!r} - 180.0)"
+    big = "CAST(1e308 AS DOUBLE)"
+    hav = isinstance(metric, Haversine)
+    terms: list[str] = []
+    if hav:
+        r_ = metric.radius
+        lat_bot = f"({r_!r} * radians(_qlat - {bot}))"
+        lat_top = f"({r_!r} * radians({top} - _qlat))"
+    else:
+        lat_bot = f"(_qlat - {bot})"
+        lat_top = f"({top} - _qlat)"
+    terms.append(f"CASE WHEN {ty} >= {ring + 1} THEN {lat_bot} ELSE {big} END")
+    terms.append(
+        f"CASE WHEN {ty} <= {n - ring - 2} THEN {lat_top} ELSE {big} END"
+    )
+    span = 2 * ring + 1  # block width in cells
+    if span >= n:
+        pass  # full circle in lon: no lon edge exists
+    elif hav:
+        if span * cw < 180.0:
+            for edge in (west, east):
+                terms.append(
+                    f"({r_!r} * asin(abs(cos(radians(_qlat)) * "
+                    f"sin(radians(_qlon - {edge})))))"
+                )
+        else:
+            # hemisphere-union argument needs span < 180°: certify nothing
+            terms.append("CAST(0.0 AS DOUBLE)")
+    else:
+        terms.append(
+            f"CASE WHEN {tx} >= {ring + 1} THEN (_qlon - {west}) "
+            f"ELSE {big} END"
+        )
+        terms.append(
+            f"CASE WHEN {tx} <= {n - ring - 2} THEN ({east} - _qlon) "
+            f"ELSE {big} END"
+        )
+    if len(terms) == 1:
+        return terms[0]
+    return "least(" + ", ".join(terms) + ")"
+
+
 def knn_join_tiled(
     queries: DataFrame,
     data: DataFrame,
@@ -324,20 +397,30 @@ def knn_join_tiled(
     lon: str = "lon",
     lat: str = "lat",
     metric: Distance | None = None,
-    salt_threshold: int = 200_000,
+    ring: int = 1,
+    replicate: str = "data",
+    salt: int = 0,
 ) -> DataFrame:
-    """Big-big exact kNN join via cell-ring expansion.
+    """Big-big exact-certified kNN join via cell-ring expansion.
 
     1. encode both sides at resolution ``res`` (JVM-side arithmetic);
-    2. replicate data rows into their ring-1 halo cells (×9 — bounded,
-       explicit, no skewed shuffle surprise);
-    3. equi-join on cell id → candidates; AQE skew-join splits hot cells,
-       and cells above ``salt_threshold`` candidates are additionally
-       salted by hashing the data id;
+    2. replicate ONE side into the ring-``ring`` halo (unique cells —
+       ``tiling.ring_table`` masks clipped lat offsets and dedups lon
+       wraps, so no data row can occupy two ranks of one query):
+       ``replicate='data'`` (default, the bulk first pass — ×(2r+1)²
+       bounded fanout of the data side) or ``replicate='queries'``
+       (escalation passes over a small pending side — replicating the
+       small side keeps wide rings cheap);
+    3. equi-join on cell id → candidates; AQE skew-join splits hot cells;
+       ``salt > 1`` additionally pre-reduces per-query candidates through
+       a two-stage top-k — stage 1 partitions by (query, data_id % salt)
+       and keeps k per salt, bounding the final per-query window input to
+       salt·k rows (explicit hot-cell handling per the north rule, on top
+       of AQE);
     4. window top-k per query with deterministic (dist, data_id) order;
-    5. certification: a query's kth distance must be ≤ the distance from
-       the query point to the edge of its 3×3 cell block, else the query
-       is re-run through a ring-2 pass (and ultimately exact fallback).
+    5. certification: kth distance ≤ exact lower bound on the distance to
+       anything outside the covered block (``_block_guard_sql`` — wrap-
+       and pole-safe), else the query escalates.
 
     Returns (query_id, data_id, dist, rank, certified).
     """
@@ -346,59 +429,66 @@ def knn_join_tiled(
     metric = metric or Haversine()
     cexpr = tiling.cell_expr(lon, lat, res)
 
-    q = queries.withColumn("_qcell", F.expr(cexpr))
-    d = data.withColumn("_dcell", F.expr(cexpr))
-
-    halo = tiling.ring_table(
-        queries.sparkSession, d.select(F.col("_dcell").alias("cell")), k=1
+    q = queries.withColumn("_qcell", F.expr(cexpr)).select(
+        F.col(query_id), F.col("_qcell"),
+        F.col(lon).alias("_qlon"), F.col(lat).alias("_qlat"),
     )
-    # replicate data into halo cells: data row appears for each of its 9 cells
-    d_rep = (
-        d.join(halo, d["_dcell"] == halo["cell"], "inner")
-        .select(
-            F.col("neighbor").alias("_jcell"),
-            F.col(data_id),
-            F.col(lon).alias("_dlon"),
-            F.col(lat).alias("_dlat"),
+    d = data.withColumn("_dcell", F.expr(cexpr)).select(
+        F.col(data_id), F.col("_dcell"),
+        F.col(lon).alias("_dlon"), F.col(lat).alias("_dlat"),
+    )
+
+    if replicate == "data":
+        halo = tiling.ring_table(
+            queries.sparkSession, d.select(F.col("_dcell").alias("cell")),
+            k=ring,
         )
-    )
-
-    cand = q.select(
-        F.col(query_id), F.col("_qcell"), F.col(lon).alias("_qlon"), F.col(lat).alias("_qlat")
-    ).join(d_rep, F.col("_qcell") == F.col("_jcell"), "inner")
+        d_rep = d.join(halo, d["_dcell"] == halo["cell"], "inner").select(
+            F.col("neighbor").alias("_jcell"),
+            data_id, "_dlon", "_dlat",
+        )
+        cand = q.join(d_rep, F.col("_qcell") == F.col("_jcell"), "inner")
+    elif replicate == "queries":
+        halo = tiling.ring_table(
+            queries.sparkSession, q.select(F.col("_qcell").alias("cell")),
+            k=ring,
+        )
+        q_rep = q.join(halo, q["_qcell"] == halo["cell"], "inner").select(
+            query_id, "_qcell", "_qlon", "_qlat",
+            F.col("neighbor").alias("_jcell"),
+        )
+        cand = q_rep.join(d, F.col("_jcell") == F.col("_dcell"), "inner")
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"replicate must be 'data' or 'queries': {replicate}")
 
     dist_sql = metric.sql(("_qlon", "_qlat"), ("_dlon", "_dlat"))
     cand = cand.withColumn("dist", F.expr(dist_sql))
 
-    w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(data_id).asc())
+    if salt > 1:
+        w1 = Window.partitionBy(query_id, "_salt").orderBy(
+            F.col("dist").asc(), F.col(data_id).asc()
+        )
+        cand = (
+            cand.withColumn("_salt", F.pmod(F.col(data_id), F.lit(salt)))
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist").asc(), F.col(data_id).asc()
+    )
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
-    # certification radius: distance from query point to nearest edge of the
-    # 3x3 covered block.  Conservative planar bound scaled for haversine.
-    n = tiling.nside(res)
-    cell_h_deg = 180.0 / n
-    cell_w_deg = 360.0 / n
-    ty = f"(CAST(floor((_qcell % {1 << 58}) / {1 << 29}) AS BIGINT))"
-    tx = f"(_qcell % {1 << 29})"
-    # edges of the 3x3 block in degrees
-    block = (
-        f"least(_qlat - (({ty} - 1) * {cell_h_deg!r} - 90.0),"
-        f" (({ty} + 2) * {cell_h_deg!r} - 90.0) - _qlat,"
-        f" _qlon - (({tx} - 1) * {cell_w_deg!r} - 180.0),"
-        f" (({tx} + 2) * {cell_w_deg!r} - 180.0) - _qlon)"
+    guard = _block_guard_sql(res, ring, metric)
+    # (1 − 1e-12) slack: the guard formulas round at ~1 ulp; certification
+    # must never exceed the true bound (same slack as bucket_index.topk)
+    topk = topk.withColumn(
+        "certified", F.expr(f"dist <= ({guard}) * (1.0 - 1e-12)")
     )
-    if isinstance(metric, Haversine):
-        # degrees → distance lower bound: 1 deg ≥ (π·R/180)·cos(|lat|+cell)
-        guard = (
-            f"({block}) * ({metric.radius!r} * pi() / 180.0) * "
-            f"cos(radians(least(89.0, abs(_qlat) + {cell_h_deg!r})))"
-        )
-    else:
-        guard = block
-    topk = topk.withColumn("certified", F.expr(f"dist <= {guard}"))
     return topk.select(query_id, data_id, "dist", "rank", "certified")
 
 
@@ -412,38 +502,66 @@ def knn_join_tiled_exact(
     lon: str = "lon",
     lat: str = "lat",
     metric: Distance | None = None,
+    salt: int = 0,
 ) -> DataFrame:
-    """EXACT big-big kNN join: the ring-1 tiled pass resolves the bulk;
-    queries whose kth neighbor is not certified (sparse tiles, ring
-    boundaries) escalate to the broadcast-index path.  At production
-    resolution the escalated fraction is the sparse tail — its data side
-    is the same broadcast the estimation operators already use.
+    """EXACT big-big kNN join, fully distributed (NO driver-side collect of
+    either side at any stage):
+
+    * pass 1 — ring-1 tiled join at ``res`` with the data side replicated
+      into its halo: resolves the dense bulk;
+    * escalation passes — uncertified queries re-run with geometrically
+      wider rings (4, 16, …, while the block stays < a half-circle), now
+      replicating the PENDING QUERY side into its ring cells, so a wide
+      ring multiplies the small side, never the 10¹²-row data side;
+    * terminal pass — resolution 1 (2×2 world): ring-1 there covers every
+      cell, so each remaining query provably sees ALL data and certifies
+      by construction.  The remaining tail is the truly-global-sparse set
+      (typically ~0 rows), and the pass is an ordinary distributed join —
+      never a broadcast of the data side.
 
     Returns (query_id, data_id, dist, rank) — provably identical rows to
     a brute-force kNN (the north rule's 'identical join output rows').
     """
     metric = metric or Haversine()
-    first = knn_join_tiled(
-        queries, data, k, res, query_id, data_id, lon, lat, metric
-    ).cache()
-    # a query is resolved iff it has k certified rows (rank k certified
-    # implies ranks < k certified — same candidate set and smaller dist)
-    resolved_ids = (
-        first.groupBy(query_id)
-        .agg(
-            F.sum(F.col("certified").cast("int")).alias("_nc"),
-            F.count(F.lit(1)).alias("_n"),
+    sel = [query_id, data_id, "dist", "rank"]
+    n = tiling.nside(res)
+    rings = [1]
+    rk = 4
+    while (2 * rk + 1) * 2 < n:  # block span must stay < half the circle
+        rings.append(rk)
+        rk *= 4
+
+    parts: list[DataFrame] = []
+    pending = queries
+    for i, ring in enumerate(rings):
+        out = knn_join_tiled(
+            pending, data, k, res, query_id, data_id, lon, lat, metric,
+            ring=ring, replicate=("data" if i == 0 else "queries"),
+            salt=salt,
+        ).cache()
+        # a query is resolved iff it has ≥ k candidates and the kth is
+        # certified (rank k certified implies ranks < k certified — same
+        # candidate set and smaller dist)
+        resolved_ids = (
+            out.groupBy(query_id)
+            .agg(
+                F.sum(F.col("certified").cast("int")).alias("_nc"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .filter((F.col("_nc") >= F.col("_n")) & (F.col("_n") >= k))
+            .select(query_id)
         )
-        .filter(F.col("_nc") >= F.least(F.lit(k), F.col("_n")))
-        .filter(F.col("_n") >= k)  # fewer than k candidates ⇒ escalate
-        .select(query_id)
+        parts.append(out.join(resolved_ids, query_id, "semi").select(*sel))
+        pending = pending.join(resolved_ids, query_id, "anti")
+
+    # terminal: every cell's ring-1 halo at res 1 covers all 4 cells, so the
+    # join output is pending × ALL data and the guard drops every edge
+    term = knn_join_tiled(
+        pending, data, k, 1, query_id, data_id, lon, lat, metric,
+        ring=1, replicate="data", salt=salt,
     )
-    resolved = first.join(resolved_ids, query_id, "semi").select(
-        query_id, data_id, "dist", "rank"
-    )
-    pending = queries.join(resolved_ids, query_id, "anti")
-    pts = collect_points(data, [lon, lat], [], id_col=data_id)
-    fallback = knn_pairs(
-        pending, pts, [lon, lat], k, metric, id_col=query_id
-    )
-    return resolved.unionByName(fallback)
+    parts.append(term.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

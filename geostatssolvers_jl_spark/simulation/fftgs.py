@@ -113,7 +113,9 @@ def solve_fftgs(
     dcells = (
         data.filter(f"{var} IS NOT NULL")
         .selectExpr(f"{snap} AS cell_id", f"{var} AS zdat")
-        .dropDuplicates(["cell_id"])  # unique(first.(found)), fft.jl:133
+        # unique cell survivor (fft.jl:133) picked DETERMINISTICALLY (min
+        # value) — dropDuplicates varies with partitioning
+        .groupBy("cell_id").agg(Fn.min("zdat").alias("zdat"))
     )
     reals = reals.cache()
     gdf = grid.spark_df(spark)

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..distances import Euclidean
 from ..grid import CartesianGrid
@@ -133,10 +134,12 @@ def solve_lugs(
         z_by_cell: dict[int, float] = {}
         if data is not None and v.var in data.columns:
             snap = grid.snap_cell_expr(tuple(data_coord_cols), "cell_id")
+            # deterministic survivor per cell (min value) — dropDuplicates
+            # keeps an arbitrary row, varying with partitioning
             rows = (
                 data.filter(f"{v.var} IS NOT NULL")
                 .selectExpr(f"{snap} AS cell_id", f"{v.var} AS zv")
-                .dropDuplicates(["cell_id"])
+                .groupBy("cell_id").agg(F.min("zv").alias("zv"))
                 .collect()
             )
             z_by_cell = {int(r["cell_id"]): float(r["zv"]) for r in rows}

@@ -33,6 +33,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..grid import CartesianGrid
 from ..variogram import GaussianVariogram, Variogram, require_stationary
@@ -142,10 +143,13 @@ def solve_sgs(
     init_vals: dict[int, float] = {}
     if data is not None:
         snap = grid.snap_cell_expr(tuple(data_coord_cols), "cell_id")
+        # deterministic survivor when several data rows snap to one cell:
+        # min value wins (dropDuplicates keeps an arbitrary row, which
+        # varies with partitioning and breaks realization reproducibility)
         rows = (
             data.filter(f"{var} IS NOT NULL")
             .selectExpr(f"{snap} AS cell_id", f"{var} AS zv")
-            .dropDuplicates(["cell_id"])
+            .groupBy("cell_id").agg(F.min("zv").alias("zv"))
             .collect()
         )
         init_vals = {int(r["cell_id"]): float(r["zv"]) for r in rows}

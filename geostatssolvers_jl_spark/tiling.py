@@ -88,9 +88,13 @@ def unpack_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def ring_np(cell: np.ndarray, k: int) -> np.ndarray:
     """All cells within Chebyshev distance k of each input cell
-    (the (2k+1)^2 'disk'), vectorized; lon wraps, lat clamps.
+    (the (2k+1)^2 'disk'), vectorized; lon wraps, lat offsets falling
+    outside [0, n) are MASKED to -1 (never clamped — clamping would emit
+    the same top/bottom-row cell twice, and a duplicated halo cell makes
+    the tiled kNN join count one data row at two ranks, silently dropping
+    the true kth neighbor for polar-row queries).
 
-    Returns shape ``(len(cell), (2k+1)**2)``.
+    Returns shape ``(len(cell), (2k+1)**2)``; invalid entries are -1.
     """
     res, ty, tx = unpack_np(np.asarray(cell, dtype=np.int64))
     r = int(res[0]) if len(res) else 0
@@ -99,8 +103,10 @@ def ring_np(cell: np.ndarray, k: int) -> np.ndarray:
     dx, dy = np.meshgrid(offs, offs)
     dx, dy = dx.ravel(), dy.ravel()
     ntx = (tx[:, None] + dx[None, :]) % n
-    nty = np.clip(ty[:, None] + dy[None, :], 0, n - 1)
-    return (r << 58) + (nty << 29) + ntx
+    nty = ty[:, None] + dy[None, :]
+    valid = (nty >= 0) & (nty <= n - 1)
+    out = (r << 58) + (nty << 29) + ntx
+    return np.where(valid, out, -1)
 
 
 def cell_bounds_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -113,11 +119,14 @@ def cell_bounds_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 
 def ring_table(spark, cells_df, k: int = 1, cell_col: str = "cell"):
-    """DataFrame of (cell, neighbor) pairs for the k-disk of each distinct
-    cell — the candidate-cell side of the ring-expansion kNN join.  Runs as
-    a vectorized mapInPandas (Arrow batches, no per-row Python)."""
-    from pyspark.sql import functions as F  # noqa: N812
+    """DataFrame of UNIQUE (cell, neighbor) pairs for the k-disk of each
+    distinct cell — the candidate-cell side of the ring-expansion kNN join.
+    Runs as a vectorized mapInPandas (Arrow batches, no per-row Python).
 
+    Invalid lat offsets are dropped (not clamped) and lon-wrap collisions
+    (2k+1 ≥ n) are dedup'd, so a data row replicated through this table
+    lands in each candidate cell exactly once — required for the exactness
+    of the window top-k downstream (no rank-occupying duplicates)."""
     ksz = (2 * k + 1) ** 2
 
     def gen(batches):
@@ -126,9 +135,11 @@ def ring_table(spark, cells_df, k: int = 1, cell_col: str = "cell"):
         for pdf in batches:
             c = pdf[cell_col].to_numpy(np.int64)
             nb = ring_np(c, k)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {cell_col: np.repeat(c, ksz), "neighbor": nb.ravel()}
             )
+            out = out[out["neighbor"] >= 0].drop_duplicates()
+            yield out
 
     distinct = cells_df.select(cell_col).distinct()
     return distinct.mapInPandas(gen, schema=f"{cell_col} long, neighbor long")

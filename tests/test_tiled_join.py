@@ -98,3 +98,86 @@ def test_tiled_exact_sparse_escalation(spark):
     got = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in out.collect())
     want = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in exact)
     assert got == want
+
+
+def test_tiled_polar_row_no_duplicate_ranks(spark):
+    """ADVICE r1 repro: at res 4 a query in the top tile row (lat >= 78.75)
+    used to receive halo-clamped duplicate candidates — one data_id at two
+    ranks, true kth neighbor dropped.  Must now equal brute force."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    d = spark.createDataFrame(
+        [(0, 9.0, 78.0), (1, 11.0, 80.0), (2, 10.5, 79.2), (3, 14.0, 79.5)],
+        "data_id long, lon double, lat double",
+    )
+    q = spark.createDataFrame(
+        [(0, 10.0, 79.0), (1, -170.0, 88.0)],
+        "cell_id long, lon double, lat double",
+    )
+    out = knn_join_tiled_exact(q, d, k=3, res=4, metric=Haversine(6371.0))
+    rows = out.collect()
+    # no data_id may occupy two ranks of one query
+    seen = {}
+    for r in rows:
+        key = (r["cell_id"], r["data_id"])
+        assert key not in seen, f"duplicate candidate {key}"
+        seen[key] = r["rank"]
+    data = collect_points(d, ["lon", "lat"], [], id_col="data_id")
+    exact = knn_pairs(q, data, ["lon", "lat"], k=3, metric=Haversine(6371.0),
+                      id_col="cell_id").collect()
+    got = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in rows)
+    want = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in exact)
+    assert got == want
+
+
+def test_tiled_near_pole_certification_safe(spark):
+    """ADVICE r1: queries above ~88.8° used to falsely certify through the
+    planar cos(89°) clamp.  The meridian-great-circle bound must keep the
+    join exact arbitrarily close to the pole."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    rng = np.random.default_rng(3)
+    d = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-180, 180, 300), rng.uniform(85.0, 90.0, 300)))],
+        "data_id long, lon double, lat double",
+    )
+    q = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-180, 180, 80), rng.uniform(88.5, 90.0, 80)))],
+        "cell_id long, lon double, lat double",
+    )
+    out = knn_join_tiled_exact(q, d, k=3, res=5, metric=Haversine(6371.0))
+    got = sorted((r["cell_id"], r["rank"], r["data_id"])
+                 for r in out.collect())
+    data = collect_points(d, ["lon", "lat"], [], id_col="data_id")
+    exact = knn_pairs(q, data, ["lon", "lat"], k=3, metric=Haversine(6371.0),
+                      id_col="cell_id").collect()
+    want = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in exact)
+    assert got == want
+
+
+def test_tiled_exact_never_collects_data_side(spark, points, monkeypatch):
+    """The escalation ladder must stay fully distributed: no driver-side
+    collect of the data side at any stage (the r1 fallback broadcast the
+    FULL data side — a 10^12-row story killer)."""
+    import geostatssolvers_jl_spark.neighbors as nb
+
+    def boom(*a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("collect_points called inside tiled-exact")
+
+    monkeypatch.setattr(nb, "collect_points", boom)
+    d, q = points
+    out = nb.knn_join_tiled_exact(q, d, k=3, res=5, metric=Haversine(6371.0))
+    assert out.count() == 1200  # 400 queries x k=3
+
+
+def test_tiled_salted_topk_identical(spark, points):
+    """Explicit hot-cell salting (two-stage top-k) must not change rows."""
+    d, q = points
+    base = knn_join_tiled(q, d, k=3, res=5, metric=Haversine(6371.0))
+    salted = knn_join_tiled(q, d, k=3, res=5, metric=Haversine(6371.0),
+                            salt=4)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
