@@ -29,6 +29,18 @@ FIX_PTS_SQL = (
     "(SELECT * FROM (VALUES (0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), "
     "(2, 75.0, 50.0, 1.0)) _v(data_id, x, y, z))"
 )
+# 5 well-separated points for the LOCAL (k=3) kriging value check — well-
+# conditioned systems keep the SQL-Cramer oracle and the engine's LAPACK
+# solve within 1e-12 of each other (round6-safe)
+KRIG5_PTS = [
+    (0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), (2, 75.0, 50.0, 1.0),
+    (3, 75.0, 25.0, 0.5), (4, 10.0, 80.0, 0.3),
+]
+KRIG5_SQL = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, {x!r}, {y!r}, {z!r})" for i, x, y, z in KRIG5_PTS)
+    + ") _v(data_id, x, y, z))"
+)
 TILE_RES = 6
 
 _GEO = f"({pages_mod.geocoded_pages_sql('documents')})"
@@ -171,7 +183,7 @@ def q_idw_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     sol = solve_idw(
         pagesdf, WORLD_GRID.spark_df(spark), var="z",
         data_coord_cols=["lon", "lat"], maxneighbors=5,
-        metric=Haversine(6371.0),
+        metric=Haversine(6371.0), strategy="local-broadcast",
     )
     return sol.selectExpr(
         "cell_id", "round(z, 6) AS z", "round(z_distance, 6) AS z_distance"
@@ -307,12 +319,25 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_units_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 affine unit normalization (°C → K) as a projection (utils.jl:10-15)."""
-    _register(spark, sf_dir, ("documents",))
-    return spark.sql(
-        "SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 10.0 - 273.15 + 273.15, 6) "
-        "AS temp_k FROM documents"
+    """P3 affine unit normalization (utils.jl:10-15): a °C-valued variable
+    is uadjust-ed to K BEFORE estimation, then IDW runs on the K values —
+    the oracle repeats the conversion + estimation in SQL, so the check
+    covers real unit semantics (K-valued outputs), not a round-trip."""
+    from geostatssolvers_jl_spark.operators.idw import solve_idw
+    from geostatssolvers_jl_spark.units import uadjust
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 21.5), (1, 50.0, 75.0, -3.0),
+         (2, 75.0, 50.0, 14.25)],
+        "data_id long, x double, y double, z double",
     )
+    adjusted, unit = uadjust(data, "z", "degC")
+    assert unit == "K"
+    sol = solve_idw(
+        adjusted, FIX_GRID.spark_df(spark), maxneighbors=3,
+        strategy="local-broadcast",
+    )
+    return sol.selectExpr("cell_id", "round(z, 6) AS temp_k")
 
 
 def _change_support_sql(vert_rel: str, nvx: int = 21) -> str:
@@ -489,6 +514,89 @@ def q_kriging_fixture_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _krig5_df(spark: SparkSession):
+    return spark.createDataFrame(
+        KRIG5_PTS, "data_id long, x double, y double, z double"
+    )
+
+
+def q_kriging_local_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 LOCAL Ordinary Kriging (k=3) — value-checked against a pure-SQL
+    Cramer's-rule solve of the per-cell OK system (krig.jl:205-228)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
+        maxneighbors=3, strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_kriging_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 local kriging through the BIG-BIG tiled physical path — the same
+    per-cell systems routed via knn_join_tiled_exact + gathered-array solve
+    (operators/tiled.py); must hash-match the same Cramer SQL oracle as the
+    broadcast path (bit-identical strategy switch)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
+        maxneighbors=3, strategy="local-tiled", tile_res=4,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_idw_pages_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 IDW over real pages through the tiled big-big path — same oracle
+    as `idw_pages` (brute-force SQL kNN + weighted-mean agg)."""
+    from geostatssolvers_jl_spark.operators.idw import solve_idw
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(
+        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+    )
+    sol = solve_idw(
+        pagesdf, WORLD_GRID.spark_df(spark), var="z",
+        data_coord_cols=["lon", "lat"], maxneighbors=5,
+        metric=Haversine(6371.0), strategy="local-tiled", tile_res=4,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_distance, 6) AS z_distance"
+    )
+
+
+def q_lwr_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 LWR through the tiled path — same closed-form oracle as
+    `lwr_fixture` (exact-fit Cramer)."""
+    from geostatssolvers_jl_spark.operators.lwr import solve_lwr
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0),
+         (2, 75.0, 50.0, 1.0), (3, 75.0, 25.0, 0.0)],
+        "data_id long, x double, y double, z double",
+    )
+    sol = solve_lwr(
+        data, FIX_GRID.spark_df(spark), maxneighbors=3,
+        strategy="local-tiled", tile_res=4,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
 def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging over geocoded pages (the flagship pipeline)."""
     from geostatssolvers_jl_spark.operators.kriging import (
@@ -505,7 +613,7 @@ def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagesdf, WORLD_GRID.spark_df(spark),
         model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=10000.0)),
         data_coord_cols=["lon", "lat"], maxneighbors=8,
-        metric=Haversine(6371.0),
+        metric=Haversine(6371.0), strategy="local-broadcast",
     )
     return sol.selectExpr(
         "cell_id", "round(z, 4) AS z", "round(z_variance, 4) AS z_variance"
@@ -735,6 +843,10 @@ def oracle_sql() -> dict[str, str]:
             + ") _k"
         ),
         "idw_pages": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
+        "idw_pages_tiled": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
+        "kriging_local_fixture": _kriging_local_oracle(),
+        "kriging_tiled_fixture": _kriging_local_oracle(),
+        "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
             round_to=6,
@@ -770,8 +882,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine": ann,
         "units_affine": (
-            "SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 10.0 - 273.15 "
-            "+ 273.15, 6) AS temp_k FROM documents"
+            "SELECT cell_id, round(z, 6) AS temp_k FROM ("
+            + idw_agg_sql(
+                "("
+                + knn_pairs_sql(
+                    f"({fix})",
+                    "(SELECT data_id, x, y, (z * 1.0 + 273.15) AS z FROM "
+                    "(VALUES (0, 25.0, 25.0, 21.5), (1, 50.0, 75.0, -3.0), "
+                    "(2, 75.0, 50.0, 14.25)) _v(data_id, x, y, z))",
+                    EUC, k=3,
+                )
+                + ") _p"
+            )
+            + ") _u"
         ),
         **_webtext_oracles(),
         "change_support": _change_support_sql(
@@ -843,6 +966,93 @@ def _kriging_global_oracle() -> str:
         f"SELECT cell_id, round({mu}, 6) AS z, "
         f"round(greatest(1.0 - ({lam_b}), 0.0), 6) AS z_variance "
         f"FROM {FIX_GRID.duck_sql()} _g"
+    )
+
+
+def _det_sql(M: list[list[str]]) -> str:
+    """Determinant of a small matrix of SQL expressions (cofactor expansion
+    along the first row)."""
+    n = len(M)
+    if n == 1:
+        return f"({M[0][0]})"
+    if n == 2:
+        return (
+            f"(({M[0][0]}) * ({M[1][1]}) - ({M[0][1]}) * ({M[1][0]}))"
+        )
+    terms = []
+    for j in range(n):
+        minor = [row[:j] + row[j + 1:] for row in M[1:]]
+        sign = "-" if j % 2 else "+"
+        terms.append(f"{sign} ({M[0][j]}) * {_det_sql(minor)}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _kriging_local_oracle(rng: float = 35.0, sill: float = 1.0) -> str:
+    """Closed-form LOCAL Ordinary Kriging oracle, k = 3 neighbors: the
+    (3+1)×(3+1) OK system per grid cell is solved by Cramer's rule in pure
+    SQL over the pivoted kNN join — a fully independent value check of the
+    engine's batched-LAPACK local solver (reference semantics
+    ``src/estimation/krig.jl:205-228``).  Includes the engine's 1e-10·sill
+    diagonal regularization so both sides solve the same system."""
+    pairs = knn_pairs_sql(
+        f"({FIX_GRID.duck_sql()})", KRIG5_SQL, EUC, k=3,
+        value_cols=("x", "y", "z"),
+    )
+    piv_cols = ", ".join(
+        f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
+        for r in (1, 2, 3) for c in ("x", "y", "z", "dist")
+    )
+    piv = f"SELECT cell_id, {piv_cols} FROM ({pairs}) _p GROUP BY cell_id"
+
+    def cov(h: str) -> str:
+        # engine op order: sill − sill·(1 − exp(−3(h/r)²))
+        return (
+            f"({sill!r} - {sill!r} * (1.0 - exp(-3.0 * (({h}) / {rng!r}) * "
+            f"(({h}) / {rng!r}))))"
+        )
+
+    def euc(r: int, s: int) -> str:
+        return (
+            f"sqrt((x{r} - x{s}) * (x{r} - x{s}) + "
+            f"(y{r} - y{s}) * (y{r} - y{s}))"
+        )
+
+    reg = 1e-10 * sill
+    diag = f"({cov('0.0')} + {reg!r})"
+    ents = {
+        "c12": cov(euc(1, 2)), "c13": cov(euc(1, 3)), "c23": cov(euc(2, 3)),
+        "b1": cov("dist1"), "b2": cov("dist2"), "b3": cov("dist3"),
+    }
+    mid = (
+        "SELECT cell_id, z1, z2, z3, "
+        + ", ".join(f"{v} AS {k}" for k, v in ents.items())
+        + f", {diag} AS cdg FROM ({piv}) _m"
+    )
+    one, zero = "1.0", "0.0"
+    A = [
+        ["cdg", "c12", "c13", one],
+        ["c12", "cdg", "c23", one],
+        ["c13", "c23", "cdg", one],
+        [one, one, one, zero],
+    ]
+    b = ["b1", "b2", "b3", one]
+    D = _det_sql(A)
+    lam = []
+    for j in range(4):
+        Aj = [row[:j] + [b[i]] + row[j + 1:] for i, row in enumerate(A)]
+        lam.append(f"({_det_sql(Aj)}) / ({D})")
+    # short-name the lambdas in one more layer to keep the final SQL small
+    lam_sel = ", ".join(f"{e} AS l{j + 1}" for j, e in enumerate(lam))
+    lamq = (
+        f"SELECT cell_id, z1, z2, z3, b1, b2, b3, {lam_sel} "
+        f"FROM ({mid}) _e"
+    )
+    mu = "l1 * z1 + l2 * z2 + l3 * z3"
+    lam_b = "l1 * b1 + l2 * b2 + l3 * b3 + l4 * 1.0"
+    return (
+        f"SELECT cell_id, round({mu}, 6) AS z, "
+        f"round(greatest({sill!r} - ({lam_b}), 0.0), 6) AS z_variance "
+        f"FROM ({lamq}) _f"
     )
 
 
@@ -961,6 +1171,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_tiled": q_knn_join_tiled,
         "idw_pages": q_idw_pages,
+        "idw_pages_tiled": q_idw_pages_tiled,
+        "kriging_local_fixture": q_kriging_local_fixture,
+        "kriging_tiled_fixture": q_kriging_tiled_fixture,
+        "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
         "nearest_snap": q_nearest_snap,

@@ -170,28 +170,49 @@ def _solve_local_batch(
     metric: Distance,
     minneighbors: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Stacked per-location Kriging systems, one batched solve.
+    """Gather neighbor arrays from the broadcast PointData, then run the
+    shared stacked solve (`solve_systems`)."""
+    z_all = d.values[var].astype(np.float64)
+    safe_idx = np.maximum(idx, 0)
+    NC = d.coords[safe_idx]          # (B, k, dim)
+    zn = z_all[safe_idx]             # (B, k)
+    valid = idx >= 0                 # (B, k)
+    return solve_systems(
+        model, qcoords, NC, zn, valid, dist, metric, minneighbors
+    )
+
+
+def solve_systems(
+    model: KrigingModel,
+    qcoords: np.ndarray,
+    NC: np.ndarray,
+    zn: np.ndarray,
+    valid: np.ndarray,
+    dist: np.ndarray,
+    metric: Distance,
+    minneighbors: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked per-location Kriging systems over GATHERED neighbor arrays
+    (NC (B,k,dim), zn (B,k), valid (B,k), dist (B,k) with +inf in invalid
+    slots), one batched solve — shared by the broadcast kernel and the
+    tiled big-big path (identical FP op order ⇒ identical results).
 
     Arrow batches can be 16k+ rows; the stacked (B, k, k) intermediates at
     that size churn ~100 MB of temporaries per batch and stop scaling
     across executor cores — process in cache-resident sub-chunks."""
-    B, k = idx.shape
+    B, k = zn.shape
     step = 2048
     if B > step:
         mu = np.empty(B)
         var_ = np.empty(B)
         for s in range(0, B, step):
             sl = slice(s, min(B, s + step))
-            mu[sl], var_[sl] = _solve_local_batch(
-                model, d, var, qcoords[sl], idx[sl], dist[sl],
-                nvalid[sl], metric, minneighbors,
+            mu[sl], var_[sl] = solve_systems(
+                model, qcoords[sl], NC[sl], zn[sl], valid[sl], dist[sl],
+                metric, minneighbors,
             )
         return mu, var_
-    z_all = d.values[var].astype(np.float64)
-    safe_idx = np.maximum(idx, 0)
-    NC = d.coords[safe_idx]          # (B, k, dim)
-    zn = z_all[safe_idx]             # (B, k)
-    valid = idx >= 0                 # (B, k)
+    nvalid = valid.sum(axis=1)
 
     # pairwise neighbor distances (B, k, k), fully batched
     H = _batched_pairwise(NC, metric)
@@ -261,15 +282,41 @@ def solve_kriging(
     metric: Distance = Euclidean(),
     radius: float | None = None,
     id_col: str = "cell_id",
+    strategy: str = "auto",
+    tile_res: int = 6,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Returns (id_col, var, var_variance) over the grid/query DataFrame.
 
     ``maxneighbors=None`` → global strategy; else local (krig.jl:151-157).
     ``radius`` realizes the MetricBall neighborhood (KBallSearch).
+
+    ``strategy``: 'auto' consults `planner.choose_strategy` — a DataFrame
+    data side above ``broadcast_limit`` rows routes through the fully
+    distributed tiled join (`operators.tiled.kriging_tiled`, results
+    bit-identical to the broadcast kernel) instead of dying in a driver
+    collect; 'local-broadcast' / 'local-tiled' force a physical path.
     """
     model = model or KrigingModel()
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if isinstance(data, DataFrame) and maxneighbors is not None:
+        from ..planner import choose_strategy
+
+        if strategy == "auto":
+            strategy = choose_strategy(
+                data.count(), maxneighbors, broadcast_limit
+            )
+        if strategy == "local-tiled":
+            from .tiled import kriging_tiled
+
+            if minneighbors > maxneighbors:
+                raise ValueError("invalid min/max number of neighbors")
+            return kriging_tiled(
+                data, grid_df, var, model, data_coord_cols,
+                query_coord_cols, maxneighbors, minneighbors, metric,
+                radius, id_col, res=tile_res,
+            )
     if isinstance(data, DataFrame):
         data = collect_points(
             data.filter(f"{var} IS NOT NULL"),

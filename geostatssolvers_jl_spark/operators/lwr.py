@@ -99,9 +99,31 @@ def solve_lwr(
     metric: Distance = Euclidean(),
     radius: float | None = None,
     id_col: str = "cell_id",
+    strategy: str = "auto",
+    tile_res: int = 6,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
+    """``strategy`` as in `solve_kriging`: 'auto' routes a DataFrame data
+    side above ``broadcast_limit`` through the distributed tiled join."""
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if isinstance(data, DataFrame) and maxneighbors is not None:
+        from ..planner import choose_strategy
+
+        if strategy == "auto":
+            strategy = choose_strategy(
+                data.count(), maxneighbors, broadcast_limit
+            )
+        if strategy == "local-tiled":
+            from .tiled import lwr_tiled
+
+            if minneighbors > maxneighbors:
+                raise ValueError("invalid min/max number of neighbors")
+            return lwr_tiled(
+                data, grid_df, var, data_coord_cols, query_coord_cols,
+                maxneighbors, minneighbors, weightfun, metric, radius,
+                id_col, res=tile_res,
+            )
     if isinstance(data, DataFrame):
         data = collect_points(
             data.filter(f"{var} IS NOT NULL"),

@@ -1,0 +1,259 @@
+"""Tiled (big-big) physical strategy for the local estimation operators.
+
+The broadcast path (`neighbors.local_apply`) mirrors the reference's
+global in-memory kd-tree (``/root/reference/src/ui.jl:27``) and is valid
+while the conditioning data fits one executor.  Above
+``planner.choose_strategy``'s broadcast limit the solvers route HERE:
+
+1. exact neighbor pairs via the fully-distributed escalating tiled join
+   (`neighbors.knn_join_tiled_exact` — no driver collect of either side);
+2. neighbor attributes (coords + values) joined back on ``data_id``
+   (ordinary shuffle equi-join, AQE-optimizable, skew-salted upstream);
+3. per-query neighbor ARRAYS via ``sort_array(collect_list(struct(...)))``
+   — rank-sorted, so the gathered (B, k, ·) stacks are in the identical
+   (dist, data_id) order the broadcast kernel uses;
+4. one vectorized ``mapInPandas`` pass runs the SAME stacked math kernels
+   (`kriging.solve_systems`, IDW / LWR array kernels) over the gathered
+   arrays — identical FP op order ⇒ results bit-identical to the
+   broadcast path whenever the distance bits agree (proven by
+   tests/test_tiled_estimation.py).  On Haversine the tiled path's
+   distances come from JVM trig instead of numpy trig; 1-ulp libm
+   differences can propagate to ~1e-11 relative on ill-conditioned
+   (duplicate-coordinate) kriging systems — far below the round-6
+   correctness gate.
+
+Scale shape: two shuffles (pair join + group-to-arrays) over rows
+proportional to queries×k, never a broadcast or driver materialization of
+the data side.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..distances import Distance, Haversine
+from ..neighbors import knn_join_tiled_exact
+
+# kernel(q_pdf, qcoords (B,d), NC (B,k,d), vals {name: (B,k)},
+#        dist (B,k) +inf-padded, valid (B,k)) -> pd.DataFrame
+ArrayKernel = Callable[..., pd.DataFrame]
+
+
+def tiled_local_apply(
+    grid_df: DataFrame,
+    data_df: DataFrame,
+    query_coord_cols: list[str],
+    data_coord_cols: list[str],
+    value_cols: list[str],
+    k: int,
+    kernel: ArrayKernel,
+    out_schema: str,
+    metric: Distance | None = None,
+    radius: float | None = None,
+    res: int = 6,
+    id_col: str = "cell_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Search + gather + solve for a data side too big to broadcast."""
+    if "data_id" not in data_df.columns:
+        raise ValueError(
+            "tiled strategy requires a deterministic 'data_id' column "
+            "(tie-break identity must not depend on partitioning)"
+        )
+    metric = metric or Haversine()
+    qsel = grid_df.selectExpr(
+        id_col,
+        f"{query_coord_cols[0]} AS lon",
+        f"{query_coord_cols[1]} AS lat",
+    )
+    dsel = data_df.selectExpr(
+        "data_id",
+        f"{data_coord_cols[0]} AS lon",
+        f"{data_coord_cols[1]} AS lat",
+    )
+    pairs = knn_join_tiled_exact(qsel, dsel, k, res, metric=metric, salt=salt)
+    if radius is not None:
+        # KBallSearch semantics: the ≤k nearest within the ball
+        pairs = pairs.filter(F.col("dist") <= radius)
+
+    dvals = data_df.selectExpr(
+        "data_id",
+        f"{data_coord_cols[0]} AS _nx",
+        f"{data_coord_cols[1]} AS _ny",
+        *[f"{v} AS _v_{v}" for v in value_cols],
+    )
+    enriched = pairs.join(dvals, "data_id")
+    struct_cols = [
+        F.col("rank"), F.col("dist"), F.col("_nx"), F.col("_ny"),
+        *[F.col(f"_v_{v}") for v in value_cols],
+    ]
+    nb = enriched.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("_nb")
+    )
+    joined = grid_df.select(id_col, *query_coord_cols).join(
+        nb, id_col, "left"
+    )
+    vnames = list(value_cols)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = len(pdf)
+            qcoords = pdf[query_coord_cols].to_numpy(np.float64)
+            NC = np.zeros((B, k, 2))
+            dist = np.full((B, k), np.inf)
+            valid = np.zeros((B, k), dtype=bool)
+            vals = {v: np.zeros((B, k)) for v in vnames}
+            for b, lst in enumerate(pdf["_nb"].tolist()):
+                if lst is None:
+                    continue
+                for j, row in enumerate(lst[:k]):
+                    valid[b, j] = True
+                    dist[b, j] = row["dist"]
+                    NC[b, j, 0] = row["_nx"]
+                    NC[b, j, 1] = row["_ny"]
+                    for v in vnames:
+                        vals[v][b, j] = row[f"_v_{v}"]
+            yield kernel(pdf, qcoords, NC, vals, dist, valid)
+
+    return joined.mapInPandas(run, schema=out_schema)
+
+
+def kriging_tiled(
+    data_df: DataFrame,
+    grid_df: DataFrame,
+    var: str,
+    model,
+    data_coord_cols: list[str],
+    query_coord_cols: list[str],
+    k: int,
+    minneighbors: int,
+    metric: Distance,
+    radius: float | None,
+    id_col: str,
+    res: int = 6,
+    salt: int = 0,
+) -> DataFrame:
+    from .kriging import solve_systems
+
+    def kernel(pdf, qcoords, NC, vals, dist, valid):
+        mu, v = solve_systems(
+            model, qcoords, NC, vals[var], valid, dist, metric, minneighbors
+        )
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: mu, f"{var}_variance": v,
+        })
+
+    schema = f"{id_col} long, {var} double, {var}_variance double"
+    return tiled_local_apply(
+        grid_df, data_df.filter(f"{var} IS NOT NULL"),
+        query_coord_cols, data_coord_cols, [var], k, kernel, schema,
+        metric=metric, radius=radius, res=res, id_col=id_col, salt=salt,
+    )
+
+
+def idw_tiled(
+    data_df: DataFrame,
+    grid_df: DataFrame,
+    var: str,
+    data_coord_cols: list[str],
+    query_coord_cols: list[str],
+    k: int,
+    minneighbors: int,
+    exponent: float,
+    metric: Distance,
+    radius: float | None,
+    id_col: str,
+    res: int = 6,
+    salt: int = 0,
+) -> DataFrame:
+    """Tiled IDW: gathered-array form of `idw.idw_kernel` (same math/order)."""
+
+    def kernel(pdf, qcoords, NC, vals, dist, valid):
+        zn = vals[var]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(valid, 1.0 / np.power(dist, exponent), 0.0)
+        sw = w.sum(axis=1)
+        mu = np.where(
+            sw > 0, (w * np.where(valid, zn, 0.0)).sum(axis=1), np.nan
+        )
+        mu = mu / np.where(sw > 0, sw, 1.0)
+        dmin = dist.min(axis=1)
+        zero = (dist[:, 0] == 0.0) & valid[:, 0]
+        mu = np.where(zero, zn[:, 0], mu)
+        sigma = np.where(zero, 0.0, dmin)
+        few = valid.sum(axis=1) < minneighbors
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: np.where(few, np.nan, mu),
+            f"{var}_distance": np.where(few, np.nan, sigma),
+        })
+
+    schema = f"{id_col} long, {var} double, {var}_distance double"
+    return tiled_local_apply(
+        grid_df, data_df.filter(f"{var} IS NOT NULL"),
+        query_coord_cols, data_coord_cols, [var], k, kernel, schema,
+        metric=metric, radius=radius, res=res, id_col=id_col, salt=salt,
+    )
+
+
+def lwr_tiled(
+    data_df: DataFrame,
+    grid_df: DataFrame,
+    var: str,
+    data_coord_cols: list[str],
+    query_coord_cols: list[str],
+    k: int,
+    minneighbors: int,
+    weightfun,
+    metric: Distance,
+    radius: float | None,
+    id_col: str,
+    res: int = 6,
+    salt: int = 0,
+) -> DataFrame:
+    """Tiled LWR: gathered-array form of `lwr.lwr_kernel` (same math)."""
+
+    def kernel(pdf, qcoords, NC, vals, dist, valid):
+        B, kk = valid.shape
+        vm = valid.astype(np.float64)
+        fd = np.where(valid, dist, 0.0)
+        dmax = fd.max(axis=1, keepdims=True)
+        dmax = np.where(dmax > 0, dmax, 1.0)
+        w = np.asarray(weightfun(fd / dmax), dtype=np.float64) * vm
+        X = np.concatenate([np.ones((B, kk, 1)), NC], axis=2) * vm[:, :, None]
+        zn = vals[var] * vm
+        WX = w[:, :, None] * X
+        G = np.einsum("bkp,bkq->bpq", X, WX)
+        b_ = np.einsum("bkp,bk->bp", WX, zn)
+        x0 = np.concatenate([np.ones((B, 1)), qcoords], axis=1)
+        try:
+            theta = np.linalg.solve(G, b_[:, :, None])[:, :, 0]
+            Ginv_x0 = np.linalg.solve(G, x0[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            Ginv = np.linalg.pinv(G)
+            theta = np.einsum("bpq,bq->bp", Ginv, b_)
+            Ginv_x0 = np.einsum("bpq,bq->bp", Ginv, x0)
+        mu = np.einsum("bp,bp->b", theta, x0)
+        r = (WX @ Ginv_x0[:, :, None])[:, :, 0]
+        sigma = np.sqrt(np.einsum("bk,bk->b", r, r))
+        few = valid.sum(axis=1) < minneighbors
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: np.where(few, np.nan, mu),
+            f"{var}_variance": np.where(few, np.nan, sigma),
+        })
+
+    schema = f"{id_col} long, {var} double, {var}_variance double"
+    return tiled_local_apply(
+        grid_df, data_df.filter(f"{var} IS NOT NULL"),
+        query_coord_cols, data_coord_cols, [var], k, kernel, schema,
+        metric=metric, radius=radius, res=res, id_col=id_col, salt=salt,
+    )
