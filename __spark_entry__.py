@@ -418,19 +418,33 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geostatssolvers_jl_spark.webtext.dedup import lsh_candidates_sql
+    """Production-shape MinHash-LSH: 128 int hashes, 32 bands × 4 rows,
+    fold-key banding — candidates per (band, key) bucket only."""
+    from geostatssolvers_jl_spark.webtext.dedup import lsh_candidates128_sql
 
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(lsh_candidates_sql("spark"))
+    return spark.sql(lsh_candidates128_sql("spark"))
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form production band keys (the LSH shuffle key at scale)."""
+    from geostatssolvers_jl_spark.webtext.dedup import minhash_bands_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(minhash_bands_sql("spark"))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard verification with the hot-shingle candidate cap
+    (boilerplate shingles shared by huge doc sets never enter the pair
+    join; values still computed on full sets)."""
     from geostatssolvers_jl_spark.webtext.dedup import ngram_jaccard_sql
 
     _register(spark, sf_dir, ("documents",))
     return spark.sql(ngram_jaccard_sql(
         "spark", threshold=0.05,
         pair_pred="a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25",
+        shingle_cap=100,
     ))
 
 
@@ -442,23 +456,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95)."""
+    """Embedding-cosine near-dup pairs THROUGH the LSH buckets (own +
+    Hamming-1 probes, exact cosine verify) — the scale path; no cross
+    join anywhere in the plan."""
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        dedup_embedding_lsh_sql,
+    )
+
     _register(spark, sf_dir, ("embeddings",))
-    spark.sql(
-        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
-        "FROM embeddings"
-    ).createOrReplaceTempView("emb_dd")
-    dot = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    nrm = (
-        "sqrt(aggregate(zip_with(a.e, a.e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)) * "
-        "sqrt(aggregate(zip_with(b.e, b.e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
-    )
-    return spark.sql(
-        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"round(({dot}) / ({nrm}), 6) AS cos_sim "
-        f"FROM emb_dd a CROSS JOIN emb_dd b "
-        f"WHERE a.vec_id < b.vec_id AND ({dot}) / ({nrm}) >= 0.35"
-    )
+    return spark.sql(dedup_embedding_lsh_sql("spark", threshold=0.35))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed bucketed ANN: bucket assign → Hamming-1 probe → per-bucket
+    exact cosine → top-3 per query, for EVERY vector (not a 20-query demo)."""
+    from geostatssolvers_jl_spark.webtext.similarity import ann_topk_lsh_sql
+
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql(ann_topk_lsh_sql("spark", k=3))
 
 
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,39 +1123,31 @@ def _lwr_fixture_oracle() -> str:
 
 def _webtext_oracles() -> dict[str, str]:
     from geostatssolvers_jl_spark.webtext.dedup import (
-        lsh_candidates_sql,
+        lsh_candidates128_sql,
+        minhash_bands_sql,
         minhash_signature_sql,
         ngram_jaccard_sql,
         simhash_sql,
     )
-    from geostatssolvers_jl_spark.webtext.similarity import bucket_sql
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        ann_topk_lsh_sql,
+        bucket_sql,
+        dedup_embedding_lsh_sql,
+    )
     from geostatssolvers_jl_spark.webtext.textstats import fingerprint_expr
 
-    # DuckDB-native embedding near-dup (independent formulation)
-    dotd = "list_sum(list_transform(range(1, 65), i -> ae[i] * be[i]))"
-    nrmd = (
-        "sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i]))) * "
-        "sqrt(list_sum(list_transform(range(1, 65), i -> be[i] * be[i])))"
-    )
-    emb = (
-        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
-        "AS {c} FROM embeddings)"
-    )
-    dedup_emb = (
-        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"round(({dotd}) / ({nrmd}), 6) AS cos_sim "
-        f"FROM {emb.format(c='ae')} a CROSS JOIN {emb.format(c='be')} b "
-        f"WHERE a.vec_id < b.vec_id AND ({dotd}) / ({nrmd}) >= 0.35"
-    )
     return {
         "minhash_signature": minhash_signature_sql("duck"),
-        "dedup_minhash_lsh": lsh_candidates_sql("duck"),
+        "minhash_bands": minhash_bands_sql("duck"),
+        "dedup_minhash_lsh": lsh_candidates128_sql("duck"),
         "ngram_jaccard": ngram_jaccard_sql(
             "duck", threshold=0.05,
             pair_pred="a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25",
+            shingle_cap=100,
         ),
         "simhash": simhash_sql("duck"),
-        "dedup_embedding": dedup_emb,
+        "dedup_embedding": dedup_embedding_lsh_sql("duck", threshold=0.35),
+        "ann_topk_lsh": ann_topk_lsh_sql("duck", k=3),
         "ann_lsh_bucket": bucket_sql("duck"),
         "fingerprint": (
             f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "
@@ -1186,10 +1193,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "units_affine": q_units_affine,
         "minhash_signature": q_minhash_signature,
+        "minhash_bands": q_minhash_bands,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,

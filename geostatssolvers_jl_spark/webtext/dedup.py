@@ -82,25 +82,140 @@ def lsh_candidates_sql(dialect: str, docs_rel: str = "documents",
 
 def ngram_jaccard_sql(dialect: str, docs_rel: str = "documents",
                       k: int = 3, threshold: float = 0.0,
-                      pair_pred: str = "a.doc_id < b.doc_id") -> str:
+                      pair_pred: str = "a.doc_id < b.doc_id",
+                      shingle_cap: int | None = None) -> str:
     """Exact shingle-set Jaccard for doc pairs (candidate verification).
-    Output (doc_a, doc_b, jaccard) rounded to 6 dp."""
+    Output (doc_a, doc_b, jaccard) rounded to 6 dp.
+
+    ``shingle_cap``: shingles occurring in more than this many documents
+    (boilerplate — a shared footer shingle across 10⁶ docs explodes the
+    pair join quadratically) are dropped from CANDIDATE GENERATION only;
+    the exact intersection/Jaccard for surviving pairs still uses the FULL
+    shingle sets, so reported values are unbiased."""
     sh = (shingles_spark if dialect == "spark" else shingles_duck)("text", k)
     ex = f"SELECT doc_id, {_explode(dialect, sh, 'sh')} FROM {docs_rel}"
     dist = f"SELECT DISTINCT doc_id, sh FROM ({ex}) _x"
     sizes = f"SELECT doc_id, count(*) AS n FROM ({dist}) _d GROUP BY doc_id"
-    inter = (
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
-        f"FROM ({dist}) a JOIN ({dist}) b ON a.sh = b.sh AND {pair_pred} "
-        f"GROUP BY a.doc_id, b.doc_id"
-    )
+    if shingle_cap is None:
+        inter = (
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            f"FROM ({dist}) a JOIN ({dist}) b ON a.sh = b.sh AND {pair_pred} "
+            f"GROUP BY a.doc_id, b.doc_id"
+        )
+        with_clauses = f"WITH _i AS ({inter}), _s AS ({sizes}) "
+    else:
+        cold = (
+            f"SELECT doc_id, sh FROM _d WHERE sh IN "
+            f"(SELECT sh FROM _d GROUP BY sh "
+            f"HAVING count(*) <= {shingle_cap})"
+        )
+        cand = (
+            f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM _cold a JOIN _cold b ON a.sh = b.sh AND {pair_pred}"
+        )
+        inter = (
+            f"SELECT c.doc_a, c.doc_b, count(*) AS i FROM _cand c "
+            f"JOIN _d a ON a.doc_id = c.doc_a "
+            f"JOIN _d b ON b.doc_id = c.doc_b AND b.sh = a.sh "
+            f"GROUP BY c.doc_a, c.doc_b"
+        )
+        with_clauses = (
+            f"WITH _d AS ({dist}), _cold AS ({cold}), _cand AS ({cand}), "
+            f"_i AS ({inter}), _s AS ({sizes}) "
+        )
     return (
-        f"WITH _i AS ({inter}), _s AS ({sizes}) "
-        f"SELECT doc_a, doc_b, "
+        with_clauses
+        + f"SELECT doc_a, doc_b, "
         f"round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
         f"FROM _i JOIN _s sa ON _i.doc_a = sa.doc_id "
         f"JOIN _s sb ON _i.doc_b = sb.doc_id "
         f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r}"
+    )
+
+
+# ---------------------------------------------------- production MinHash
+
+N_HASHES_PROD = 128
+BANDS_PROD = 32   # 32 bands × 4 rows — LSH threshold (1/32)^(1/4) ≈ 0.42
+MH_PRIME = 2147483647
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic affine-map coefficients for hash i (nonzero a)."""
+    a = (2654435761 * (i + 1) + 97) % MH_PRIME
+    if a == 0:
+        a = 1
+    b = (40503 * (i + 1) + 12345) % MH_PRIME
+    return a, b
+
+
+def _base_hash(dialect: str) -> str:
+    """One 60-bit md5-derived integer per shingle, reduced mod p — both
+    engines parse the identical hex substring, so values match exactly."""
+    if dialect == "spark":
+        h = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        h = "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+    return f"({h} % {MH_PRIME})"
+
+
+def minhash128_sig_cte(dialect: str, docs_rel: str = "documents",
+                       k: int = 3, n_hashes: int = N_HASHES_PROD) -> str:
+    """Wide production signature: one md5 per DISTINCT (doc, shingle), then
+    ``n_hashes`` affine maps (aᵢ·h+bᵢ) mod p aggregated with min — ~100×
+    cheaper per shingle than n_hashes separate md5 calls, and a single
+    narrow shuffle on doc_id.  Returns SQL producing (doc_id, m0..m{n-1})."""
+    sh = (shingles_spark if dialect == "spark" else shingles_duck)("text", k)
+    ex = f"SELECT doc_id, {_explode(dialect, sh, 'sh')} FROM {docs_rel}"
+    base = (
+        f"SELECT DISTINCT doc_id, {_base_hash(dialect)} AS h "
+        f"FROM ({ex}) _e"
+    )
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MH_PRIME}) AS m{i}"
+        for i, (a, b) in ((i, _mh_params(i)) for i in range(n_hashes))
+    )
+    return f"SELECT doc_id, {mins} FROM ({base}) _h GROUP BY doc_id"
+
+
+def _band_key(band: int, rows: int) -> str:
+    """Fold the band's ``rows`` minhash values into one bigint key:
+    iterated (key·31 + mᵢ) mod p — equality of the fold is the standard
+    band-hash stand-in for equality of all rows (no giant string concats,
+    no array dialect split)."""
+    key = f"m{band * rows}"
+    for r in range(1, rows):
+        key = f"(({key}) * 31 + m{band * rows + r}) % {MH_PRIME}"
+    return f"({key})"
+
+
+def minhash_bands_sql(dialect: str, docs_rel: str = "documents",
+                      k: int = 3, n_hashes: int = N_HASHES_PROD,
+                      bands: int = BANDS_PROD) -> str:
+    """(doc_id, band, key) long-form production banding — the LSH shuffle
+    key at scale is (band, key)."""
+    rows = n_hashes // bands
+    sig = minhash128_sig_cte(dialect, docs_rel, k, n_hashes)
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(b, rows)} AS key FROM _sig"
+        for b in range(bands)
+    )
+    return f"WITH _sig AS ({sig}) {selects}"
+
+
+def lsh_candidates128_sql(dialect: str, docs_rel: str = "documents",
+                          k: int = 3, n_hashes: int = N_HASHES_PROD,
+                          bands: int = BANDS_PROD) -> str:
+    """Production-shape candidate pairs: docs sharing ≥1 of ``bands`` band
+    keys.  Pairs only materialize per (band, key) bucket — never globally.
+    Output (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
+    bands_sql = minhash_bands_sql(dialect, docs_rel, k, n_hashes, bands)
+    return (
+        f"WITH _bands AS ({bands_sql}) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"count(*) AS n_shared_bands "
+        f"FROM _bands a JOIN _bands b ON a.band = b.band AND a.key = b.key "
+        f"AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id"
     )
 
 

@@ -17,34 +17,179 @@ N_PLANES = 8
 DIM = 64
 
 
-def weight_expr(plane: int, d: int) -> str:
+def weight_expr(plane: int, d: int, table: int = 0) -> str:
     """Deterministic hyperplane weight in [-0.5, 0.5): integer arithmetic
-    identical in both engines."""
-    return f"(CAST(({plane * 8191 + d * 131 + 7}) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+    identical in both engines (table 0 reproduces the single-table
+    weights exactly)."""
+    seed = table * 37199 + plane * 8191 + d * 131 + 7
+    return f"(CAST(({seed}) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
 
 
-def bucket_sql(dialect: str, emb_rel: str = "embeddings",
-               n_planes: int = N_PLANES, dim: int = DIM) -> str:
-    """(vec_id, bucket) — sign pattern of n_planes dot products."""
+def _bucket_expr(dialect: str, n_planes: int, dim: int, table: int = 0) -> str:
+    """Packed sign-pattern bucket id of one hash table."""
     if dialect == "spark":
         def dot(p):
             terms = " + ".join(
-                f"CAST(embedding[{d}] AS DOUBLE) * {weight_expr(p, d)}"
+                f"CAST(embedding[{d}] AS DOUBLE) * {weight_expr(p, d, table)}"
                 for d in range(dim)
             )
             return f"({terms})"
     else:
         def dot(p):
             terms = " + ".join(
-                f"CAST(embedding[{d + 1}] AS DOUBLE) * {weight_expr(p, d)}"
+                f"CAST(embedding[{d + 1}] AS DOUBLE) * {weight_expr(p, d, table)}"
                 for d in range(dim)
             )
             return f"({terms})"
-    packed = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {dot(p)} >= 0.0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
-    return f"SELECT vec_id, {packed} AS bucket FROM {emb_rel}"
+
+
+def bucket_sql(dialect: str, emb_rel: str = "embeddings",
+               n_planes: int = N_PLANES, dim: int = DIM) -> str:
+    """(vec_id, bucket) — sign pattern of n_planes dot products."""
+    return (
+        f"SELECT vec_id, {_bucket_expr(dialect, n_planes, dim)} AS bucket "
+        f"FROM {emb_rel}"
+    )
+
+
+def bucket_tables_sql(dialect: str, emb_rel: str = "embeddings",
+                      n_planes: int = 5, n_tables: int = 6,
+                      dim: int = DIM) -> str:
+    """(vec_id, tbl, bucket) — L independent hash tables (the standard
+    multi-table LSH layout: a true neighbor is a candidate if it collides
+    in ANY table, so recall compounds as 1 − (1 − p^planes)^tables)."""
+    selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_bucket_expr(dialect, n_planes, dim, t)} AS bucket FROM {emb_rel}"
+        for t in range(n_tables)
+    )
+    return selects
+
+
+def _emb_double(dialect: str, emb_rel: str, col: str) -> str:
+    if dialect == "spark":
+        return (
+            f"(SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"AS {col} FROM {emb_rel})"
+        )
+    return (
+        f"(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS {col} FROM {emb_rel})"
+    )
+
+
+def _cos_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
+    """Exact cosine between two array<double> columns, dialect-split only in
+    list-function spelling (values bit-identical)."""
+    if dialect == "spark":
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        nrm = (
+            f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)) * "
+            f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x))"
+        )
+    else:
+        dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+        nrm = (
+            f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {a}[i]))) * "
+            f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {b}[i] * {b}[i])))"
+        )
+    return f"({dot}) / ({nrm})"
+
+
+def _probe_union(n_planes: int) -> str:
+    """Probe buckets of a (vec_id, tbl, bucket) relation ``_bt``: each
+    table's bucket itself plus its ``n_planes`` Hamming-1 neighbors
+    (multiprobe).  Bit flip spelled as ``b + 2^p − 2·(b & 2^p)`` —
+    identical text in Spark SQL and DuckDB (no xor-operator split)."""
+    probes = ["SELECT vec_id, tbl, bucket AS probe FROM _bt"]
+    for p in range(n_planes):
+        m = 1 << p
+        probes.append(
+            f"SELECT vec_id, tbl, bucket + {m} - 2 * (bucket & {m}) "
+            f"AS probe FROM _bt"
+        )
+    return " UNION ALL ".join(probes)
+
+
+def _lsh_candidates_cte(dialect: str, emb_rel: str, n_planes: int,
+                        n_tables: int, dim: int, pair_pred: str) -> str:
+    """WITH-clause prefix producing ``_cand(qid, nid)`` — DISTINCT vector
+    pairs colliding in ≥1 probed bucket of ≥1 table — and ``_emb``."""
+    bt = bucket_tables_sql(dialect, emb_rel, n_planes, n_tables, dim)
+    emb = _emb_double(dialect, emb_rel, "e")
+    return (
+        f"WITH _bt AS ({bt}), "
+        f"_probes AS ({_probe_union(n_planes)}), "
+        f"_cand AS (SELECT DISTINCT p.vec_id AS qid, d.vec_id AS nid "
+        f"FROM _probes p JOIN _bt d ON p.tbl = d.tbl "
+        f"AND p.probe = d.bucket AND {pair_pred}), "
+        f"_emb AS (SELECT * FROM {emb} _ed) "
+    )
+
+
+def ann_topk_lsh_sql(dialect: str, emb_rel: str = "embeddings",
+                     k: int = 3, n_planes: int = 5, n_tables: int = 6,
+                     dim: int = DIM) -> str:
+    """COMPOSED multi-table bucketed ANN top-k: L hash tables → Hamming-1
+    multiprobe per table → DISTINCT candidate pairs → exact cosine →
+    window top-k.
+
+    Output (qid, nid, cos_sim, rank).  The scale path for similarity
+    search: candidates only materialize per (tbl, bucket) equi-join group
+    — never an all-pairs cross join; the probe fanout is a fixed
+    ×(n_tables·(n_planes+1)) of the query side and the exact cosine runs
+    once per DISTINCT candidate.  Both engines run the identical bucketed
+    algorithm, so the oracle checks values, not just shape."""
+    cte = _lsh_candidates_cte(
+        dialect, emb_rel, n_planes, n_tables, dim,
+        "p.vec_id <> d.vec_id",
+    )
+    cos = _cos_sql(dialect, "q.e", "d.e", dim)
+    inner = (
+        f"SELECT c.qid, c.nid, round({cos}, 6) AS cos_sim "
+        f"FROM _cand c JOIN _emb q ON c.qid = q.vec_id "
+        f"JOIN _emb d ON c.nid = d.vec_id"
+    )
+    ranked = (
+        f"SELECT *, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY cos_sim DESC, nid) AS rank FROM ({inner}) _i"
+    )
+    return (
+        cte
+        + f"SELECT qid, nid, cos_sim, rank FROM ({ranked}) _r "
+        f"WHERE rank <= {k}"
+    )
+
+
+def dedup_embedding_lsh_sql(dialect: str, emb_rel: str = "embeddings",
+                            threshold: float = 0.35, n_planes: int = 5,
+                            n_tables: int = 6, dim: int = DIM) -> str:
+    """Embedding near-dup pairs THROUGH the multi-table LSH buckets:
+    DISTINCT candidate pairs from any table's probed buckets, then exact
+    cosine verification — replaces the O(n²) cross join.  Output
+    (vec_a, vec_b, cos_sim), vec_a < vec_b."""
+    cte = _lsh_candidates_cte(
+        dialect, emb_rel, n_planes, n_tables, dim,
+        "p.vec_id < d.vec_id",
+    )
+    cos = _cos_sql(dialect, "a.e", "b.e", dim)
+    return (
+        cte
+        + f"SELECT c.qid AS vec_a, c.nid AS vec_b, "
+        f"round({cos}, 6) AS cos_sim "
+        f"FROM _cand c JOIN _emb a ON c.qid = a.vec_id "
+        f"JOIN _emb b ON c.nid = b.vec_id "
+        f"WHERE {cos} >= {threshold!r}"
+    )
 
 
 def cosine_topk_spark(emb_view: str, k: int, query_pred: str = "q.vec_id < 20") -> str:

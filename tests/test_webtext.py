@@ -122,3 +122,77 @@ def test_fingerprint_prefix_sensitivity(spark, docs):
         f"FROM documents LIMIT 20"
     ).collect()
     assert all(r["fp"] != r["fp2"] for r in rows)  # first byte matters
+
+
+def test_minhash128_planted_neardup_recall(spark):
+    """Production MinHash-LSH (128 hashes, 32x4 fold-key banding) must
+    recall planted near-duplicates and exclude unrelated docs."""
+    from geostatssolvers_jl_spark.webtext.dedup import (
+        lsh_candidates128_sql, ngram_jaccard_sql,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    did = 0
+    planted = []
+    for g in range(12):
+        base = list(rng.choice(vocab, 80))
+        docs.append((did, " ".join(base)))
+        orig = did
+        did += 1
+        # near-dup: perturb ~4 of 80 tokens (high jaccard)
+        mut = list(base)
+        for j in rng.choice(80, 4, replace=False):
+            mut[j] = str(rng.choice(vocab))
+        docs.append((did, " ".join(mut)))
+        planted.append((orig, did))
+        did += 1
+    for _ in range(30):  # unrelated noise docs
+        docs.append((did, " ".join(rng.choice(vocab, 80))))
+        did += 1
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("pl_docs")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql(lsh_candidates128_sql("spark", "pl_docs")).collect()
+    }
+    missed = [p for p in planted if p not in cand]
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+    # exact jaccard of every candidate: no junk below 0.05
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in spark.sql(ngram_jaccard_sql("spark", "pl_docs")).collect()
+    }
+    low = [p for p in cand if jac.get(p, 0.0) < 0.05]
+    assert len(low) <= max(1, len(cand) // 10), f"too many junk candidates: {low}"
+
+
+def test_ann_topk_lsh_recall_vs_brute(spark):
+    """Bucketed ANN top-1 must agree with brute-force cosine top-1 for a
+    solid majority of queries (LSH recall bound)."""
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        ann_topk_lsh_sql, cosine_topk_spark,
+    )
+
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings"
+    ).createOrReplaceTempView("emb_t")
+    brute = {
+        r["qid"]: r["nid"]
+        for r in spark.sql(
+            cosine_topk_spark("emb_t", k=1, query_pred="q.vec_id < 100")
+        ).collect()
+    }
+    ann = {
+        r["qid"]: r["nid"]
+        for r in spark.sql(ann_topk_lsh_sql("spark", k=1)).collect()
+        if r["qid"] < 100
+    }
+    hits = sum(1 for q, n in brute.items() if ann.get(q) == n)
+    assert hits >= 0.6 * len(brute), f"ANN top-1 recall too low: {hits}/{len(brute)}"
