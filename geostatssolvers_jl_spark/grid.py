@@ -128,6 +128,20 @@ class CartesianGrid:
         df = df.withColumnRenamed("id", id_col)
         return df.selectExpr(*self.select_exprs(id_col))
 
+    def centroids_np(self, ids):
+        """Vectorized numpy centroids for an array of linear cell ids —
+        the same arithmetic (and FP op order) as `centroid_expr`."""
+        import numpy as np
+
+        ids = np.asarray(ids, dtype=np.int64)
+        cols = []
+        for a in range(self.ndims):
+            stride = prod(self.dims[:a])
+            idx = (ids // stride) % self.dims[a] + 1
+            o, s = self.origin[a], self.spacing[a]
+            cols.append(o + (idx.astype(np.float64) - 0.5) * s)
+        return np.column_stack(cols)
+
     def duck_sql(self, id_col: str = "cell_id") -> str:
         """DuckDB relation producing the identical grid table."""
         inner = f"SELECT range AS {id_col} FROM range({self.ncells})"

@@ -96,17 +96,23 @@ def solve_fftgs(
                     var: Z.ravel(order="F"),  # column-major linear index
                 })
 
-    reals = (
-        spark.range(nreals, numPartitions=min(nreals, 64))
-        .mapInPandas(gen, schema=f"real_id long, cell_id long, {var} double")
-    )
     if data is None:
-        return reals
+        return (
+            spark.range(nreals, numPartitions=min(nreals, 64))
+            .mapInPandas(gen, schema=f"real_id long, cell_id long, {var} double")
+        )
 
-    # ---- conditioning: z = zᵤ + OK(resid at data cells) -----------------
+    # ---- conditioning: z = zᵤ + SK(resid at data cells), fft.jl:176-192 --
+    # The residual-kriging correction runs INSIDE the realization task:
+    # each task already holds its full-grid zᵤ, the (small, broadcast)
+    # conditioning data gives resid = zdat − zᵤ[data cells] locally, and
+    # the neighbor geometry (search indices / global factorization) is
+    # REAL-INDEPENDENT so it is computed once per task and reused across
+    # the task's realizations.  One Spark job total — no per-realization
+    # driver loop, no nreals-way union tree, no (real, cell) re-join.
     from pyspark.sql import functions as Fn
 
-    from ..operators.kriging import KrigingModel, solve_kriging
+    from ..operators.kriging import KrigingModel
 
     data_coord_cols = data_coord_cols or ["x", "y"]
     snap = grid.snap_cell_expr(tuple(data_coord_cols), "cell_id")
@@ -117,62 +123,78 @@ def solve_fftgs(
         # value) — dropDuplicates varies with partitioning
         .groupBy("cell_id").agg(Fn.min("zdat").alias("zdat"))
     )
-    reals = reals.cache()
-    gdf = grid.spark_df(spark)
-    out = []
-    dpdf = dcells.toPandas()
-    zu_at = (
-        reals.join(Fn.broadcast(dcells), "cell_id")
-        .select("real_id", "cell_id", var, "zdat")
-        .toPandas()
-    )
-    cellxy = {
-        int(r["cell_id"]): None for _, r in dpdf.iterrows()
-    }
-    # cell centroids for the resid kriging data
-    cent = gdf.join(
-        Fn.broadcast(dcells.select("cell_id")), "cell_id"
-    ).toPandas()
-    cent = cent.set_index("cell_id")
-    coord_names = [c for c in cent.columns]
+    dpdf = dcells.toPandas().sort_values("cell_id").reset_index(drop=True)
+    dcell_ids = dpdf["cell_id"].to_numpy(np.int64)
+    zdat = dpdf["zdat"].to_numpy(np.float64)
+    dcoords = grid.centroids_np(dcell_ids)
     model = KrigingModel(variogram=variogram, mean=0.0)  # SK on residuals
-    for real_id, grp in zu_at.groupby("real_id"):
-        resid = grp.assign(resid=grp["zdat"] - grp[var])
-        pts = spark.createDataFrame(
-            pd.DataFrame({
-                "data_id": resid["cell_id"].to_numpy(np.int64),
-                "x": cent.loc[resid["cell_id"], coord_names[0]].to_numpy(),
-                "y": cent.loc[resid["cell_id"], coord_names[1]].to_numpy()
-                if len(coord_names) > 1 else np.zeros(len(resid)),
-                "z": resid["resid"].to_numpy(np.float64),
-            })
-        )
-        rk = solve_kriging(
-            pts, gdf, var="z", model=model,
-            data_coord_cols=["x", "y"][: max(1, len(coord_names))],
-            query_coord_cols=coord_names,
-            maxneighbors=maxneighbors, radius=krig_radius,
-        ).selectExpr(
-            f"CAST({real_id} AS BIGINT) AS real_id", "cell_id",
-            "z AS resid",
-        )
-        out.append(rk)
-    resid_all = out[0]
-    for o in out[1:]:
-        resid_all = resid_all.unionByName(o)
-    conditioned = (
-        reals.join(resid_all, ["real_id", "cell_id"], "left")
-        .selectExpr(
-            "real_id", "cell_id",
-            f"{var} + coalesce(resid, 0.0) AS {var}",
-        )
+    bc_cond = spark.sparkContext.broadcast(
+        (dcell_ids, zdat, dcoords, model, maxneighbors, krig_radius)
     )
-    # hard data exact at data cells (fft conditioning keeps them via the
-    # residual being exact there; enforce bit-exactness explicitly)
+    chunk = 262_144
+
+    def gen_cond(batches):
+        from ..distances import Euclidean
+        from ..neighbors import PointData, search
+        from ..operators.kriging import (
+            _fit_global, _predict_global, solve_systems,
+        )
+
+        Fb, g, mu0, dd, sd = bc.value
+        ids_d, zd, Xd, mdl, kmax, rad = bc_cond.value
+        met = Euclidean()
+        nd = len(ids_d)
+        pd_data = PointData(coords=Xd, values={}, ids=ids_d)
+        Ainv = None          # global path: factorization, once per task
+        geom_cache: dict = {}  # local path: (idx, dist) per chunk start
+        cache_ok = ncells * min(kmax or 0, nd) <= 16_000_000
+        for pdf in batches:
+            for real_id in pdf["id"].tolist():
+                Z = _one_realization(Fb, g, mu0, dd, sd, real_id)
+                zu = Z.ravel(order="F")
+                resid = zd - zu[ids_d]
+                corr = np.empty(ncells)
+                if kmax is None:
+                    if Ainv is None:
+                        fit0 = _fit_global(
+                            mdl, PointData(Xd, {"z": resid}, ids_d), "z", met
+                        )
+                        Ainv = fit0
+                    fit = dict(Ainv, z=resid)
+                    for s in range(0, ncells, chunk):
+                        e = min(ncells, s + chunk)
+                        q = grid.centroids_np(np.arange(s, e))
+                        corr[s:e] = _predict_global(mdl, fit, q, met)[0]
+                else:
+                    kk = min(kmax, nd)
+                    for s in range(0, ncells, chunk):
+                        e = min(ncells, s + chunk)
+                        if s in geom_cache:
+                            idx, dist = geom_cache[s]
+                        else:
+                            q = grid.centroids_np(np.arange(s, e))
+                            idx, dist, _ = search(pd_data, q, kk, met, rad)
+                            if cache_ok:
+                                geom_cache[s] = (idx, dist)
+                        valid = idx >= 0
+                        zn = resid[np.maximum(idx, 0)] * valid
+                        m_, _ = solve_systems(
+                            mdl, grid.centroids_np(np.arange(s, e)),
+                            Xd[np.maximum(idx, 0)], zn, valid, dist,
+                            met, 1,
+                        )
+                        corr[s:e] = m_
+                z = zu + np.where(np.isfinite(corr), corr, 0.0)
+                z[ids_d] = zd  # hard data bit-exact at data cells
+                yield pd.DataFrame({
+                    "real_id": np.full(ncells, real_id, dtype=np.int64),
+                    "cell_id": np.arange(ncells, dtype=np.int64),
+                    var: z,
+                })
+
     return (
-        conditioned.join(Fn.broadcast(dcells), "cell_id", "left")
-        .selectExpr(
-            "real_id", "cell_id",
-            f"CASE WHEN zdat IS NOT NULL THEN zdat ELSE {var} END AS {var}",
+        spark.range(nreals, numPartitions=min(nreals, 64))
+        .mapInPandas(
+            gen_cond, schema=f"real_id long, cell_id long, {var} double"
         )
     )

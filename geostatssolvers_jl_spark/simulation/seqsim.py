@@ -75,12 +75,127 @@ def _sk_draw(
     return mu + np.sqrt(var) * rng.standard_normal()
 
 
+class _IncrementalBuckets:
+    """Insert-as-you-go bucket grid over the tile's (fixed) candidate
+    points — the reference's per-realization kd-tree rebuild
+    (``seq.jl:105``) replaced by O(1) inserts + certified ring queries.
+    The full per-cell rescan it replaces is O(tile²) in total."""
+
+    def __init__(self, pts: np.ndarray, target: int = 24):
+        self.pts = pts
+        n, dim = pts.shape
+        self.dim2 = min(dim, 2)
+        P = pts[:, : self.dim2]
+        if self.dim2 == 1:
+            P = np.column_stack([P[:, 0], np.zeros(n)])
+        self.P = P
+        lo = P.min(axis=0)
+        span = np.maximum(P.max(axis=0) - lo, 1e-9)
+        nb = max(1, int(np.sqrt(max(n, 1) / target)))
+        aspect = span[0] / span[1] if span[1] > 1e-9 else float(n)
+        self.nbx = max(1, int(round(nb * np.sqrt(min(aspect, n)))))
+        self.nby = max(1, nb * nb // self.nbx)
+        self.lo, self.span = lo, span
+        self.wx = span[0] / self.nbx
+        self.wy = span[1] / self.nby
+        bx = np.clip(((P[:, 0] - lo[0]) / span[0] * self.nbx).astype(np.int64),
+                     0, self.nbx - 1)
+        by = np.clip(((P[:, 1] - lo[1]) / span[1] * self.nby).astype(np.int64),
+                     0, self.nby - 1)
+        self.bx, self.by = bx, by
+        self.lists: list[list[int]] = [
+            [] for _ in range(self.nbx * self.nby)
+        ]
+
+    def insert(self, i: int) -> None:
+        self.lists[self.by[i] * self.nbx + self.bx[i]].append(int(i))
+
+    def _edge_bound(self, x: float, y: float, bx: int, by: int, r: int) -> float:
+        """Lower bound on distance to any point OUTSIDE the (2r+1)² bucket
+        window; edges on the tile bbox are droppable (no points beyond)."""
+        b = np.inf
+        if bx - r > 0:
+            b = min(b, x - (self.lo[0] + (bx - r) * self.wx))
+        if bx + r < self.nbx - 1:
+            b = min(b, (self.lo[0] + (bx + r + 1) * self.wx) - x)
+        if by - r > 0:
+            b = min(b, y - (self.lo[1] + (by - r) * self.wy))
+        if by + r < self.nby - 1:
+            b = min(b, (self.lo[1] + (by + r + 1) * self.wy) - y)
+        return max(b, 0.0)
+
+    def query(self, i: int, k: int, radius: float | None
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT k nearest inserted points to point i, canonical
+        (dist, index) order; same full-dim distance as the dense path."""
+        x, y = self.P[i, 0], self.P[i, 1]
+        bx, by = int(self.bx[i]), int(self.by[i])
+        max_r = max(self.nbx, self.nby)
+        cand: list[int] = []
+        r = 0
+        while True:
+            # gather the ring at Chebyshev distance exactly r
+            x0, x1 = max(0, bx - r), min(self.nbx - 1, bx + r)
+            y0, y1 = max(0, by - r), min(self.nby - 1, by + r)
+            if r == 0:
+                cand.extend(self.lists[by * self.nbx + bx])
+            else:
+                for yy in range(y0, y1 + 1):
+                    if yy in (by - r, by + r):
+                        for xx in range(x0, x1 + 1):
+                            cand.extend(self.lists[yy * self.nbx + xx])
+                    else:
+                        if bx - r >= 0:
+                            cand.extend(self.lists[yy * self.nbx + bx - r])
+                        if bx + r <= self.nbx - 1:
+                            cand.extend(self.lists[yy * self.nbx + bx + r])
+            covered_all = (
+                x0 == 0 and y0 == 0
+                and x1 == self.nbx - 1 and y1 == self.nby - 1
+            )
+            bound = self._edge_bound(x, y, bx, by, r)
+            # conservative slack: bucket-edge FP rounding and exact grid-
+            # distance ties across the window edge must expand, not certify
+            safe = bound - 1e-9 * (1.0 + abs(bound)) if np.isfinite(bound) \
+                else np.inf
+            enough = len(cand) >= k
+            ball_done = radius is not None and safe >= radius
+            if covered_all or ball_done or enough:
+                idx = np.asarray(cand, dtype=np.int64)
+                if idx.size == 0:
+                    if covered_all or ball_done:
+                        return idx, np.empty(0)
+                    r += 1
+                    continue
+                d = self.pts[idx] - self.pts[i][None, :]
+                dist = np.sqrt((d * d).sum(axis=1))
+                if radius is not None:
+                    keep = dist <= radius
+                    idx, dist = idx[keep], dist[keep]
+                o = np.lexsort((idx, dist))[:k]
+                idx, dist = idx[o], dist[o]
+                kth = dist[-1] if idx.size >= k else np.inf
+                if covered_all or ball_done or kth <= safe:
+                    return idx, dist
+            if r >= max_r:
+                idx = np.asarray(cand, dtype=np.int64)
+                d = self.pts[idx] - self.pts[i][None, :]
+                dist = np.sqrt((d * d).sum(axis=1))
+                if radius is not None:
+                    keep = dist <= radius
+                    idx, dist = idx[keep], dist[keep]
+                o = np.lexsort((idx, dist))[:k]
+                return idx[o], dist[o]
+            r += 1
+
+
 def _simulate_tile(
     rng,
     cells: np.ndarray,           # linear cell ids of this tile
     pts: np.ndarray,             # their centroids (nc, dim)
     params: SGSParams,
     init_vals: dict[int, float],  # cell_id -> hard value (NearestInit)
+    force_dense: bool = False,
 ) -> np.ndarray:
     vg, mean = params.variogram, params.mean
     nc = len(cells)
@@ -96,21 +211,31 @@ def _simulate_tile(
     if params.path == "random":
         rng.shuffle(order)
 
+    use_index = not force_dense and pts.shape[1] <= 2 and nc >= 256
+    index = _IncrementalBuckets(pts) if use_index else None
+    if index is not None:
+        for j in np.nonzero(simulated)[0]:
+            index.insert(int(j))
+
     sigma = np.sqrt(vg.sill)
     for i in order:
         if simulated[i]:
             continue
-        sel = np.nonzero(simulated)[0]
-        if sel.size:
-            d = pts[sel] - pts[i][None, :]
-            dist = np.sqrt((d * d).sum(axis=1))
-            if params.radius is not None:
-                sel = sel[dist <= params.radius]
-                dist = dist[dist <= params.radius]
-            if sel.size > params.maxneighbors:
-                part = np.argpartition(dist, params.maxneighbors - 1)
-                keep = part[: params.maxneighbors]
-                sel, dist = sel[keep], dist[keep]
+        if index is not None:
+            sel, dist = index.query(int(i), params.maxneighbors, params.radius)
+        else:
+            sel = np.nonzero(simulated)[0]
+            dist = np.empty(0)
+            if sel.size:
+                d = pts[sel] - pts[i][None, :]
+                dist = np.sqrt((d * d).sum(axis=1))
+                if params.radius is not None:
+                    keep = dist <= params.radius
+                    sel, dist = sel[keep], dist[keep]
+                # canonical (dist, index) order — deterministic ties,
+                # identical to the bucket-index path
+                o = np.lexsort((sel, dist))[: params.maxneighbors]
+                sel, dist = sel[o], dist[o]
         if sel.size < params.minneighbors:
             values[i] = mean + sigma * rng.standard_normal()
         elif params.estimator is not None:
@@ -120,6 +245,8 @@ def _simulate_tile(
                 rng, vg, mean, pts[i], pts[sel], values[sel]
             )
         simulated[i] = True
+        if index is not None:
+            index.insert(int(i))
     return values
 
 

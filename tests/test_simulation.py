@@ -189,3 +189,64 @@ def test_cookie_cutter(spark):
     low = pdf[pdf.cell_id < 50]["z"]
     high = pdf[pdf.cell_id >= 50]["z"]
     assert low.mean() > 5.0 and high.mean() < -5.0
+
+
+def test_fftgs_conditioning_single_pass_plan(spark):
+    """Conditional FFTGS must be ONE mapInPandas pass — no per-realization
+    driver loop, no join, no union tree (r1 ran 1 kriging job per real)."""
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+    from geostatssolvers_jl_spark.simulation.fftgs import solve_fftgs
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    data = spark.createDataFrame(
+        [(0, 12.0, 12.0, 1.0), (1, 30.0, 20.0, -1.0)],
+        "data_id long, x double, y double, z double",
+    )
+    grid = CartesianGrid((40, 40))
+    sol = solve_fftgs(
+        spark, grid, nreals=64, variogram=GaussianVariogram(range=8.0),
+        data=data, maxneighbors=2, seed=3,
+    )
+    plan = sol._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("MapInPandas") == 1
+    pdf = sol.toPandas()
+    assert len(pdf) == 64 * 1600
+    # conditioning exactness: every realization carries the datum at the
+    # snapped data cells (test/simulation/fft.jl semantics)
+    snap0 = 12 + 12 * 40  # floor((12-0)/1)=12 both axes
+    at0 = pdf[pdf.cell_id == snap0]
+    assert (at0.z == 1.0).all()
+
+
+def test_sgs_index_path_equals_dense(spark):
+    """The incremental bucket index must reproduce the dense rescan
+    BIT-EXACTLY (same neighbor sets + canonical order => same RNG stream
+    consumption => identical realizations), including on a tie-heavy
+    regular grid and with a radius."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams, _simulate_tile,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    grid = CartesianGrid((24, 24))
+    from geostatssolvers_jl_spark.simulation.lugs import _centroids
+
+    pts = _centroids(grid)
+    cells = np.arange(grid.ncells)
+    init = {0: 1.0, 301: -0.5, 575: 2.0}
+    for radius, path in [(None, "linear"), (6.0, "random"), (2.5, "linear")]:
+        p = SGSParams(
+            variogram=SphericalVariogram(range=8.0), maxneighbors=5,
+            radius=radius, path=path,
+        )
+        a = _simulate_tile(
+            np.random.default_rng(7), cells, pts, p, init,
+        )
+        b = _simulate_tile(
+            np.random.default_rng(7), cells, pts, p, init, force_dense=True,
+        )
+        assert np.array_equal(a, b), (radius, path)
