@@ -695,27 +695,106 @@ def q_sgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sol.selectExpr("real_id", "cell_id", "round(z, 6) AS z")
 
 
+# deterministic per-(real, cell) fields so the cookie-cutter OPERATOR (the
+# join + CASE composition, cookie.jl:74-75) gets a full value oracle — the
+# stochastic composition with LUGS ensembles is exercised in pytest
+_CC_F = "CAST((cell_id + real_id) % 2 AS INT)"
+_CC_Z0 = "CAST((cell_id * 37 + real_id * 11) % 100 AS DOUBLE) / 10.0"
+_CC_Z1 = "0.0 - CAST((cell_id * 17 + real_id * 7) % 100 AS DOUBLE) / 10.0"
+
+
 def q_cookie_cutter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O9 cookie-cutter composition (rows-only)."""
+    """O9 cookie-cutter composition over deterministic secondary fields —
+    value-checked against the same relational composition in SQL."""
     from geostatssolvers_jl_spark.simulation.cookie import cookie_cutter
-    from geostatssolvers_jl_spark.simulation.lugs import (
-        LUGSVariable, solve_lugs,
-    )
-    from geostatssolvers_jl_spark.variogram import GaussianVariogram
 
     grid = CartesianGrid((20, 20))
-    master = (
+    base = (
         spark.range(2)
         .crossJoin(grid.spark_df(spark).select("cell_id"))
-        .selectExpr(
-            "id AS real_id", "cell_id",
-            "CASE WHEN cell_id % 2 = 0 THEN 0 ELSE 1 END AS f",
-        )
+        .selectExpr("id AS real_id", "cell_id")
     )
-    s0 = solve_lugs(spark, grid, 2, [LUGSVariable(variogram=GaussianVariogram(range=3.0), mean=10.0)], seed=1)
-    s1 = solve_lugs(spark, grid, 2, [LUGSVariable(variogram=GaussianVariogram(range=3.0), mean=-10.0)], seed=2)
+    master = base.selectExpr("real_id", "cell_id", f"{_CC_F} AS f")
+    s0 = base.selectExpr("real_id", "cell_id", f"{_CC_Z0} AS z")
+    s1 = base.selectExpr("real_id", "cell_id", f"{_CC_Z1} AS z")
     out = cookie_cutter(master, "f", {0: s0, 1: s1})
     return out.selectExpr("real_id", "cell_id", "f", "round(z, 6) AS z")
+
+
+def _cookie_oracle() -> str:
+    base = (
+        "SELECT r.real_id, g.cell_id FROM "
+        "(SELECT range AS real_id FROM range(2)) r CROSS JOIN "
+        "(SELECT range AS cell_id FROM range(400)) g"
+    )
+    return (
+        f"SELECT real_id, cell_id, {_CC_F} AS f, "
+        f"round(CASE WHEN {_CC_F} = 0 THEN {_CC_Z0} ELSE {_CC_Z1} END, 6) "
+        f"AS z FROM ({base}) _b"
+    )
+
+
+def q_spdegs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 SPDE Gaussian simulation (GMRF via grid-Laplacian precision,
+    unconditional — the reference ships it untested/unconditional too;
+    rows-only)."""
+    from geostatssolvers_jl_spark.simulation.spde import solve_spdegs
+
+    grid = CartesianGrid((30, 30))
+    sol = solve_spdegs(spark, grid, nreals=3, correlation_length=6.0, seed=11)
+    return sol.selectExpr("real_id", "cell_id", "round(z, 6) AS z")
+
+
+# --------- conditioning-exactness invariants (value-checked: every
+# realization must carry the datum bit-exactly at its snapped data cell —
+# the reference's own golden, test/simulation/sgs.jl:18-20 / fft.jl:176)
+
+_SIM3_VALUES = "(VALUES (25.0, 25.0, 1.0), (50.0, 75.0, 0.0), (75.0, 50.0, 1.0)) _v(x, y, z)"
+SIM_GRID = CartesianGrid((50, 50), (0.5, 0.5), (2.0, 2.0))
+
+
+def _cond_oracle(grid: CartesianGrid, values_rel: str, nreals: int,
+                 coord_cols: tuple[str, ...] = ("x", "y")) -> str:
+    snap = grid.snap_cell_expr(coord_cols)
+    return (
+        f"SELECT r.real_id, {snap} AS cell_id, round(z, 6) AS z "
+        f"FROM {values_rel} CROSS JOIN "
+        f"(SELECT range AS real_id FROM range({nreals})) r"
+    )
+
+
+def _at_data_cells(spark: SparkSession, sim: DataFrame,
+                   grid: CartesianGrid, values_rel: str,
+                   coord_cols: tuple[str, ...] = ("x", "y")) -> DataFrame:
+    snap = grid.snap_cell_expr(coord_cols)
+    cells = spark.sql(f"SELECT DISTINCT {snap} AS cell_id FROM {values_rel}")
+    return (
+        sim.join(cells, "cell_id")
+        .selectExpr("real_id", "cell_id", "round(z, 6) AS z")
+    )
+
+
+def q_sgs_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_sgs(spark, sf_dir)
+    return _at_data_cells(spark, sim, SIM_GRID, _SIM3_VALUES)
+
+
+def q_fftgs_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_fftgs(spark, sf_dir)
+    return _at_data_cells(spark, sim, SIM_GRID, _SIM3_VALUES)
+
+
+_LUGS_VALUES = (
+    "(VALUES (0.0, 0.0), (25.0, 1.0), (50.0, 0.0), (75.0, 1.0), "
+    "(100.0, 0.0)) _v(x, z)"
+)
+
+
+def q_lugs_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_lugs(spark, sf_dir)
+    return _at_data_cells(
+        spark, sim, CartesianGrid((100,)), _LUGS_VALUES, ("x",)
+    )
 
 
 def q_pointwise_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,6 +1001,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kriging_fixture_global": _kriging_global_oracle(),
         "lwr_fixture": _lwr_fixture_oracle(),
+        "sgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
+        "fftgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
+        "lugs_conditioning": _cond_oracle(
+            CartesianGrid((100,)), _LUGS_VALUES, 3, ("x",)
+        ),
+        "cookie_cutter": _cookie_oracle(),
         "events_top_users": (
             "SELECT event_type, user_id, n_events, rank FROM ("
             "  SELECT event_type, user_id, n_events, row_number() OVER ("
@@ -1206,6 +1291,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate": q_error_rate,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
+        # conditioning-exactness invariants: value-checked vs the datum
+        "sgs_conditioning": q_sgs_conditioning,
+        "fftgs_conditioning": q_fftgs_conditioning,
+        "lugs_conditioning": q_lugs_conditioning,
+        "cookie_cutter": q_cookie_cutter,
         # rows-only (linear-algebra / stochastic ops have no SQL equivalent)
         "kriging_fixture_global": q_kriging_fixture_global,
         "kriging_pages_local": q_kriging_pages_local,
@@ -1213,7 +1303,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fftgs_sim": q_fftgs,
         "lugs_sim": q_lugs,
         "sgs_sim": q_sgs,
-        "cookie_cutter": q_cookie_cutter,
+        "spdegs_sim": q_spdegs,
         "pointwise_learn": q_pointwise_learn,
     }
 

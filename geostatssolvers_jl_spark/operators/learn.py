@@ -70,15 +70,39 @@ class DecisionTreeClassifier:
         self._tree[node_id] = ("split", f, t, left, right)
         return node_id
 
+    def _node_arrays(self):
+        """Array form of the tree for vectorized descent: leaves have
+        feat = −1 and carry their class in ``left``."""
+        feat = np.array(
+            [nd[1] if nd[0] == "split" else -1 for nd in self._tree],
+            dtype=np.int64,
+        )
+        thr = np.array(
+            [nd[2] if nd[0] == "split" else 0.0 for nd in self._tree]
+        )
+        left = np.array(
+            [nd[3] if nd[0] == "split" else nd[1] for nd in self._tree],
+            dtype=np.int64,
+        )
+        right = np.array(
+            [nd[4] if nd[0] == "split" else 0 for nd in self._tree],
+            dtype=np.int64,
+        )
+        return feat, thr, left, right
+
     def predict(self, X: np.ndarray) -> np.ndarray:
-        out = np.empty(len(X), dtype=np.int64)
-        for i in range(len(X)):
-            node = self._tree[0]
-            while node[0] == "split":
-                _, f, t, l, r = node
-                node = self._tree[l] if X[i, f] <= t else self._tree[r]
-            out[i] = node[1]
-        return self.classes_[out]
+        """Vectorized level-order descent — ≤ max_depth np.where rounds over
+        the whole batch, no per-row Python."""
+        feat, thr, left, right = self._node_arrays()
+        cur = np.zeros(len(X), dtype=np.int64)
+        active = feat[cur] >= 0
+        while active.any():
+            a = np.nonzero(active)[0]
+            nodes = cur[a]
+            go_left = X[a, feat[nodes]] <= thr[nodes]
+            cur[a] = np.where(go_left, left[nodes], right[nodes])
+            active = feat[cur] >= 0
+        return self.classes_[left[cur]]
 
 
 def _gini(yi: np.ndarray, ncls: int) -> float:

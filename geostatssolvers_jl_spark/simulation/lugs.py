@@ -40,6 +40,10 @@ class LUGSVariable:
     variogram: Variogram = field(default_factory=GaussianVariogram)
     mean: float | None = None
     var: str = "z"
+    # pluggable factorization (reference option `factorization`,
+    # src/simulation/lu.jl:70, exercised with `lu` at
+    # test/simulation/lu.jl:72-73): "cholesky" | "lu"
+    factorization: str = "cholesky"
 
 
 def _centroids(grid: CartesianGrid) -> np.ndarray:
@@ -53,9 +57,33 @@ def _centroids(grid: CartesianGrid) -> np.ndarray:
     return np.column_stack(cols)
 
 
+def _lu_factor(C: np.ndarray) -> np.ndarray:
+    """Square-root factor of SPD ``C`` via no-pivot LU (Doolittle, outer-
+    product form, vectorized per column — no scipy in the runtime):
+    C = L·U with U = D·Lᵀ on SPD input, so B = L·√D satisfies B·Bᵀ = C.
+    This realizes the reference's pluggable `lu` factorization option
+    (src/simulation/lu.jl:70) without assuming symmetry in the algorithm."""
+    n = C.shape[0]
+    U = C.astype(np.float64).copy()
+    L = np.eye(n)
+    for k_ in range(n - 1):
+        piv = U[k_, k_]
+        L[k_ + 1:, k_] = U[k_ + 1:, k_] / piv
+        U[k_ + 1:, k_:] -= np.outer(L[k_ + 1:, k_], U[k_, k_:])
+    return L * np.sqrt(np.maximum(np.diag(U), 0.0))[None, :]
+
+
+def _factor(C: np.ndarray, method: str) -> np.ndarray:
+    if method == "lu":
+        return _lu_factor(C)
+    if method == "cholesky":
+        return np.linalg.cholesky(C)
+    raise ValueError(f"unknown factorization: {method}")
+
+
 def _preprocess_one(
     grid: CartesianGrid, vg: Variogram, z_by_cell: dict[int, float],
-    mean: float | None,
+    mean: float | None, factorization: str = "cholesky",
 ) -> dict:
     require_stationary(vg, "LUGS")
     pts = _centroids(grid)
@@ -71,17 +99,17 @@ def _preprocess_one(
     C22 = vg.cov(met.np(pts[slocs], pts[slocs]))
     if dlocs.size == 0:
         d2 = np.zeros(len(slocs))
-        L22 = np.linalg.cholesky(_sym(C22))
+        L22 = _factor(_sym(C22), factorization)
         z1 = np.empty(0)
     else:
         z1 = np.array([z_by_cell[int(i)] for i in dlocs])
         C11 = vg.cov(met.np(pts[dlocs], pts[dlocs]))
         C12 = vg.cov(met.np(pts[dlocs], pts[slocs]))
-        L11 = np.linalg.cholesky(_sym(C11))
+        L11 = _factor(_sym(C11), factorization)
         B12 = np.linalg.solve(L11, C12)  # lower-triangular solve
         A21 = B12.T
         d2 = A21 @ np.linalg.solve(L11, z1)
-        L22 = np.linalg.cholesky(_sym(C22 - A21 @ B12))
+        L22 = _factor(_sym(C22 - A21 @ B12), factorization)
         if mean is not None:
             import warnings
 
@@ -143,7 +171,9 @@ def solve_lugs(
                 .collect()
             )
             z_by_cell = {int(r["cell_id"]): float(r["zv"]) for r in rows}
-        pres.append(_preprocess_one(grid, v.variogram, z_by_cell, v.mean))
+        pres.append(_preprocess_one(
+            grid, v.variogram, z_by_cell, v.mean, v.factorization
+        ))
 
     names = [v.var for v in variables]
     bc = spark.sparkContext.broadcast((pres, names, correlation, seed))

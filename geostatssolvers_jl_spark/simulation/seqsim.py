@@ -47,7 +47,11 @@ class SGSParams:
     minneighbors: int = 1
     maxneighbors: int = 10
     radius: float | None = None          # MetricBall neighborhood
-    path: str = "linear"                 # "linear" | "random"
+    # "linear" | "random" | "multigrid" — the reference's path protocol
+    # (LinearPath/RandomPath/MultiGridPath, src/estimation/idw.jl:55,
+    # exercised at test/estimation/krig.jl:85): multigrid visits a
+    # coarse-to-fine lattice so early draws condition the whole domain
+    path: str = "linear"
     # pluggable CDF-estimator protocol (reference: SeqSim's `estimator`
     # with fit/predictprob, seq.jl:31 + test/dummy.jl:10-13): a callable
     # (rng, query_xy, neigh_xy, neigh_z) -> drawn value.  None → the SGS
@@ -73,6 +77,34 @@ def _sk_draw(
     mu = mean + lam @ (nz - mean)
     var = max(vg.sill - lam @ c0, 0.0)
     return mu + np.sqrt(var) * rng.standard_normal()
+
+
+def _multigrid_order(pts: np.ndarray) -> np.ndarray:
+    """MultiGridPath traversal (reference path protocol): visit the cells
+    on a coarse lattice first, then halve the stride until every cell is
+    visited — deterministic, vectorized.  Per-axis lattice indices come
+    from the rank of each coordinate among its axis' unique values, so the
+    path works for any (sub)grid handed to a tile."""
+    n, dim = pts.shape
+    idx = []
+    for a in range(dim):
+        uniq = np.unique(pts[:, a])
+        idx.append(np.searchsorted(uniq, pts[:, a]))
+    max_span = max(int(i.max()) + 1 if n else 1 for i in idx)
+    stride = 1
+    while stride * 2 < max_span:
+        stride *= 2
+    visited = np.zeros(n, dtype=bool)
+    chunks = []
+    while stride >= 1:
+        on = ~visited
+        for i in idx:
+            on &= (i % stride) == 0
+        sel = np.nonzero(on)[0]
+        chunks.append(sel)
+        visited[sel] = True
+        stride //= 2
+    return np.concatenate(chunks) if chunks else np.arange(n)
 
 
 class _IncrementalBuckets:
@@ -210,6 +242,8 @@ def _simulate_tile(
     order = np.arange(nc)
     if params.path == "random":
         rng.shuffle(order)
+    elif params.path == "multigrid":
+        order = _multigrid_order(pts)
 
     use_index = not force_dense and pts.shape[1] <= 2 and nc >= 256
     index = _IncrementalBuckets(pts) if use_index else None

@@ -250,3 +250,64 @@ def test_sgs_index_path_equals_dense(spark):
             np.random.default_rng(7), cells, pts, p, init, force_dense=True,
         )
         assert np.array_equal(a, b), (radius, path)
+
+
+def test_multigrid_path_order_and_conditioning(spark):
+    """MultiGridPath (reference path protocol, test/estimation/krig.jl:85):
+    coarse lattice first, all cells visited exactly once, conditioning
+    still exact."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.simulation.lugs import _centroids
+    from geostatssolvers_jl_spark.simulation.seqsim import _multigrid_order
+
+    grid = CartesianGrid((8, 8))
+    pts = _centroids(grid)
+    order = _multigrid_order(pts)
+    assert sorted(order) == list(range(64))
+    # the first wave is the stride-4 lattice: (i, j) with i%4==0, j%4==0
+    first4 = set(order[:4].tolist())
+    assert first4 == {0, 4, 32, 36}
+
+    grid2 = CartesianGrid((30, 30))
+    data = spark.createDataFrame(
+        [(0, 5.0, 5.0, 2.0)], "data_id long, x double, y double, z double",
+    )
+    sol = solve_sgs(
+        spark, grid2, nreals=2,
+        params=SGSParams(
+            variogram=GaussianVariogram(range=6.0), maxneighbors=4,
+            path="multigrid",
+        ),
+        data=data, seed=2,
+    )
+    rows = sol.filter("cell_id = 155").collect()  # floor(4.5)=4 + 5*30
+    assert len(rows) == 2 and all(r["z"] == 2.0 for r in rows)
+
+
+def test_lugs_lu_factorization(spark, data1d_lu):
+    """Pluggable factorization (lu.jl:72-73): `lu` factor must satisfy
+    B·Bᵀ = C and the conditional simulation must still reproduce data."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.simulation.lugs import _lu_factor
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(40, 3))
+    C = X @ X.T + 40 * np.eye(40)
+    B = _lu_factor(C)
+    assert np.allclose(B @ B.T, C, atol=1e-8)
+    assert np.allclose(B, np.tril(B))  # lower-triangular factor
+
+    sol = solve_lugs(
+        spark, GRID1D, nreals=2,
+        variables=[LUGSVariable(
+            variogram=SphericalVariogram(range=10.0), factorization="lu",
+        )],
+        data=data1d_lu, data_coord_cols=["x"], seed=6,
+    )
+    rows = sol.filter("cell_id IN (0, 25, 50, 75, 99)").collect()
+    want = {0: 0.0, 25: 1.0, 50: 0.0, 75: 1.0, 99: 0.0}
+    assert len(rows) == 10
+    for r in rows:
+        assert r["z"] == want[r["cell_id"]]
