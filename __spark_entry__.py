@@ -417,13 +417,28 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(minhash_signature_sql("spark"))
 
 
+def _mat_sig(spark: SparkSession) -> str:
+    """Materialize the 128-hash signature once (cached view) — Spark
+    inlines CTEs, so the 32 band arms would otherwise re-run the whole
+    min-aggregation each (the oracle's DuckDB CTE doesn't need this)."""
+    from geostatssolvers_jl_spark.webtext.dedup import minhash128_sig_cte
+
+    sig = spark.sql(minhash128_sig_cte("spark"))
+    sig.cache()
+    sig.count()  # materialize NOW: lazy caches race when 32 band arms hit
+    sig.createOrReplaceTempView("mh_sig_mat")
+    return "mh_sig_mat"
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape MinHash-LSH: 128 int hashes, 32 bands × 4 rows,
     fold-key banding — candidates per (band, key) bucket only."""
     from geostatssolvers_jl_spark.webtext.dedup import lsh_candidates128_sql
 
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(lsh_candidates128_sql("spark"))
+    return spark.sql(
+        lsh_candidates128_sql("spark", sig_rel=_mat_sig(spark))
+    )
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +446,9 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.webtext.dedup import minhash_bands_sql
 
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(minhash_bands_sql("spark"))
+    return spark.sql(
+        minhash_bands_sql("spark", sig_rel=_mat_sig(spark))
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +481,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register(spark, sf_dir, ("embeddings",))
-    return spark.sql(dedup_embedding_lsh_sql("spark", threshold=0.35))
+    return spark.sql(
+        dedup_embedding_lsh_sql("spark", threshold=0.35,
+                                bt_rel=_mat_buckets(spark))
+    )
+
+
+def _mat_buckets(spark: SparkSession) -> str:
+    """Materialize the multi-table bucket assignment once (cached view) —
+    the bucket arithmetic would otherwise be inlined into every probe arm
+    and join side."""
+    from geostatssolvers_jl_spark.webtext.similarity import bucket_tables_sql
+
+    bt = spark.sql(bucket_tables_sql("spark"))
+    bt.cache()
+    bt.count()  # materialize NOW: lazy caches race across probe arms
+    bt.createOrReplaceTempView("bt_mat")
+    return "bt_mat"
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,7 +506,9 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.webtext.similarity import ann_topk_lsh_sql
 
     _register(spark, sf_dir, ("embeddings",))
-    return spark.sql(ann_topk_lsh_sql("spark", k=3))
+    return spark.sql(
+        ann_topk_lsh_sql("spark", k=3, bt_rel=_mat_buckets(spark))
+    )
 
 
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:

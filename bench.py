@@ -70,6 +70,8 @@ def _pipeline(spark, sf_dir: str, k: int = 8, dims: tuple[int, int] = BENCH_DIMS
         model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=1e4)),
         data_coord_cols=["lon", "lat"], maxneighbors=k,
         metric=Haversine(6371.0),
+        # the data side is known-small here; skip auto's count probe
+        strategy="local-broadcast",
     )
     return sol
 
@@ -88,8 +90,9 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     timed("kriging_pipeline", lambda: _pipeline(spark, sf_dir).count())
     qs = entry.queries()
     for name in (
-        "idw_pages", "knn_join", "tile_assign", "dedup_exact",
-        "token_count", "langid", "ann_cosine", "pip_polygon",
+        "idw_pages", "knn_join", "knn_join_tiled", "idw_pages_tiled",
+        "tile_assign", "dedup_exact", "token_count", "langid",
+        "ann_cosine", "ann_topk_lsh", "dedup_minhash_lsh", "pip_polygon",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages

@@ -191,28 +191,51 @@ def _band_key(band: int, rows: int) -> str:
 
 def minhash_bands_sql(dialect: str, docs_rel: str = "documents",
                       k: int = 3, n_hashes: int = N_HASHES_PROD,
-                      bands: int = BANDS_PROD) -> str:
+                      bands: int = BANDS_PROD,
+                      sig_rel: str | None = None) -> str:
     """(doc_id, band, key) long-form production banding — the LSH shuffle
-    key at scale is (band, key)."""
+    key at scale is (band, key).
+
+    ``sig_rel``: name of a PRE-MATERIALIZED signature relation.  Spark
+    inlines CTEs, so without it the 128 min-aggregates would re-run once
+    per band arm; callers on the Spark side should materialize
+    `minhash128_sig_cte` (cached view) and pass its name.  DuckDB callers
+    can leave it None (one CTE)."""
     rows = n_hashes // bands
-    sig = minhash128_sig_cte(dialect, docs_rel, k, n_hashes)
+    if sig_rel is None:
+        sig = minhash128_sig_cte(dialect, docs_rel, k, n_hashes)
+        prefix, rel = f"WITH _sig AS ({sig}) ", "_sig"
+    else:
+        prefix, rel = "", sig_rel
     selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_band_key(b, rows)} AS key FROM _sig"
+        f"SELECT doc_id, {b} AS band, {_band_key(b, rows)} AS key FROM {rel}"
         for b in range(bands)
     )
-    return f"WITH _sig AS ({sig}) {selects}"
+    return prefix + selects
 
 
 def lsh_candidates128_sql(dialect: str, docs_rel: str = "documents",
                           k: int = 3, n_hashes: int = N_HASHES_PROD,
-                          bands: int = BANDS_PROD) -> str:
+                          bands: int = BANDS_PROD,
+                          sig_rel: str | None = None) -> str:
     """Production-shape candidate pairs: docs sharing ≥1 of ``bands`` band
     keys.  Pairs only materialize per (band, key) bucket — never globally.
-    Output (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
-    bands_sql = minhash_bands_sql(dialect, docs_rel, k, n_hashes, bands)
+    Output (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    ``sig_rel`` as in `minhash_bands_sql`."""
+    if sig_rel is None:
+        sig = minhash128_sig_cte(dialect, docs_rel, k, n_hashes)
+        bands_body = minhash_bands_sql(
+            dialect, docs_rel, k, n_hashes, bands, sig_rel="_sig"
+        )
+        prefix = f"WITH _sig AS ({sig}), _bands AS ({bands_body}) "
+    else:
+        bands_body = minhash_bands_sql(
+            dialect, docs_rel, k, n_hashes, bands, sig_rel=sig_rel
+        )
+        prefix = f"WITH _bands AS ({bands_body}) "
     return (
-        f"WITH _bands AS ({bands_sql}) "
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        prefix
+        + f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         f"count(*) AS n_shared_bands "
         f"FROM _bands a JOIN _bands b ON a.band = b.band AND a.key = b.key "
         f"AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id"

@@ -121,16 +121,30 @@ def _probe_union(n_planes: int) -> str:
 
 
 def _lsh_candidates_cte(dialect: str, emb_rel: str, n_planes: int,
-                        n_tables: int, dim: int, pair_pred: str) -> str:
+                        n_tables: int, dim: int, pair_pred: str,
+                        bt_rel: str | None = None) -> str:
     """WITH-clause prefix producing ``_cand(qid, nid)`` — DISTINCT vector
-    pairs colliding in ≥1 probed bucket of ≥1 table — and ``_emb``."""
-    bt = bucket_tables_sql(dialect, emb_rel, n_planes, n_tables, dim)
+    pairs colliding in ≥1 probed bucket of ≥1 table — and ``_emb``.
+
+    ``bt_rel``: name of a PRE-MATERIALIZED (vec_id, tbl, bucket) relation.
+    Spark inlines CTEs, so without it the n_tables×n_planes×dim bucket
+    arithmetic would re-run once per probe arm and join side; Spark-side
+    callers should materialize `bucket_tables_sql` (cached view) and pass
+    its name.  DuckDB callers can leave it None."""
     emb = _emb_double(dialect, emb_rel, "e")
+    if bt_rel is None:
+        bt = bucket_tables_sql(dialect, emb_rel, n_planes, n_tables, dim)
+        head = f"WITH _bt AS ({bt}), "
+        rel = "_bt"
+    else:
+        head = "WITH "
+        rel = bt_rel
+    probes = _probe_union(n_planes).replace("_bt", rel)
     return (
-        f"WITH _bt AS ({bt}), "
-        f"_probes AS ({_probe_union(n_planes)}), "
+        head
+        + f"_probes AS ({probes}), "
         f"_cand AS (SELECT DISTINCT p.vec_id AS qid, d.vec_id AS nid "
-        f"FROM _probes p JOIN _bt d ON p.tbl = d.tbl "
+        f"FROM _probes p JOIN {rel} d ON p.tbl = d.tbl "
         f"AND p.probe = d.bucket AND {pair_pred}), "
         f"_emb AS (SELECT * FROM {emb} _ed) "
     )
@@ -138,7 +152,7 @@ def _lsh_candidates_cte(dialect: str, emb_rel: str, n_planes: int,
 
 def ann_topk_lsh_sql(dialect: str, emb_rel: str = "embeddings",
                      k: int = 3, n_planes: int = 5, n_tables: int = 6,
-                     dim: int = DIM) -> str:
+                     dim: int = DIM, bt_rel: str | None = None) -> str:
     """COMPOSED multi-table bucketed ANN top-k: L hash tables → Hamming-1
     multiprobe per table → DISTINCT candidate pairs → exact cosine →
     window top-k.
@@ -151,7 +165,7 @@ def ann_topk_lsh_sql(dialect: str, emb_rel: str = "embeddings",
     algorithm, so the oracle checks values, not just shape."""
     cte = _lsh_candidates_cte(
         dialect, emb_rel, n_planes, n_tables, dim,
-        "p.vec_id <> d.vec_id",
+        "p.vec_id <> d.vec_id", bt_rel=bt_rel,
     )
     cos = _cos_sql(dialect, "q.e", "d.e", dim)
     inner = (
@@ -172,14 +186,15 @@ def ann_topk_lsh_sql(dialect: str, emb_rel: str = "embeddings",
 
 def dedup_embedding_lsh_sql(dialect: str, emb_rel: str = "embeddings",
                             threshold: float = 0.35, n_planes: int = 5,
-                            n_tables: int = 6, dim: int = DIM) -> str:
+                            n_tables: int = 6, dim: int = DIM,
+                            bt_rel: str | None = None) -> str:
     """Embedding near-dup pairs THROUGH the multi-table LSH buckets:
     DISTINCT candidate pairs from any table's probed buckets, then exact
     cosine verification — replaces the O(n²) cross join.  Output
     (vec_a, vec_b, cos_sim), vec_a < vec_b."""
     cte = _lsh_candidates_cte(
         dialect, emb_rel, n_planes, n_tables, dim,
-        "p.vec_id < d.vec_id",
+        "p.vec_id < d.vec_id", bt_rel=bt_rel,
     )
     cos = _cos_sql(dialect, "a.e", "b.e", dim)
     return (
