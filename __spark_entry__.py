@@ -647,6 +647,48 @@ def q_lwr_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kriging_pages_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 LOCAL kriging on REAL pages (k=3, haversine) — value-checked
+    against the SQL-Cramer OK solve over the pivoted kNN join (range
+    chosen so page clusters keep the systems well-conditioned; the
+    k=8 flagship stays in `kriging_pages_local`)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(
+        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+    )
+    sol = solve_kriging(
+        pagesdf, WORLD_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=800.0, sill=10000.0)),
+        data_coord_cols=["lon", "lat"], maxneighbors=3,
+        metric=Haversine(6371.0), strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 4) AS z", "round(z_variance, 4) AS z_variance"
+    )
+
+
+def _kriging_pages_k3_oracle() -> str:
+    hav = Haversine(6371.0).sql(("q.cx", "q.cy"), ("d.x", "d.y"))
+    pages_xyz = (
+        f"(SELECT p.data_id, p.lon AS x, p.lat AS y, "
+        f"CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
+    )
+    pairs = knn_pairs_sql(
+        f"({_oracle_grid(WORLD_GRID)})", pages_xyz, hav, k=3,
+        value_cols=("x", "y", "z"),
+    )
+    return _kriging_local_oracle(
+        rng=800.0, sill=10000.0, pairs=pairs, hav=True, round_to=4,
+    )
+
+
 def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging over geocoded pages (the flagship pipeline)."""
     from geostatssolvers_jl_spark.operators.kriging import (
@@ -975,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_pages_tiled": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
         "kriging_local_fixture": _kriging_local_oracle(),
         "kriging_tiled_fixture": _kriging_local_oracle(),
+        "kriging_pages_k3": _kriging_pages_k3_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
@@ -1122,17 +1165,25 @@ def _det_sql(M: list[list[str]]) -> str:
     return "(" + " ".join(terms) + ")"
 
 
-def _kriging_local_oracle(rng: float = 35.0, sill: float = 1.0) -> str:
+def _kriging_local_oracle(
+    rng: float = 35.0, sill: float = 1.0,
+    pairs: str | None = None, hav: bool = False, round_to: int = 6,
+) -> str:
     """Closed-form LOCAL Ordinary Kriging oracle, k = 3 neighbors: the
     (3+1)×(3+1) OK system per grid cell is solved by Cramer's rule in pure
     SQL over the pivoted kNN join — a fully independent value check of the
     engine's batched-LAPACK local solver (reference semantics
     ``src/estimation/krig.jl:205-228``).  Includes the engine's 1e-10·sill
-    diagonal regularization so both sides solve the same system."""
-    pairs = knn_pairs_sql(
-        f"({FIX_GRID.duck_sql()})", KRIG5_SQL, EUC, k=3,
-        value_cols=("x", "y", "z"),
-    )
+    diagonal regularization so both sides solve the same system.
+
+    ``pairs``: kNN pair relation with value_cols (x, y, z); defaults to
+    the Euclidean 5-point fixture.  ``hav=True`` uses great-circle
+    neighbor-neighbor distances (x=lon, y=lat)."""
+    if pairs is None:
+        pairs = knn_pairs_sql(
+            f"({FIX_GRID.duck_sql()})", KRIG5_SQL, EUC, k=3,
+            value_cols=("x", "y", "z"),
+        )
     piv_cols = ", ".join(
         f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
         for r in (1, 2, 3) for c in ("x", "y", "z", "dist")
@@ -1147,6 +1198,10 @@ def _kriging_local_oracle(rng: float = 35.0, sill: float = 1.0) -> str:
         )
 
     def euc(r: int, s: int) -> str:
+        if hav:
+            return Haversine(6371.0).sql(
+                (f"x{r}", f"y{r}"), (f"x{s}", f"y{s}")
+            )
         return (
             f"sqrt((x{r} - x{s}) * (x{r} - x{s}) + "
             f"(y{r} - y{s}) * (y{r} - y{s}))"
@@ -1185,8 +1240,8 @@ def _kriging_local_oracle(rng: float = 35.0, sill: float = 1.0) -> str:
     mu = "l1 * z1 + l2 * z2 + l3 * z3"
     lam_b = "l1 * b1 + l2 * b2 + l3 * b3 + l4 * 1.0"
     return (
-        f"SELECT cell_id, round({mu}, 6) AS z, "
-        f"round(greatest({sill!r} - ({lam_b}), 0.0), 6) AS z_variance "
+        f"SELECT cell_id, round({mu}, {round_to}) AS z, "
+        f"round(greatest({sill!r} - ({lam_b}), 0.0), {round_to}) AS z_variance "
         f"FROM ({lamq}) _f"
     )
 
@@ -1301,6 +1356,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_pages_tiled": q_idw_pages_tiled,
         "kriging_local_fixture": q_kriging_local_fixture,
         "kriging_tiled_fixture": q_kriging_tiled_fixture,
+        "kriging_pages_k3": q_kriging_pages_k3,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,

@@ -62,6 +62,75 @@ def _one_realization(
     return Z
 
 
+def _tile_layout(
+    grid: CartesianGrid, tile_dims: tuple[int, int], variogram: Variogram,
+) -> list[dict]:
+    """Tile the 2-D grid with halos ≥ 3× the correlation range per side
+    (the reference's own circulant-validity rule, fft.jl:46-47).  Each
+    entry: interior [ix0, ix1) × [iy0, iy1) and extended (haloed, clipped
+    at the domain) [ex0, ex1) × [ey0, ey1) index ranges."""
+    nx, ny = grid.dims
+    hx = int(np.ceil(3.0 * variogram.range / grid.spacing[0]))
+    hy = int(np.ceil(3.0 * variogram.range / grid.spacing[1]))
+    tx, ty = tile_dims
+    sx, sy = -(-nx // tx), -(-ny // ty)
+    tiles = []
+    for t in range(tx * ty):
+        a, b = t % tx, t // tx
+        ix0, ix1 = a * sx, min(nx, (a + 1) * sx)
+        iy0, iy1 = b * sy, min(ny, (b + 1) * sy)
+        if ix0 >= ix1 or iy0 >= iy1:
+            continue
+        tiles.append({
+            "t": t,
+            "ix0": ix0, "ix1": ix1, "iy0": iy0, "iy1": iy1,
+            "ex0": max(0, ix0 - hx), "ex1": min(nx, ix1 + hx),
+            "ey0": max(0, iy0 - hy), "ey1": min(ny, iy1 + hy),
+        })
+    return tiles
+
+
+def _tile_field(
+    grid: CartesianGrid, tl: dict, variogram: Variogram, mean: float,
+    seed: int, real_id: int, spec_cache: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One tile's interior field + its global cell ids.  The spectrum is
+    cached per extended-tile SHAPE (shared by all interior tiles)."""
+    ex0, ex1, ey0, ey1 = tl["ex0"], tl["ex1"], tl["ey0"], tl["ey1"]
+    edims = (ex1 - ex0, ey1 - ey0)
+    key = edims
+    if key not in spec_cache:
+        sub = CartesianGrid(
+            edims,
+            (grid.origin[0] + ex0 * grid.spacing[0],
+             grid.origin[1] + ey0 * grid.spacing[1]),
+            grid.spacing,
+        )
+        F = np.sqrt(np.abs(np.fft.fftn(np.fft.fftshift(
+            _cov_image(sub, variogram)
+        ))))
+        F.flat[0] = 0.0
+        spec_cache[key] = F
+    F = spec_cache[key]
+    # (seed, real, tile) stream — deterministic under any partitioning;
+    # tiles are independent fields (documented seam approximation: the
+    # halo keeps each interior stationary/wrap-free, it does not stitch
+    # covariance ACROSS tile boundaries)
+    rng = np.random.default_rng((seed, int(real_id), int(tl["t"])))
+    noise = rng.random(edims)
+    P = F * np.exp(1j * np.angle(np.fft.fftn(noise)))
+    Z = np.real(np.fft.ifftn(P))
+    sigma2 = np.mean(Z * Z)
+    Z = np.sqrt(variogram.sill / sigma2) * Z + mean
+    ix0, ix1, iy0, iy1 = tl["ix0"], tl["ix1"], tl["iy0"], tl["iy1"]
+    Zi = Z[ix0 - ex0: ix1 - ex0, iy0 - ey0: iy1 - ey0]
+    nx = grid.dims[0]
+    ii = np.arange(ix0, ix1)
+    jj = np.arange(iy0, iy1)
+    ids = jj[None, :] * nx + ii[:, None]
+    return Zi.ravel(order="F"), ids.ravel(order="F")
+
+
 def solve_fftgs(
     spark: SparkSession,
     grid: CartesianGrid,
@@ -74,10 +143,24 @@ def solve_fftgs(
     seed: int = 0,
     maxneighbors: int | None = None,
     krig_radius: float | None = None,
+    tile_dims: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Returns a long DataFrame (real_id, cell_id, z) — the Ensemble sink
-    (SURVEY §2.1 S4), realizations as the partition key."""
+    (SURVEY §2.1 S4), realizations as the partition key.
+
+    ``tile_dims``: split the (2-D) grid into tiles, each simulated with a
+    halo ≥ 3× the correlation range (the reference's validity rule) — the
+    scale path when one full-grid FFT image exceeds executor memory; the
+    parallel axis becomes (realization × tile).
+    """
     require_stationary(variogram, "FFTGS")
+    if tile_dims is not None:
+        if grid.ndims != 2:
+            raise ValueError("tile_dims requires a 2-D grid")
+        return _solve_fftgs_tiled(
+            spark, grid, nreals, variogram, mean, data, var,
+            data_coord_cols, seed, maxneighbors, krig_radius, tile_dims,
+        )
     dims = grid.dims
     F = np.sqrt(np.abs(np.fft.fftn(np.fft.fftshift(_cov_image(grid, variogram)))))
     F.flat[0] = 0.0  # zero the reference level, fft.jl:103
@@ -198,3 +281,154 @@ def solve_fftgs(
             gen_cond, schema=f"real_id long, cell_id long, {var} double"
         )
     )
+
+
+def _solve_fftgs_tiled(
+    spark: SparkSession,
+    grid: CartesianGrid,
+    nreals: int,
+    variogram: Variogram,
+    mean: float,
+    data: DataFrame | None,
+    var: str,
+    data_coord_cols: list[str] | None,
+    seed: int,
+    maxneighbors: int | None,
+    krig_radius: float | None,
+    tile_dims: tuple[int, int],
+) -> DataFrame:
+    """Tiled-halo FFTGS.  Unconditional: one job over (real × tile) units.
+    Conditional: pass A evaluates zᵤ at the (few) data-bearing tiles to
+    get per-real residuals (small — collected and re-broadcast), pass B
+    simulates every (real × tile) and applies the residual-kriging
+    correction in-task.  Two jobs total, RNG streams (seed, real, tile)
+    identical in both passes, no driver-side per-realization loop."""
+    tiles = _tile_layout(grid, tile_dims, variogram)
+    schema = f"real_id long, cell_id long, {var} double"
+    nunits = nreals * len(tiles)
+    bc = spark.sparkContext.broadcast((grid, tiles, variogram, mean, seed))
+
+    def gen_uncond(batches):
+        g_, tl_, vg_, mu_, sd_ = bc.value
+        cache: dict = {}
+        for pdf in batches:
+            for unit in pdf["id"].tolist():
+                real_id, ti = int(unit) // len(tl_), int(unit) % len(tl_)
+                z, ids = _tile_field(g_, tl_[ti], vg_, mu_, sd_, real_id, cache)
+                yield pd.DataFrame({
+                    "real_id": np.full(len(ids), real_id, dtype=np.int64),
+                    "cell_id": ids.astype(np.int64),
+                    var: z,
+                })
+
+    units = spark.range(nunits, numPartitions=min(nunits, 64))
+    if data is None:
+        return units.mapInPandas(gen_uncond, schema=schema)
+
+    # ---- conditional: pass A — zᵤ at data cells ------------------------
+    from pyspark.sql import functions as Fn
+
+    from ..operators.kriging import KrigingModel
+
+    data_coord_cols = data_coord_cols or ["x", "y"]
+    snap = grid.snap_cell_expr(tuple(data_coord_cols), "cell_id")
+    dcells = (
+        data.filter(f"{var} IS NOT NULL")
+        .selectExpr(f"{snap} AS cell_id", f"{var} AS zdat")
+        .groupBy("cell_id").agg(Fn.min("zdat").alias("zdat"))
+    )
+    dpdf = dcells.toPandas().sort_values("cell_id").reset_index(drop=True)
+    dcell_ids = dpdf["cell_id"].to_numpy(np.int64)
+    zdat = dpdf["zdat"].to_numpy(np.float64)
+    dcoords = grid.centroids_np(dcell_ids)
+    nx = grid.dims[0]
+    di, dj = dcell_ids % nx, dcell_ids // nx
+    data_tiles = sorted({
+        ti for ti, tl in enumerate(tiles)
+        if ((di >= tl["ix0"]) & (di < tl["ix1"])
+            & (dj >= tl["iy0"]) & (dj < tl["iy1"])).any()
+    })
+    bc_d = spark.sparkContext.broadcast((dcell_ids, data_tiles))
+
+    def gen_at_data(batches):
+        g_, tl_, vg_, mu_, sd_ = bc.value
+        ids_d, dts = bc_d.value
+        cache: dict = {}
+        for pdf in batches:
+            for unit in pdf["id"].tolist():
+                real_id, k_ = int(unit) // len(dts), int(unit) % len(dts)
+                tl = tl_[dts[k_]]
+                z, ids = _tile_field(g_, tl, vg_, mu_, sd_, real_id, cache)
+                m_ = np.isin(ids, ids_d)
+                yield pd.DataFrame({
+                    "real_id": np.full(int(m_.sum()), real_id, dtype=np.int64),
+                    "cell_id": ids[m_].astype(np.int64),
+                    var: z[m_],
+                })
+
+    zu_rows = (
+        spark.range(nreals * len(data_tiles),
+                    numPartitions=min(nreals * len(data_tiles), 64))
+        .mapInPandas(gen_at_data, schema=schema)
+        .toPandas()
+    )
+    # per-real residual vectors in canonical data order
+    pos = {int(c): i for i, c in enumerate(dcell_ids)}
+    R = np.zeros((nreals, len(dcell_ids)))
+    for _, r in zu_rows.iterrows():
+        R[int(r["real_id"]), pos[int(r["cell_id"])]] = (
+            zdat[pos[int(r["cell_id"])]] - r[var]
+        )
+    model = KrigingModel(variogram=variogram, mean=0.0)
+    bc_cond = spark.sparkContext.broadcast(
+        (dcell_ids, zdat, dcoords, R, model, maxneighbors, krig_radius)
+    )
+
+    def gen_cond(batches):
+        from ..distances import Euclidean
+        from ..neighbors import PointData, search
+        from ..operators.kriging import (
+            _fit_global, _predict_global, solve_systems,
+        )
+
+        g_, tl_, vg_, mu_, sd_ = bc.value
+        ids_d, zd, Xd, R_, mdl, kmax, rad = bc_cond.value
+        met = Euclidean()
+        nd = len(ids_d)
+        pd_data = PointData(coords=Xd, values={}, ids=ids_d)
+        fit0 = None
+        cache: dict = {}
+        for pdf in batches:
+            for unit in pdf["id"].tolist():
+                real_id, ti = int(unit) // len(tl_), int(unit) % len(tl_)
+                z, ids = _tile_field(g_, tl_[ti], vg_, mu_, sd_, real_id, cache)
+                resid = R_[real_id]
+                q = g_.centroids_np(ids)
+                if kmax is None:
+                    if fit0 is None:
+                        fit0 = _fit_global(
+                            mdl, PointData(Xd, {"z": resid}, ids_d), "z", met
+                        )
+                    corr = _predict_global(
+                        mdl, dict(fit0, z=resid), q, met
+                    )[0]
+                else:
+                    kk = min(kmax, nd)
+                    idx, dist, _ = search(pd_data, q, kk, met, rad)
+                    valid = idx >= 0
+                    zn = resid[np.maximum(idx, 0)] * valid
+                    corr, _ = solve_systems(
+                        mdl, q, Xd[np.maximum(idx, 0)], zn, valid, dist,
+                        met, 1,
+                    )
+                z = z + np.where(np.isfinite(corr), corr, 0.0)
+                m_ = np.isin(ids, ids_d)
+                if m_.any():
+                    z[m_] = zd[np.searchsorted(ids_d, ids[m_])]
+                yield pd.DataFrame({
+                    "real_id": np.full(len(ids), real_id, dtype=np.int64),
+                    "cell_id": ids.astype(np.int64),
+                    var: z,
+                })
+
+    return units.mapInPandas(gen_cond, schema=schema)

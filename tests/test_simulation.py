@@ -311,3 +311,46 @@ def test_lugs_lu_factorization(spark, data1d_lu):
     assert len(rows) == 10
     for r in rows:
         assert r["z"] == want[r["cell_id"]]
+
+
+def test_fftgs_tiled_halo(spark, data2d_3pt):
+    """Tiled-halo FFTGS (fft.jl:46-47 validity rule): full cell coverage,
+    per-tile stationarity (mean/sill), conditioning exact at data cells,
+    deterministic rerun."""
+    import numpy as np
+
+    grid = CartesianGrid((60, 60), (0.5, 0.5), (1.0, 1.0))
+    # unconditional: coverage + moments
+    sol = solve_fftgs(
+        spark, grid, nreals=4, variogram=GaussianVariogram(range=5.0),
+        mean=7.0, seed=13, tile_dims=(2, 2),
+    )
+    pdf = sol.toPandas()
+    assert len(pdf) == 4 * 3600
+    assert sorted(pdf[pdf.real_id == 0].cell_id) == list(range(3600))
+    assert abs(pdf.z.mean() - 7.0) < 0.2
+    assert abs(pdf.groupby("real_id").z.var().mean() - 1.0) < 0.25
+    # determinism
+    pdf2 = solve_fftgs(
+        spark, grid, nreals=4, variogram=GaussianVariogram(range=5.0),
+        mean=7.0, seed=13, tile_dims=(2, 2),
+    ).toPandas()
+    a = pdf.sort_values(["real_id", "cell_id"]).z.to_numpy()
+    b = pdf2.sort_values(["real_id", "cell_id"]).z.to_numpy()
+    assert np.array_equal(a, b)
+
+    # conditional: datum exact in every realization, at all 3 cells
+    grid2 = CartesianGrid((100, 100), (0.5, 0.5), (1.0, 1.0))
+    solc = solve_fftgs(
+        spark, grid2, nreals=2, variogram=GaussianVariogram(range=10.0),
+        data=data2d_3pt, maxneighbors=3, seed=5, tile_dims=(2, 2),
+    )
+    rows = solc.collect()
+    assert len(rows) == 2 * 10000
+    byreal = {}
+    for r in rows:
+        byreal.setdefault(r["real_id"], {})[r["cell_id"]] = r["z"]
+    for real in byreal.values():
+        for (i, j), v in [((25, 25), 1.0), ((50, 75), 0.0), ((75, 50), 1.0)]:
+            cell = (j - 1) * 100 + (i - 1)
+            assert real[cell] == pytest.approx(v, abs=1e-12)
