@@ -8,14 +8,20 @@ GMRF with precision built from the grid Laplacian,
 
     Q = τ² (κ² I − Δ)^α ,  κ = 1/ℓ,  α = 2
 
-sampled by solving ``Lᵀ x = w`` with ``L = chol(Q)`` and white noise w —
 ``src/simulation/spde.jl:57-67`` builds the same precision from
 Laplace-Beltrami + measure matrices on a mesh; on a regular grid the
 5-point finite-difference Laplacian is the equivalent operator.
 
-Spark realization mirrors LUGS: precision factor built once on the driver
-(dense — the container has no sparse cholesky; same small-domain bound as
-LUGS), broadcast, realizations fan out per ``(seed, real_id)``.
+Sampling is MATRIX-FREE: with A = κ²I − Δ (SPD) and α = 2, Q = A², so
+``x = A⁻¹ w`` with white noise w has Cov(x) = A⁻² = Q⁻¹.  The solve runs
+conjugate gradients against the 5-point stencil — O(ncells) memory, no
+dense n×n Laplacian, no cell-count bound (the round-1 dense Cholesky
+needed ≤ 20k cells; a 10⁷-cell realization now fits one task the same
+way FFTGS does).
+
+Spark realization mirrors FFTGS: stencil parameters broadcast once,
+realizations fan out per ``(seed, real_id)`` — deterministic under any
+partitioning (CG is a fixed deterministic iteration).
 """
 
 from __future__ import annotations
@@ -25,34 +31,62 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..grid import CartesianGrid
-from .lugs import MAX_SIM_CELLS
 
 
-def _laplacian(dims: tuple[int, ...]) -> np.ndarray:
-    """Dense 5-point (2-D) / 3-point (1-D) grid Laplacian, column-major
-    linear indexing (matches the engine's cell_id order)."""
-    n = int(np.prod(dims))
-    L = np.zeros((n, n))
-    if len(dims) == 1:
-        nx = dims[0]
-        for i in range(nx):
-            for di in (-1, 1):
-                j = i + di
-                if 0 <= j < nx:
-                    L[i, j] = 1.0
-                    L[i, i] -= 1.0
-        return L
-    nx, ny = dims
-    for j in range(ny):
-        for i in range(nx):
-            a = j * nx + i
-            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                ii, jj = i + di, j + dj
-                if 0 <= ii < nx and 0 <= jj < ny:
-                    b = jj * nx + ii
-                    L[a, b] = 1.0
-                    L[a, a] -= 1.0
-    return L
+def _apply_A(x: np.ndarray, kappa2: float) -> np.ndarray:
+    """y = (κ²I − Δ) x on the grid (2-D five-point / 1-D three-point
+    stencil, zero-Neumann-free boundary: missing neighbors contribute
+    nothing, matching the dense matrix the round-1 code built)."""
+    lap = -_degree(x.shape) * x
+    if x.ndim == 1:
+        lap[:-1] += x[1:]
+        lap[1:] += x[:-1]
+    else:
+        lap[:-1, :] += x[1:, :]
+        lap[1:, :] += x[:-1, :]
+        lap[:, :-1] += x[:, 1:]
+        lap[:, 1:] += x[:, :-1]
+    return kappa2 * x - lap
+
+
+def _degree(shape: tuple[int, ...]) -> np.ndarray:
+    """Number of grid neighbors per cell (2/3/4 at edges/interior)."""
+    deg = np.zeros(shape)
+    if len(shape) == 1:
+        deg[:] = 2.0
+        deg[0] = deg[-1] = 1.0
+    else:
+        deg[:] = 4.0
+        deg[0, :] -= 1.0
+        deg[-1, :] -= 1.0
+        deg[:, 0] -= 1.0
+        deg[:, -1] -= 1.0
+    return deg
+
+
+def _cg_solve(b: np.ndarray, kappa2: float, tol: float = 1e-10,
+              maxiter: int | None = None) -> np.ndarray:
+    """Conjugate gradients for (κ²I − Δ) x = b, matrix-free, float64.
+    Deterministic (fixed iteration, no randomized restarts)."""
+    x = np.zeros_like(b)
+    r = b - _apply_A(x, kappa2)
+    p = r.copy()
+    rs = float((r * r).sum())
+    b2 = float((b * b).sum())
+    if b2 == 0.0:
+        return x
+    maxiter = maxiter or 20 * int(np.sqrt(b.size) + 100)
+    for _ in range(maxiter):
+        Ap = _apply_A(p, kappa2)
+        alpha = rs / float((p * Ap).sum())
+        x += alpha * p
+        r -= alpha * Ap
+        rs_new = float((r * r).sum())
+        if rs_new <= tol * tol * b2:
+            break
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    return x
 
 
 def solve_spdegs(
@@ -65,32 +99,31 @@ def solve_spdegs(
     var: str = "z",
 ) -> DataFrame:
     """Unconditional GMRF realizations, long format (real_id, cell_id, z)."""
+    if grid.ndims > 2:
+        raise ValueError("SPDEGS stencil supports 1-D/2-D grids")
     n = grid.ncells
-    if n > MAX_SIM_CELLS:
-        raise ValueError(
-            f"SPDEGS dense precision needs ≤ {MAX_SIM_CELLS} cells (got {n})"
-        )
-    kappa = 1.0 / correlation_length
-    A = kappa**2 * np.eye(n) - _laplacian(grid.dims)
-    Q = A @ A  # α = 2 (spde.jl:57-64 with ν = α − d/2)
-    Lc = np.linalg.cholesky(Q)
-    # scale so marginal std ≈ sigma: sample x with Qx ~ N(0, Q⁻¹); std from
-    # a probe solve
-    probe = np.linalg.solve(Lc.T, np.ones(n) / np.sqrt(n))
-    scale = sigma / max(np.sqrt(np.mean(probe**2)), 1e-12)
-    bc = spark.sparkContext.broadcast((Lc, scale, seed, n))
+    kappa2 = (1.0 / correlation_length) ** 2
+    # marginal-variance probe: one deterministic unit-noise solve scales
+    # the field to std ≈ sigma (same normalization idea as round 1's
+    # probe, now matrix-free)
+    rng0 = np.random.default_rng((seed, 1 << 40))
+    shape = grid.dims if grid.ndims > 1 else (grid.dims[0],)
+    probe = _cg_solve(rng0.standard_normal(shape), kappa2)
+    scale = sigma / max(float(np.sqrt((probe ** 2).mean())), 1e-12)
+    bc = spark.sparkContext.broadcast((kappa2, scale, seed, shape))
 
     def gen(batches):
-        Lb, sc, sd, nn = bc.value
+        k2, sc, sd, shp = bc.value
+        nn = int(np.prod(shp))
         for pdf in batches:
             for real_id in pdf["id"].tolist():
                 rng = np.random.default_rng((sd, int(real_id)))
-                w = rng.standard_normal(nn)
-                x = np.linalg.solve(Lb.T, w) * sc
+                w = rng.standard_normal(shp)
+                x = _cg_solve(w, k2) * sc
                 yield pd.DataFrame({
                     "real_id": np.full(nn, real_id, dtype=np.int64),
                     "cell_id": np.arange(nn, dtype=np.int64),
-                    var: x,
+                    var: x.ravel(order="F"),
                 })
 
     return spark.range(nreals, numPartitions=min(nreals, 64)).mapInPandas(

@@ -76,3 +76,14 @@ def test_streaming_tile_counts(spark, tmp_path):
     batch_cells = {r["cell"] for r in batch.collect()}
     stream_cells = {r["cell"] for r in out}
     assert stream_cells == batch_cells
+
+
+def test_spdegs_scales_past_dense_bound(spark):
+    """The matrix-free CG sampler must handle grids far beyond the dense
+    Cholesky bound (round 1: <= 20k cells) in one task."""
+    grid = CartesianGrid((300, 300))  # 90k cells — 4.5x the old bound
+    sol = solve_spdegs(spark, grid, nreals=1, correlation_length=8.0, seed=4)
+    pdf = sol.toPandas()
+    assert len(pdf) == 90000
+    s = pdf.z.std()
+    assert 0.5 < s < 2.0  # sigma-normalized field
