@@ -26,14 +26,22 @@ def weight_expr(plane: int, d: int, table: int = 0) -> str:
 
 
 def _bucket_expr(dialect: str, n_planes: int, dim: int, table: int = 0) -> str:
-    """Packed sign-pattern bucket id of one hash table."""
+    """Packed sign-pattern bucket id of one hash table.
+
+    Spark spelling folds a zip_with against a weight-array literal —
+    whole-stage codegen chokes on the expanded n_planes×dim term chain
+    (tens of seconds of Janino compile), while the higher-order-function
+    form is interpreted and instant; the left fold starting at 0.0 adds
+    terms in the SAME order as DuckDB's explicit `+` chain, so the dot
+    products (hence the sign buckets) are bit-identical."""
     if dialect == "spark":
         def dot(p):
-            terms = " + ".join(
-                f"CAST(embedding[{d}] AS DOUBLE) * {weight_expr(p, d, table)}"
-                for d in range(dim)
+            ws = ", ".join(weight_expr(p, d, table) for d in range(dim))
+            return (
+                f"aggregate(zip_with("
+                f"transform(embedding, x -> CAST(x AS DOUBLE)), "
+                f"array({ws}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
             )
-            return f"({terms})"
     else:
         def dot(p):
             terms = " + ".join(
@@ -84,7 +92,11 @@ def _emb_double(dialect: str, emb_rel: str, col: str) -> str:
 
 def _cos_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
     """Exact cosine between two array<double> columns, dialect-split only in
-    list-function spelling (values bit-identical)."""
+    list-function spelling (values bit-identical: every spelling sums terms
+    left-to-right; the fold starts at 0.0, and 0.0 + x == x exactly).
+    An explicit indexed 64-term chain was tried and REJECTED: it blows the
+    Janino 64KB method limit inside the window stage, forcing a slower
+    interpreted fallback than the higher-order fold."""
     if dialect == "spark":
         dot = (
             f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
