@@ -528,6 +528,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → similarity composition: binary payloads → decoded
+    (FakeCodec) → 22-dim image features → LSH bucket assignment on the
+    DERIVED feature column (rows-only: the codec is a documented stub,
+    the Spark plumbing — schemas, batch shapes, bucket math — is real)."""
+    from geostatssolvers_jl_spark.sources.pages import load_pages
+    from geostatssolvers_jl_spark.webtext.multimodal import image_features
+    from geostatssolvers_jl_spark.webtext.similarity import _bucket_expr
+
+    pg = load_pages(spark, sf_dir)
+    feats = image_features(pg, binary_col="html", id_col="url")
+    feats.selectExpr("url", "feature AS embedding") \
+        .createOrReplaceTempView("mm_feats")
+    bexpr = _bucket_expr("spark", n_planes=8, dim=22)
+    return spark.sql(
+        f"SELECT url, {bexpr} AS bucket FROM mm_feats"
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing (FakeCodec stub; rows-only check —
     the decode itself is a documented stub, the Spark plumbing is real)."""
@@ -1378,6 +1397,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         "change_support": q_change_support,
         "error_rate": q_error_rate,
         "events_hourly": q_events_hourly,

@@ -81,6 +81,109 @@ def decode_images(df: DataFrame, binary_col: str = "html",
     )
 
 
+def image_features(df: DataFrame, binary_col: str = "html",
+                   id_col: str = "url", size: tuple[int, int] = (8, 8),
+                   codec=FakeCodec) -> DataFrame:
+    """binary column → (id, feature array<double>): decode → resize →
+    per-channel mean/std + 16-bin gray histogram (22-dim).  The feature
+    column is the bridge into the similarity stack — downstream the
+    LSH-bucketed ANN / near-dup operators consume it exactly like the
+    ``embeddings`` table.  Feature math is vectorized per batch (one
+    stacked (B, h, w, 3) tensor); only the codec itself is per-payload."""
+    fdim = 6 + 16
+
+    def run(batches):
+        for pdf in batches:
+            imgs = [
+                codec.resize(codec.decode(bytes(p)), size)
+                for p in pdf[binary_col]
+            ]
+            if imgs:
+                T = np.stack(imgs).astype(np.float64)  # (B, h, w, 3)
+                mean = T.mean(axis=(1, 2))             # (B, 3)
+                std = T.std(axis=(1, 2))               # (B, 3)
+                gray = T.mean(axis=3)                  # (B, h, w)
+                hist = np.stack([
+                    np.histogram(g, bins=16, range=(0.0, 256.0))[0]
+                    for g in gray
+                ]).astype(np.float64)
+                denom = hist.sum(axis=1, keepdims=True)
+                hist = hist / np.where(denom > 0, denom, 1.0)
+                feats = np.concatenate([mean, std, hist], axis=1)
+            else:
+                feats = np.zeros((0, fdim))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].tolist(),
+                "feature": [row.tolist() for row in feats],
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema=f"{id_col} string, feature array<double>"
+    )
+
+
+def frame_features(df: DataFrame, binary_col: str = "html",
+                   id_col: str = "url", n_frames: int = 3,
+                   size: tuple[int, int] = (8, 8),
+                   codec=FakeCodec) -> DataFrame:
+    """Video-style payloads → long (id, frame_id, feature): sample
+    ``n_frames``, one feature row per frame (the exploded layout a frame-
+    level dedup or search op consumes)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, fids, feats = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                for fi, frame in enumerate(
+                    codec.frame_sample(bytes(payload), n_frames)
+                ):
+                    small = codec.resize(frame, size).astype(np.float64)
+                    f = np.concatenate([
+                        small.mean(axis=(0, 1)), small.std(axis=(0, 1)),
+                    ])
+                    ids.append(rid)
+                    fids.append(fi)
+                    feats.append(f.tolist())
+            yield pd.DataFrame({
+                id_col: ids, "frame_id": fids, "feature": feats,
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run,
+        schema=f"{id_col} string, frame_id int, feature array<double>",
+    )
+
+
+def decode_audio(df: DataFrame, binary_col: str = "html",
+                 id_col: str = "url", codec=FakeCodec) -> DataFrame:
+    """Audio-style payloads → (id, duration_s, rms, peak): the FakeCodec
+    synthesizes a deterministic PCM buffer from the bytes; a real ffmpeg-
+    backed codec drops into the same batch signature."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, dur, rms, peak = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                h = hashlib.md5(b).digest()
+                n = 256 + h[0] * 8  # fake sample count
+                rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
+                pcm = rng.standard_normal(n) * (0.1 + h[1] / 512.0)
+                ids.append(rid)
+                dur.append(n / 16000.0)
+                rms.append(float(np.sqrt((pcm * pcm).mean())))
+                peak.append(float(np.abs(pcm).max()))
+            yield pd.DataFrame({
+                id_col: ids, "duration_s": dur, "rms": rms, "peak": peak,
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run,
+        schema=f"{id_col} string, duration_s double, rms double, "
+               f"peak double",
+    )
+
+
 def decode_images_real(df: DataFrame, **_) -> DataFrame:
     raise RealCodecUnavailable(
         "image/audio codecs are not installed in this container; use "

@@ -196,3 +196,35 @@ def test_ann_topk_lsh_recall_vs_brute(spark):
     }
     hits = sum(1 for q, n in brute.items() if ann.get(q) == n)
     assert hits >= 0.6 * len(brute), f"ANN top-1 recall too low: {hits}/{len(brute)}"
+
+
+def test_multimodal_feature_ops(spark):
+    """Multimodal plumbing: feature dims, frame explode counts, audio
+    stats, and cross-run determinism (FakeCodec is a pure function of the
+    payload bytes)."""
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        decode_audio, frame_features, image_features,
+    )
+
+    rows = [(f"u{i}", bytes([i] * (10 + i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+
+    feats = image_features(df, binary_col="html", id_col="url").collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 22 for r in feats)
+    hist = feats[0]["feature"][6:]
+    assert abs(sum(hist) - 1.0) < 1e-9  # normalized histogram
+
+    again = image_features(df, binary_col="html", id_col="url").collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+    fr = frame_features(df, binary_col="html", id_col="url", n_frames=3)
+    pdf = fr.toPandas()
+    assert len(pdf) == 36
+    assert set(pdf.frame_id) == {0, 1, 2}
+    assert all(len(f) == 6 for f in pdf.feature)
+
+    au = decode_audio(df, binary_col="html", id_col="url").collect()
+    assert len(au) == 12
+    assert all(r["rms"] > 0 and r["duration_s"] > 0 and r["peak"] >= r["rms"]
+               for r in au)
