@@ -55,6 +55,48 @@ def tile_counts_stream(
     )
 
 
+def incremental_cell_stats(pages: DataFrame, res: int = 6) -> DataFrame:
+    """CUSTOM STATEFUL operator (``applyInPandasWithState``): per-tile
+    running moments (n, mean, variance) of page length, updated
+    incrementally across micro-batches — the streaming analogue of the
+    batch A1/A6 aggregations, with O(tiles) state that survives restarts
+    through the checkpoint.  Emits one updated row per touched tile per
+    trigger."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    geo = pages.selectExpr(
+        "url", "warc_ts",
+        f"{lon_expr('text')} AS lon",
+        f"{lat_expr('text')} AS lat",
+        "CAST(length(text) AS DOUBLE) AS z",
+    ).selectExpr(
+        "*", f"{tiling.cell_expr('lon', 'lat', res)} AS cell"
+    )
+
+    def update(key, pdfs, state):
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["z"].sum())
+            s2 += float((pdf["z"] * pdf["z"]).sum())
+        state.update((n, s, s2))
+        mean = s / n if n else 0.0
+        yield pd.DataFrame({
+            "cell": [key[0]], "n_pages": [n], "mean_len": [mean],
+            "var_len": [max(s2 / n - mean * mean, 0.0) if n else 0.0],
+        })
+
+    return geo.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="cell long, n_pages long, mean_len double, "
+                         "var_len double",
+        stateStructType="n long, s double, s2 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available(stream_df: DataFrame, checkpoint: str,
                   mode: str = "append") -> list:
     """Drain everything currently available (Trigger.AvailableNow) into an

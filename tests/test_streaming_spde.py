@@ -6,6 +6,7 @@ import json
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from geostatssolvers_jl_spark.grid import CartesianGrid
 from geostatssolvers_jl_spark.simulation.spde import solve_spdegs
@@ -87,3 +88,76 @@ def test_spdegs_scales_past_dense_bound(spark):
     assert len(pdf) == 90000
     s = pdf.z.std()
     assert 0.5 < s < 2.0  # sigma-normalized field
+
+
+def test_incremental_cell_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState custom operator: state accumulates ACROSS
+    triggers (second drop of files updates the same tiles' running
+    moments through the checkpoint) and matches the batch moments."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.streaming.ingest import (
+        incremental_cell_stats, run_available, stream_pages,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ck = str(tmp_path / "ckpt")
+
+    def rows(lo, hi):
+        return [{
+            "url": f"https://s.example.org/{i}",
+            "warc_ts": "2024-01-01T00:00:00.000Z",
+            "text": f"stream document number {i} " + "x" * (i % 37),
+            "lang": "en",
+        } for i in range(lo, hi)]
+
+    (drop / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows(0, 120)))
+
+    def run(qname):
+        collected = []
+
+        def sink(df, _bid):
+            collected.extend(df.collect())
+
+        stream = incremental_cell_stats(stream_pages(spark, str(drop)), res=3)
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return collected
+
+    out1 = run("cs1")
+    assert sum(r["n_pages"] for r in out1) == 120
+
+    (drop / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows(120, 200)))
+    out2 = run("cs2")
+    # updated rows carry CUMULATIVE counts: totals over latest-per-cell
+    latest = {r["cell"]: r for r in out2}
+    got = {c: r["n_pages"] for c, r in latest.items()}
+    for c, r in {r["cell"]: r for r in out1}.items():
+        got.setdefault(c, r["n_pages"])
+    assert sum(got.values()) == 200
+    # moments match the batch computation for one touched cell
+    from geostatssolvers_jl_spark import tiling
+    from geostatssolvers_jl_spark.sources.pages import lat_expr, lon_expr
+
+    batch = spark.createDataFrame(
+        [(r["text"],) for r in rows(0, 200)], "text string"
+    ).selectExpr(
+        f"{lon_expr('text')} AS lon", f"{lat_expr('text')} AS lat",
+        "CAST(length(text) AS DOUBLE) AS z",
+    ).selectExpr(f"{tiling.cell_expr('lon', 'lat', 3)} AS cell", "z")
+    want = {
+        r["cell"]: (r["n"], r["m"]) for r in batch.groupBy("cell").agg(
+            F.count("z").alias("n"), F.avg("z").alias("m")).collect()
+    }
+    for c, r in latest.items():
+        n, m = want[c]
+        assert r["n_pages"] == n
+        assert np.isclose(r["mean_len"], m)
