@@ -451,6 +451,18 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED near-dup pipeline: MinHash-LSH candidates → exact
+    full-set Jaccard verify ≥ 0.5 — the operator a training pipeline runs
+    at scale (pairs only per LSH bucket, verify on candidates only)."""
+    from geostatssolvers_jl_spark.webtext.dedup import dedup_verified_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        dedup_verified_sql("spark", sig_rel=_mat_sig(spark))
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard verification with the hot-shingle candidate cap
     (boilerplate shingles shared by huge doc sets never enter the pair
@@ -1317,6 +1329,7 @@ def _lwr_fixture_oracle() -> str:
 
 def _webtext_oracles() -> dict[str, str]:
     from geostatssolvers_jl_spark.webtext.dedup import (
+        dedup_verified_sql,
         lsh_candidates128_sql,
         minhash_bands_sql,
         minhash_signature_sql,
@@ -1334,6 +1347,7 @@ def _webtext_oracles() -> dict[str, str]:
         "minhash_signature": minhash_signature_sql("duck"),
         "minhash_bands": minhash_bands_sql("duck"),
         "dedup_minhash_lsh": lsh_candidates128_sql("duck"),
+        "dedup_verified": dedup_verified_sql("duck"),
         "ngram_jaccard": ngram_jaccard_sql(
             "duck", threshold=0.05,
             pair_pred="a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25",
@@ -1390,6 +1404,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_bands": q_minhash_bands,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_verified": q_dedup_verified,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,

@@ -133,6 +133,39 @@ def ngram_jaccard_sql(dialect: str, docs_rel: str = "documents",
     )
 
 
+def dedup_verified_sql(dialect: str, docs_rel: str = "documents",
+                       k: int = 3, threshold: float = 0.5,
+                       sig_rel: str | None = None) -> str:
+    """The COMPOSED dedup pipeline: production MinHash-LSH candidate pairs
+    → exact full-set Jaccard verification → near-duplicate pairs above
+    ``threshold``.  This is the operator a training-data pipeline actually
+    runs at scale: the pair join only ever materializes per (band, key)
+    bucket, and the exact verify touches candidates only.
+    Output (doc_a, doc_b, jaccard, n_shared_bands)."""
+    cand = lsh_candidates128_sql(dialect, docs_rel, k, sig_rel=sig_rel)
+    sh = (shingles_spark if dialect == "spark" else shingles_duck)("text", k)
+    ex = f"SELECT doc_id, {_explode(dialect, sh, 'sh')} FROM {docs_rel}"
+    dist = f"SELECT DISTINCT doc_id, sh FROM ({ex}) _x"
+    sizes = f"SELECT doc_id, count(*) AS n FROM ({dist}) _d GROUP BY doc_id"
+    inter = (
+        f"SELECT c.doc_a, c.doc_b, max(c.n_shared_bands) AS nsb, "
+        f"count(*) AS i FROM _vcand c "
+        f"JOIN _vd a ON a.doc_id = c.doc_a "
+        f"JOIN _vd b ON b.doc_id = c.doc_b AND b.sh = a.sh "
+        f"GROUP BY c.doc_a, c.doc_b"
+    )
+    return (
+        f"WITH _vcand AS ({cand}), _vd AS ({dist}), _vs AS ({sizes}), "
+        f"_vi AS ({inter}) "
+        f"SELECT doc_a, doc_b, "
+        f"round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard, "
+        f"nsb AS n_shared_bands "
+        f"FROM _vi JOIN _vs sa ON _vi.doc_a = sa.doc_id "
+        f"JOIN _vs sb ON _vi.doc_b = sb.doc_id "
+        f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r}"
+    )
+
+
 # ---------------------------------------------------- production MinHash
 
 N_HASHES_PROD = 128

@@ -79,3 +79,46 @@ def test_ensemble_sink_partitioning(spark, tmp_path):
     assert one.count() == 20
     # partition pruning fired: only one of four directories scanned
     assert "PartitionFilters" in plan and "real_id" in plan
+
+
+def test_tiled_estimation_plan_shape(spark, data2d_3pt):
+    """Tiled estimation: every join an equi-join (no cartesian/broadcast
+    nested loop), stacked solve in MapInPandas, AQE-optimizable."""
+    grid = CartesianGrid((40, 40))
+    sol = solve_kriging(
+        data2d_3pt, grid.spark_df(spark), model=KrigingModel(),
+        maxneighbors=3, strategy="local-tiled", tile_res=4,
+    )
+    plan = _plan(sol)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_lsh_pipeline_no_cross_join(spark):
+    """The composed ANN / dedup plans must be free of cross joins — the
+    r1 embedding ops were O(n²) CartesianProducts."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("ann_topk_lsh", "dedup_embedding", "dedup_verified",
+                 "dedup_minhash_lsh"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_fftgs_tiled_is_single_pass(spark):
+    """Unconditional tiled FFTGS: one mapInPandas over (real × tile)
+    units, no joins, no unions in the physical plan."""
+    from geostatssolvers_jl_spark.simulation.fftgs import solve_fftgs
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_fftgs(
+        spark, CartesianGrid((40, 40)), nreals=4,
+        variogram=GaussianVariogram(range=4.0), seed=1, tile_dims=(2, 2),
+    )
+    plan = _plan(sol)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
