@@ -503,9 +503,17 @@ def knn_join_tiled_exact(
     lat: str = "lat",
     metric: Distance | None = None,
     salt: int = 0,
+    first_replicate: str = "data",
 ) -> DataFrame:
     """EXACT big-big kNN join, fully distributed (NO driver-side collect of
     either side at any stage):
+
+    ``first_replicate``: which side the bulk ring-1 pass replicates ×9 —
+    pick the side with FEWER ROWS ('data' when conditioning points are
+    sparser than query cells, 'queries' when an estimation grid is smaller
+    than a 10¹²-page data side); candidate sets and results are identical
+    either way.  Escalation passes always replicate the pending-query
+    side (it shrinks toward zero).
 
     * pass 1 — ring-1 tiled join at ``res`` with the data side replicated
       into its halo: resolves the dense bulk;
@@ -536,7 +544,8 @@ def knn_join_tiled_exact(
     for i, ring in enumerate(rings):
         out = knn_join_tiled(
             pending, data, k, res, query_id, data_id, lon, lat, metric,
-            ring=ring, replicate=("data" if i == 0 else "queries"),
+            ring=ring,
+            replicate=(first_replicate if i == 0 else "queries"),
             salt=salt,
         ).cache()
         # a query is resolved iff it has ≥ k candidates and the kth is

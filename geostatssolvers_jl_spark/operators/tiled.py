@@ -58,8 +58,12 @@ def tiled_local_apply(
     res: int = 6,
     id_col: str = "cell_id",
     salt: int = 0,
+    first_replicate: str = "data",
 ) -> DataFrame:
-    """Search + gather + solve for a data side too big to broadcast."""
+    """Search + gather + solve for a data side too big to broadcast.
+    ``first_replicate``: which side the bulk tiled pass replicates ×9 —
+    'queries' when the estimation grid is the smaller side (see
+    `knn_join_tiled_exact`)."""
     if "data_id" not in data_df.columns:
         raise ValueError(
             "tiled strategy requires a deterministic 'data_id' column "
@@ -76,7 +80,10 @@ def tiled_local_apply(
         f"{data_coord_cols[0]} AS lon",
         f"{data_coord_cols[1]} AS lat",
     )
-    pairs = knn_join_tiled_exact(qsel, dsel, k, res, metric=metric, salt=salt)
+    pairs = knn_join_tiled_exact(
+        qsel, dsel, k, res, metric=metric, salt=salt,
+        first_replicate=first_replicate,
+    )
     if radius is not None:
         # KBallSearch semantics: the ≤k nearest within the ball
         pairs = pairs.filter(F.col("dist") <= radius)

@@ -181,3 +181,19 @@ def test_tiled_salted_topk_identical(spark, points):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b
+
+
+def test_first_replicate_side_equivalence(spark, points):
+    """Replicating the query side in the bulk pass must produce identical
+    rows to data-side replication (the knob exists so callers replicate
+    whichever side is smaller at their scale)."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    d, q = points
+    a = sorted(map(tuple, knn_join_tiled_exact(
+        q, d, k=3, res=5, metric=Haversine(6371.0),
+        first_replicate="data").collect()))
+    b = sorted(map(tuple, knn_join_tiled_exact(
+        q, d, k=3, res=5, metric=Haversine(6371.0),
+        first_replicate="queries").collect()))
+    assert a == b
