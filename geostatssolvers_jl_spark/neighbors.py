@@ -561,13 +561,18 @@ def knn_join_tiled_exact(
             .select(query_id)
         )
         parts.append(out.join(resolved_ids, query_id, "semi").select(*sel))
-        pending = pending.join(resolved_ids, query_id, "anti")
+        # cache: each query-replicated pass consumes pending TWICE (ring
+        # cells + probe rows) and the anti-join chain would otherwise
+        # re-execute per consumer; the pending set shrinks toward zero
+        pending = pending.join(resolved_ids, query_id, "anti").cache()
 
-    # terminal: every cell's ring-1 halo at res 1 covers all 4 cells, so the
-    # join output is pending × ALL data and the guard drops every edge
+    # terminal: a ring-1 halo at res 1 covers all 4 cells, so the join
+    # output is pending × ALL data and the guard drops every edge.
+    # Replicate the PENDING side (typically ~0 rows by now): an empty
+    # probe side then costs one data scan with no ×4 fanout
     term = knn_join_tiled(
         pending, data, k, 1, query_id, data_id, lon, lat, metric,
-        ring=1, replicate="data", salt=salt,
+        ring=1, replicate="queries", salt=salt,
     )
     parts.append(term.select(*sel))
     out = parts[0]
