@@ -417,17 +417,34 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(minhash_signature_sql("spark"))
 
 
+_MAT_CACHE: dict = {}
+
+
+def _materialize(spark: SparkSession, sql: str, view: str) -> str:
+    """Cache + force-materialize a relation under a temp view; unpersist
+    the previous incarnation (repeated entry calls would otherwise pile up
+    stale InMemoryRelations)."""
+    old = _MAT_CACHE.pop((id(spark.sparkContext), view), None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = spark.sql(sql)
+    df.cache()
+    df.count()  # materialize NOW: lazy caches race across concurrent arms
+    df.createOrReplaceTempView(view)
+    _MAT_CACHE[(id(spark.sparkContext), view)] = df
+    return view
+
+
 def _mat_sig(spark: SparkSession) -> str:
     """Materialize the 128-hash signature once (cached view) — Spark
     inlines CTEs, so the 32 band arms would otherwise re-run the whole
     min-aggregation each (the oracle's DuckDB CTE doesn't need this)."""
     from geostatssolvers_jl_spark.webtext.dedup import minhash128_sig_cte
 
-    sig = spark.sql(minhash128_sig_cte("spark"))
-    sig.cache()
-    sig.count()  # materialize NOW: lazy caches race when 32 band arms hit
-    sig.createOrReplaceTempView("mh_sig_mat")
-    return "mh_sig_mat"
+    return _materialize(spark, minhash128_sig_cte("spark"), "mh_sig_mat")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,11 +522,7 @@ def _mat_buckets(spark: SparkSession) -> str:
     and join side."""
     from geostatssolvers_jl_spark.webtext.similarity import bucket_tables_sql
 
-    bt = spark.sql(bucket_tables_sql("spark"))
-    bt.cache()
-    bt.count()  # materialize NOW: lazy caches race across probe arms
-    bt.createOrReplaceTempView("bt_mat")
-    return "bt_mat"
+    return _materialize(spark, bucket_tables_sql("spark"), "bt_mat")
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,81 @@
+"""Delimited / JSON georef sources (SURVEY §2.1 S2).
+
+The reference loads conditioning data with ``readdlm`` and georefs it
+(``georef((z=z,), collect(zip(x, y)))``, e.g.
+``/root/reference/test/estimation/lwr.jl:40-48``).  Spark equivalents:
+``spark.read.csv`` / ``spark.read.json`` with an explicit schema (schema
+inference is a full extra scan at 100 TB — always pass one), plus a
+deterministic ``data_id`` derived from the ROW CONTENT, not from
+``monotonically_increasing_id`` (which depends on partitioning and would
+make kNN tie-breaks irreproducible across cluster layouts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _content_id(cols: list[str]) -> str:
+    """Deterministic 63-bit id from the row content: stable under any
+    partitioning / file split (ties in kNN break on this id, so it must
+    not depend on read order).  Collisions are detectable (distinct count
+    drops) and astronomically unlikely below ~10⁹ rows per load."""
+    parts = " || '|' || ".join(f"CAST({c} AS STRING)" for c in cols)
+    return (
+        f"CAST(conv(substr(md5({parts}), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def read_georef_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    coord_cols: list[str],
+    sep: str = "\t",
+    header: bool = False,
+    id_col: str = "data_id",
+) -> DataFrame:
+    """Delimited file → georef'd DataFrame with deterministic ids.
+
+    ``schema`` names every column (e.g. ``"x double, y double, z double"``);
+    ``coord_cols`` marks the coordinate columns (the rest are variables).
+    """
+    df = spark.read.csv(path, sep=sep, schema=schema, header=header)
+    cols = [f.split()[0] for f in schema.split(",")]
+    dedup_key = [c.strip() for c in cols]
+    out = df.selectExpr(f"{_content_id(dedup_key)} AS {id_col}", "*")
+    for c in coord_cols:
+        if c not in df.columns:
+            raise ValueError(f"coordinate column {c!r} not in schema")
+    return out
+
+
+def read_georef_json(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    coord_cols: list[str],
+    id_col: str = "data_id",
+) -> DataFrame:
+    """JSON-lines file → georef'd DataFrame with deterministic ids."""
+    df = spark.read.schema(schema).json(path)
+    cols = [f.split()[0].strip() for f in schema.split(",")]
+    out = df.selectExpr(f"{_content_id(cols)} AS {id_col}", "*")
+    for c in coord_cols:
+        if c not in df.columns:
+            raise ValueError(f"coordinate column {c!r} not in schema")
+    return out
+
+
+def write_solution(
+    df: DataFrame, path: str, fmt: str = "parquet",
+    partition_by: list[str] | None = None, mode: str = "overwrite",
+) -> None:
+    """Solution sink (S3): partitioned columnar write; production swaps
+    ``fmt`` for 'iceberg' with identical semantics (see lineage.py for the
+    checkpointed/resumable variant)."""
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

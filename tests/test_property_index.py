@@ -1,0 +1,73 @@
+"""Property-based exactness: the certified bucket index must equal brute
+force on ARBITRARY point clouds — including polar clusters, antimeridian
+wraps, duplicate coordinates, and degenerate (collinear/single-point)
+configurations that example-based tests never stumble into."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geostatssolvers_jl_spark.bucket_index import BucketIndex
+from geostatssolvers_jl_spark.distances import Euclidean, Haversine
+from geostatssolvers_jl_spark.neighbors import topk_search
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+@st.composite
+def point_cloud(draw):
+    n = draw(st.integers(8, 120))
+    mode = draw(st.sampled_from(["global", "polar", "wrap", "cluster"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    if mode == "global":
+        lon = rng.uniform(-180, 180, n)
+        lat = rng.uniform(-90, 90, n)
+    elif mode == "polar":
+        lon = rng.uniform(-180, 180, n)
+        lat = rng.uniform(82, 90, n) * rng.choice([-1, 1], n)
+    elif mode == "wrap":
+        lon = np.where(rng.random(n) < 0.5,
+                       rng.uniform(-180, -172, n), rng.uniform(172, 180, n))
+        lat = rng.uniform(-60, 60, n)
+    else:  # tight duplicate-heavy cluster
+        lon = np.round(rng.uniform(9, 11, n), 1)
+        lat = np.round(rng.uniform(44, 46, n), 1)
+    return np.column_stack([lon, lat])
+
+
+@settings(max_examples=60, deadline=None)
+@given(pts=point_cloud(), qseed=st.integers(0, 2**31),
+       k=st.integers(1, 9),
+       use_radius=st.booleans())
+def test_bucket_index_equals_brute_haversine(pts, qseed, k, use_radius):
+    rng = np.random.default_rng(qseed)
+    nq = 20
+    q = np.column_stack([
+        rng.uniform(-180, 180, nq), rng.uniform(-90, 90, nq)
+    ])
+    metric = Haversine(6371.0)
+    radius = 3000.0 if use_radius else None
+    idx = BucketIndex(pts, metric, target=4)
+    ai, ad, an = idx.topk(q, k, radius)
+    bi, bd, bn = topk_search(q, pts, k, metric, radius)
+    assert np.array_equal(ai, bi)
+    assert np.allclose(ad, bd, equal_nan=True) or np.array_equal(ad, bd)
+    assert np.array_equal(an, bn)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31), k=st.integers(1, 7),
+       use_radius=st.booleans())
+def test_bucket_index_equals_brute_euclidean(seed, k, use_radius):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(8, 150))
+    pts = np.round(rng.normal(0, 50, size=(n, 2)), 1)  # duplicate-friendly
+    q = rng.normal(0, 60, size=(25, 2))
+    metric = Euclidean()
+    radius = 40.0 if use_radius else None
+    idx = BucketIndex(pts, metric, target=4)
+    ai, ad, an = idx.topk(q, k, radius)
+    bi, bd, bn = topk_search(q, pts, k, metric, radius)
+    assert np.array_equal(ai, bi)
+    assert np.array_equal(an, bn)
