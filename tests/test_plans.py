@@ -122,3 +122,39 @@ def test_fftgs_tiled_is_single_pass(spark):
     plan = _plan(sol)
     assert "Join" not in plan and "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the tile cell must join with ZERO exchanges
+    on either side — the storage-layout shuffle elimination for repeated
+    cell joins at scale."""
+    from geostatssolvers_jl_spark.sources.bucketed import (
+        colocated_join, write_bucketed,
+    )
+    from geostatssolvers_jl_spark import tiling
+
+    pages = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from geostatssolvers_jl_spark.sources.pages import lat_expr, lon_expr
+
+    cells = pages.selectExpr(
+        "doc_id", "n_chars",
+        f"{tiling.cell_expr(lon_expr('text'), lat_expr('text'), 5)} AS cell",
+    )
+    write_bucketed(cells, "pages_b", "cell", 8)
+    agg = cells.groupBy("cell").count()
+    write_bucketed(agg, "cellagg_b", "cell", 8)
+
+    # disable broadcast so the join strategy is the one a 100 TB x 1 TB
+    # pair would get (sort-merge) — that's where bucketing removes the
+    # exchanges; at toy sizes the planner would just broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "pages_b", "cellagg_b", on="cell")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == cells.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pages_b")
+        spark.sql("DROP TABLE IF EXISTS cellagg_b")
