@@ -348,14 +348,22 @@ def _block_guard_sql(res: int, ring: int, metric: Distance) -> str:
     east = f"(({tx} + {ring} + 1) * {cw!r} - 180.0)"
     big = "CAST(1e308 AS DOUBLE)"
     hav = isinstance(metric, Haversine)
+    # Anisotropic scales each axis by 1/radii — a raw-coordinate margin m
+    # on axis a bounds the metric distance only as m / radii[a] (with
+    # radii > 1 the raw margin would OVER-estimate and falsely certify)
+    from .distances import Anisotropic
+
+    ax = (1.0, 1.0)
+    if isinstance(metric, Anisotropic):
+        ax = (float(metric.radii[0]), float(metric.radii[1]))
     terms: list[str] = []
     if hav:
         r_ = metric.radius
         lat_bot = f"({r_!r} * radians(_qlat - {bot}))"
         lat_top = f"({r_!r} * radians({top} - _qlat))"
     else:
-        lat_bot = f"(_qlat - {bot})"
-        lat_top = f"({top} - _qlat)"
+        lat_bot = f"((_qlat - {bot}) / {ax[1]!r})"
+        lat_top = f"(({top} - _qlat) / {ax[1]!r})"
     terms.append(f"CASE WHEN {ty} >= {ring + 1} THEN {lat_bot} ELSE {big} END")
     terms.append(
         f"CASE WHEN {ty} <= {n - ring - 2} THEN {lat_top} ELSE {big} END"
@@ -375,11 +383,11 @@ def _block_guard_sql(res: int, ring: int, metric: Distance) -> str:
             terms.append("CAST(0.0 AS DOUBLE)")
     else:
         terms.append(
-            f"CASE WHEN {tx} >= {ring + 1} THEN (_qlon - {west}) "
+            f"CASE WHEN {tx} >= {ring + 1} THEN ((_qlon - {west}) / {ax[0]!r}) "
             f"ELSE {big} END"
         )
         terms.append(
-            f"CASE WHEN {tx} <= {n - ring - 2} THEN ({east} - _qlon) "
+            f"CASE WHEN {tx} <= {n - ring - 2} THEN (({east} - _qlon) / {ax[0]!r}) "
             f"ELSE {big} END"
         )
     if len(terms) == 1:

@@ -197,3 +197,23 @@ def test_first_replicate_side_equivalence(spark, points):
         q, d, k=3, res=5, metric=Haversine(6371.0),
         first_replicate="queries").collect()))
     assert a == b
+
+
+def test_tiled_exact_anisotropic_metric(spark, points):
+    """Anisotropic metric through the tiled path: guard margins must be
+    axis-scaled (radii > 1 would otherwise over-certify); rows must equal
+    brute force."""
+    from geostatssolvers_jl_spark.distances import Anisotropic
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    d, q = points
+    for radii in ((5.0, 2.0), (0.5, 1.5)):
+        met = Anisotropic(radii)
+        out = knn_join_tiled_exact(q, d, k=3, res=5, metric=met)
+        got = sorted((r["cell_id"], r["rank"], r["data_id"])
+                     for r in out.collect())
+        data = collect_points(d, ["lon", "lat"], [], id_col="data_id")
+        exact = knn_pairs(q, data, ["lon", "lat"], k=3, metric=met,
+                          id_col="cell_id").collect()
+        want = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in exact)
+        assert got == want, radii
