@@ -39,15 +39,23 @@ from .distances import Distance, Haversine
 class BucketIndex:
     def __init__(self, coords: np.ndarray, metric: Distance,
                  target: int = 32):
+        from .distances import Anisotropic
+
         self.metric = metric
         self.coords = coords
         m, dim = coords.shape
         assert dim == 2, "bucket index is 2-D; use brute force otherwise"
         self.features = metric.rank_features(coords)  # (m, f) float32
         self.is_sphere = isinstance(metric, Haversine)
+        # Anisotropic: bucket GEOMETRY (assignment + boundary margins)
+        # lives in the scaled space, where the metric is plain Euclidean —
+        # raw-coordinate margins would over-estimate the bound for
+        # radii > 1 and falsely certify
+        self._aniso = isinstance(metric, Anisotropic)
+        geo = metric._scaled(coords) if self._aniso else coords
 
-        lo = coords.min(axis=0)
-        hi = coords.max(axis=0)
+        lo = geo.min(axis=0)
+        hi = geo.max(axis=0)
         span = np.maximum(hi - lo, 1e-9)
         nb = max(1, int(np.sqrt(max(m, 1) / target)))
         aspect = span[0] / span[1] if span[1] > 0 else 1.0
@@ -57,8 +65,8 @@ class BucketIndex:
         self.wx = span[0] / self.nbx
         self.wy = span[1] / self.nby
 
-        bx = np.clip(((coords[:, 0] - lo[0]) / span[0] * self.nbx).astype(np.int64), 0, self.nbx - 1)
-        by = np.clip(((coords[:, 1] - lo[1]) / span[1] * self.nby).astype(np.int64), 0, self.nby - 1)
+        bx = np.clip(((geo[:, 0] - lo[0]) / span[0] * self.nbx).astype(np.int64), 0, self.nbx - 1)
+        by = np.clip(((geo[:, 1] - lo[1]) / span[1] * self.nby).astype(np.int64), 0, self.nby - 1)
         bid = by * self.nbx + bx
         self.perm = np.argsort(bid, kind="stable")
         self.starts = np.searchsorted(
@@ -67,7 +75,11 @@ class BucketIndex:
 
     # -- helpers ----------------------------------------------------------
 
+    def _geo(self, q: np.ndarray) -> np.ndarray:
+        return self.metric._scaled(q) if self._aniso else q
+
     def _query_bucket(self, q: np.ndarray) -> np.ndarray:
+        q = self._geo(q)
         bx = np.clip(((q[:, 0] - self.lo[0]) / self.span[0] * self.nbx).astype(np.int64), 0, self.nbx - 1)
         by = np.clip(((q[:, 1] - self.lo[1]) / self.span[1] * self.nby).astype(np.int64), 0, self.nby - 1)
         return by * self.nbx + bx
@@ -217,7 +229,12 @@ class BucketIndex:
                             cidx[row, : len(o)] = rcols[o]
                             cd[row, : len(o)] = rd[o]
                         kth = cd.max(axis=1)  # inf if any slot unfilled
-                        bound = self._boundary_dist(qcoords[psel], gbx, gby, r)
+                        # margins in GEO space (scaled for Anisotropic:
+                        # there the metric is plain Euclidean, so the
+                        # bound is exact)
+                        bound = self._boundary_dist(
+                            self._geo(qcoords[psel]), gbx, gby, r
+                        )
                         done = kth <= bound * (1.0 - 1e-12)
                         if radius is not None:
                             # window provably covering the whole ball also

@@ -71,3 +71,24 @@ def test_bucket_index_equals_brute_euclidean(seed, k, use_radius):
     bi, bd, bn = topk_search(q, pts, k, metric, radius)
     assert np.array_equal(ai, bi)
     assert np.array_equal(an, bn)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31), k=st.integers(1, 7),
+       rx=st.floats(0.2, 8.0, allow_nan=False),
+       ry=st.floats(0.2, 8.0, allow_nan=False))
+def test_bucket_index_equals_brute_anisotropic(seed, k, rx, ry):
+    """Anisotropic: bucket geometry and boundary margins must live in the
+    SCALED space (raw margins over-certify for radii > 1)."""
+    from geostatssolvers_jl_spark.distances import Anisotropic
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(8, 120))
+    pts = np.round(rng.normal(0, 30, size=(n, 2)), 1)
+    q = rng.normal(0, 40, size=(20, 2))
+    metric = Anisotropic((rx, ry))
+    idx = BucketIndex(pts, metric, target=4)
+    ai, ad, an = idx.topk(q, k)
+    bi, bd, bn = topk_search(q, pts, k, metric)
+    assert np.array_equal(ai, bi)
+    assert np.array_equal(an, bn)
