@@ -15,7 +15,6 @@ co-partitioned on real_id make it shuffle-free after the first stage).
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
