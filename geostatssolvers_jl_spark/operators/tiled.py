@@ -102,6 +102,18 @@ def tiled_local_apply(
     nb = enriched.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("_nb")
     )
+    # split the rank-sorted struct array into TYPED arrays JVM-side: Arrow
+    # then delivers plain float64 numpy arrays per field, and the kernel
+    # fills the (B, k) stacks with per-ROW slice assignments instead of a
+    # per-ELEMENT Python dict walk (the hot path at 10⁸ queries × k)
+    field_cols = ["dist", "_nx", "_ny"] + [f"_v_{v}" for v in value_cols]
+    nb = nb.select(
+        id_col,
+        *[
+            F.expr(f"transform(_nb, s -> s.{f})").alias(f"_a{f}")
+            for f in field_cols
+        ],
+    )
     joined = grid_df.select(id_col, *query_coord_cols).join(
         nb, id_col, "left"
     )
@@ -117,16 +129,18 @@ def tiled_local_apply(
             dist = np.full((B, k), np.inf)
             valid = np.zeros((B, k), dtype=bool)
             vals = {v: np.zeros((B, k)) for v in vnames}
-            for b, lst in enumerate(pdf["_nb"].tolist()):
-                if lst is None:
+            cols = {f: pdf[f"_a{f}"].to_numpy() for f in field_cols}
+            for b in range(B):
+                dd = cols["dist"][b]
+                if dd is None or len(dd) == 0:
                     continue
-                for j, row in enumerate(lst[:k]):
-                    valid[b, j] = True
-                    dist[b, j] = row["dist"]
-                    NC[b, j, 0] = row["_nx"]
-                    NC[b, j, 1] = row["_ny"]
-                    for v in vnames:
-                        vals[v][b, j] = row[f"_v_{v}"]
+                m = min(len(dd), k)
+                dist[b, :m] = dd[:m]
+                valid[b, :m] = True
+                NC[b, :m, 0] = cols["_nx"][b][:m]
+                NC[b, :m, 1] = cols["_ny"][b][:m]
+                for v in vnames:
+                    vals[v][b, :m] = cols[f"_v_{v}"][b][:m]
             yield kernel(pdf, qcoords, NC, vals, dist, valid)
 
     return joined.mapInPandas(run, schema=out_schema)
