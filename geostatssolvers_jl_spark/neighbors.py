@@ -500,6 +500,106 @@ def knn_join_tiled(
     return topk.select(query_id, data_id, "dist", "rank", "certified")
 
 
+def _cell_mindist_sql(res: int, metric: Distance,
+                      cell: str = "_ccell") -> str:
+    """SQL lower bound on the distance from a query (_qlon, _qlat) to ANY
+    point inside cell ``cell`` at resolution ``res`` — conservative (may
+    under-estimate, never over-estimates), used to prune whole cells in
+    the bounded terminal pass."""
+    n = tiling.nside(res)
+    ch = 180.0 / n
+    cw = 360.0 / n
+    ty = f"(CAST(floor(({cell} % {1 << 58}) / {1 << 29}) AS BIGINT))"
+    tx = f"({cell} % {1 << 29})"
+    l0 = f"({ty} * {ch!r} - 90.0)"
+    l1 = f"(({ty} + 1) * {ch!r} - 90.0)"
+    g0 = f"({tx} * {cw!r} - 180.0)"
+    lat_margin = (
+        f"CASE WHEN _qlat < {l0} THEN ({l0} - _qlat) "
+        f"WHEN _qlat > {l1} THEN (_qlat - {l1}) ELSE 0.0 END"
+    )
+    if isinstance(metric, Haversine):
+        r_ = metric.radius
+        lat_term = f"({r_!r} * radians({lat_margin}))"
+        # wrapped angular separation to the nearest lon edge of the cell
+        w = f"pmod(_qlon - {g0}, 360.0)"
+        sep = (
+            f"CASE WHEN {w} <= {cw!r} THEN 0.0 "
+            f"ELSE least({w} - {cw!r}, 360.0 - {w}) END"
+        )
+        lon_term = (
+            f"({r_!r} * asin(abs(cos(radians(_qlat)) * "
+            f"sin(radians({sep})))))"
+        )
+        return f"greatest({lat_term}, {lon_term})"
+    from .distances import Anisotropic
+
+    ax = (1.0, 1.0)
+    if isinstance(metric, Anisotropic):
+        ax = (float(metric.radii[0]), float(metric.radii[1]))
+    g1 = f"(({tx} + 1) * {cw!r} - 180.0)"
+    lon_margin = (
+        f"CASE WHEN _qlon < {g0} THEN ({g0} - _qlon) "
+        f"WHEN _qlon > {g1} THEN (_qlon - {g1}) ELSE 0.0 END"
+    )
+    return (
+        f"greatest(({lat_margin}) / {ax[1]!r}, ({lon_margin}) / {ax[0]!r})"
+    )
+
+
+def _bounded_terminal(
+    pending: DataFrame,
+    bounds: DataFrame,
+    data: DataFrame,
+    k: int,
+    query_id: str,
+    data_id: str,
+    lon: str,
+    lat: str,
+    metric: Distance,
+    res: int = 4,
+) -> DataFrame:
+    """EXACT terminal pass with cell-level pruning: each pending query
+    carries an upper bound on its true kth distance (the kth candidate
+    it has ALREADY seen in earlier ring passes — a real point, so a valid
+    bound); coarse cells whose minimum possible distance exceeds the
+    bound cannot contain a top-k member and are pruned BEFORE pairing.
+    Queries with no bound (< k candidates anywhere) keep bound = ∞ and
+    degrade to the full pairing — exact either way."""
+    from pyspark.sql import Window
+
+    n = tiling.nside(res)
+    cells = pending.sparkSession.range(n * n).selectExpr(
+        f"CAST({res} AS BIGINT) * {1 << 58} "
+        f"+ CAST(floor(id / {n}) AS BIGINT) * {1 << 29} + (id % {n}) "
+        f"AS _ccell"
+    )
+    q = pending.join(
+        bounds, query_id, "left"
+    ).selectExpr(
+        query_id, f"{lon} AS _qlon", f"{lat} AS _qlat",
+        "coalesce(_bound, CAST(1e308 AS DOUBLE)) AS _b",
+    )
+    mind = _cell_mindist_sql(res, metric)
+    probes = q.crossJoin(cells).where(F.expr(f"({mind}) <= _b"))
+    d = data.selectExpr(
+        data_id,
+        f"{tiling.cell_expr(lon, lat, res)} AS _dcell",
+        f"{lon} AS _dlon", f"{lat} AS _dlat",
+    )
+    cand = probes.join(d, F.col("_ccell") == F.col("_dcell"), "inner")
+    dist_sql = metric.sql(("_qlon", "_qlat"), ("_dlon", "_dlat"))
+    cand = cand.withColumn("dist", F.expr(dist_sql))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist").asc(), F.col(data_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, data_id, "dist", "rank")
+    )
+
+
 def knn_join_tiled_exact(
     queries: DataFrame,
     data: DataFrame,
@@ -546,9 +646,17 @@ def knn_join_tiled_exact(
     while (2 * rk + 1) * 2 < n:  # block span must stay < half the circle
         rings.append(rk)
         rk *= 4
+    # final escalation ring: the LARGEST certifiable span (just under a
+    # half circle) — without it, queries whose kth neighbor sits a few
+    # tens of degrees away (data-free oceans next to dense continents)
+    # would skip straight to the terminal all-data pass
+    r_max = (n // 2 - 1) // 2
+    if r_max > rings[-1]:
+        rings.append(r_max)
 
     parts: list[DataFrame] = []
     pending = queries
+    last_out = None
     for i, ring in enumerate(rings):
         out = knn_join_tiled(
             pending, data, k, res, query_id, data_id, lon, lat, metric,
@@ -556,6 +664,7 @@ def knn_join_tiled_exact(
             replicate=(first_replicate if i == 0 else "queries"),
             salt=salt,
         ).cache()
+        last_out = out
         # a query is resolved iff it has ≥ k candidates and the kth is
         # certified (rank k certified implies ranks < k certified — same
         # candidate set and smaller dist)
@@ -573,16 +682,29 @@ def knn_join_tiled_exact(
         # cells + probe rows) and the anti-join chain would otherwise
         # re-execute per consumer; the pending set shrinks toward zero
         pending = pending.join(resolved_ids, query_id, "anti").cache()
+        # eager short-circuit: one cheap limit-1 action per pass prunes
+        # every later (and increasingly wide) escalation stage once all
+        # queries certified — the common dense-data case pays pass 1 only
+        if pending.isEmpty():
+            pending = None
+            break
 
-    # terminal: a ring-1 halo at res 1 covers all 4 cells, so the join
-    # output is pending × ALL data and the guard drops every edge.
-    # Replicate the PENDING side (typically ~0 rows by now): an empty
-    # probe side then costs one data scan with no ×4 fanout
-    term = knn_join_tiled(
-        pending, data, k, 1, query_id, data_id, lon, lat, metric,
-        ring=1, replicate="queries", salt=salt,
-    )
-    parts.append(term.select(*sel))
+    if pending is not None:
+        # terminal, bounded: pending queries already hold ≥k real
+        # candidates from the widest ring pass in the common case — their
+        # kth distance upper-bounds the true kth, so whole coarse cells
+        # beyond it are pruned before pairing (the unbounded all-data
+        # pairing only remains for queries with < k candidates anywhere)
+        bounds = (
+            last_out.groupBy(query_id)
+            .agg(F.max("dist").alias("_bound"), F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= k)
+            .select(query_id, "_bound")
+        )
+        term = _bounded_terminal(
+            pending, bounds, data, k, query_id, data_id, lon, lat, metric,
+        )
+        parts.append(term.select(*sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -60,6 +60,18 @@ def kriging_ui(
     )
 
 
+def choose_tile_res(n_data: int, target_per_cell: int = 64) -> int:
+    """Tile resolution sized to the data density: ~``target_per_cell``
+    rows per occupied cell keeps the ring-1 candidate volume (≈ 9·target
+    per query) flat as the data side grows — the oversampling knob of the
+    tiled kNN join."""
+    import math
+
+    n_cells = max(1, n_data // target_per_cell)
+    nside = max(2, int(math.sqrt(n_cells)))
+    return min(28, max(3, math.ceil(math.log2(nside))))
+
+
 def choose_strategy(n_data: int, maxneighbors: int | None,
                     broadcast_limit: int = 2_000_000) -> str:
     """Physical strategy: the reference's exact-vs-approx switch
