@@ -569,19 +569,24 @@ def _bounded_terminal(
     from pyspark.sql import Window
 
     n = tiling.nside(res)
-    cells = pending.sparkSession.range(n * n).selectExpr(
-        f"CAST({res} AS BIGINT) * {1 << 58} "
-        f"+ CAST(floor(id / {n}) AS BIGINT) * {1 << 29} + (id % {n}) "
-        f"AS _ccell"
-    )
     q = pending.join(
         bounds, query_id, "left"
     ).selectExpr(
         query_id, f"{lon} AS _qlon", f"{lat} AS _qlat",
         "coalesce(_bound, CAST(1e308 AS DOUBLE)) AS _b",
     )
+    # static ×n² coarse-cell fanout as a pure PROJECTION (explode of a
+    # sequence literal — no cross join in the plan), then the per-cell
+    # minimum-distance prune
     mind = _cell_mindist_sql(res, metric)
-    probes = q.crossJoin(cells).where(F.expr(f"({mind}) <= _b"))
+    probes = q.selectExpr(
+        "*", f"explode(sequence(0, {n * n - 1})) AS _ci"
+    ).selectExpr(
+        "*",
+        f"CAST({res} AS BIGINT) * {1 << 58} "
+        f"+ CAST(floor(_ci / {n}) AS BIGINT) * {1 << 29} + (_ci % {n}) "
+        f"AS _ccell",
+    ).where(F.expr(f"({mind}) <= _b"))
     d = data.selectExpr(
         data_id,
         f"{tiling.cell_expr(lon, lat, res)} AS _dcell",
