@@ -283,7 +283,7 @@ def solve_kriging(
     radius: float | None = None,
     id_col: str = "cell_id",
     strategy: str = "auto",
-    tile_res: int = 6,
+    tile_res: int | None = None,
     broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Returns (id_col, var, var_variance) over the grid/query DataFrame.
@@ -301,12 +301,13 @@ def solve_kriging(
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
     if isinstance(data, DataFrame) and maxneighbors is not None:
-        from ..planner import choose_strategy
+        from ..planner import choose_strategy, choose_tile_res
 
         if strategy == "auto":
-            strategy = choose_strategy(
-                data.count(), maxneighbors, broadcast_limit
-            )
+            n_data = data.count()
+            strategy = choose_strategy(n_data, maxneighbors, broadcast_limit)
+            if tile_res is None:
+                tile_res = choose_tile_res(n_data)
         if strategy == "local-tiled":
             from .tiled import kriging_tiled
 
@@ -315,7 +316,7 @@ def solve_kriging(
             return kriging_tiled(
                 data, grid_df, var, model, data_coord_cols,
                 query_coord_cols, maxneighbors, minneighbors, metric,
-                radius, id_col, res=tile_res,
+                radius, id_col, res=(tile_res if tile_res is not None else 6),
             )
     if isinstance(data, DataFrame):
         data = collect_points(

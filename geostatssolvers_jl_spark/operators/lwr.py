@@ -100,7 +100,7 @@ def solve_lwr(
     radius: float | None = None,
     id_col: str = "cell_id",
     strategy: str = "auto",
-    tile_res: int = 6,
+    tile_res: int | None = None,
     broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """``strategy`` as in `solve_kriging`: 'auto' routes a DataFrame data
@@ -108,12 +108,13 @@ def solve_lwr(
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
     if isinstance(data, DataFrame) and maxneighbors is not None:
-        from ..planner import choose_strategy
+        from ..planner import choose_strategy, choose_tile_res
 
         if strategy == "auto":
-            strategy = choose_strategy(
-                data.count(), maxneighbors, broadcast_limit
-            )
+            n_data = data.count()
+            strategy = choose_strategy(n_data, maxneighbors, broadcast_limit)
+            if tile_res is None:
+                tile_res = choose_tile_res(n_data)
         if strategy == "local-tiled":
             from .tiled import lwr_tiled
 
@@ -122,7 +123,7 @@ def solve_lwr(
             return lwr_tiled(
                 data, grid_df, var, data_coord_cols, query_coord_cols,
                 maxneighbors, minneighbors, weightfun, metric, radius,
-                id_col, res=tile_res,
+                id_col, res=(tile_res if tile_res is not None else 6),
             )
     if isinstance(data, DataFrame):
         data = collect_points(
