@@ -634,11 +634,13 @@ def knn_join_tiled_exact(
       wider rings (4, 16, …, while the block stays < a half-circle), now
       replicating the PENDING QUERY side into its ring cells, so a wide
       ring multiplies the small side, never the 10¹²-row data side;
-    * terminal pass — resolution 1 (2×2 world): ring-1 there covers every
-      cell, so each remaining query provably sees ALL data and certifies
-      by construction.  The remaining tail is the truly-global-sparse set
-      (typically ~0 rows), and the pass is an ordinary distributed join —
-      never a broadcast of the data side.
+    * terminal pass — BOUNDED: each remaining query's kth-so-far candidate
+      distance (an actual data point, hence a valid upper bound on its
+      true kth distance) prunes every coarse cell whose minimum possible
+      distance exceeds it before any pairing; only queries with < k
+      candidates anywhere degrade to the full pairing.  Ordinary
+      distributed joins throughout — never a broadcast or driver collect
+      of the data side.
 
     Returns (query_id, data_id, dist, rank) — provably identical rows to
     a brute-force kNN (the north rule's 'identical join output rows').
