@@ -58,6 +58,9 @@ def kriging_pages_resumable(
             pagesdf, gdf.drop("unit"), var=var, model=model,
             data_coord_cols=["lon", "lat"], maxneighbors=maxneighbors,
             metric=metric,
+            # the pages side here is known to fit the broadcast path;
+            # skip auto's count probe (it would run once per resume batch)
+            strategy="local-broadcast",
         )
         return sol.withColumn("unit", (F.col("cell_id") / block).cast("long"))
 
