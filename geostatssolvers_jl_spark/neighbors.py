@@ -446,6 +446,9 @@ def knn_join_tiled(
         F.col(lon).alias("_dlon"), F.col(lat).alias("_dlat"),
     )
 
+    # the candidate join sides derive from mapInPandas (ring_table) whose
+    # output stats Spark cannot estimate — without the merge hint AQE can
+    # decide to BROADCAST a halo'd 10¹²-row side and OOM the driver
     if replicate == "data":
         halo = tiling.ring_table(
             queries.sparkSession, d.select(F.col("_dcell").alias("cell")),
@@ -455,7 +458,9 @@ def knn_join_tiled(
             F.col("neighbor").alias("_jcell"),
             data_id, "_dlon", "_dlat",
         )
-        cand = q.join(d_rep, F.col("_qcell") == F.col("_jcell"), "inner")
+        cand = q.hint("merge").join(
+            d_rep, F.col("_qcell") == F.col("_jcell"), "inner"
+        )
     elif replicate == "queries":
         halo = tiling.ring_table(
             queries.sparkSession, q.select(F.col("_qcell").alias("cell")),
@@ -465,7 +470,9 @@ def knn_join_tiled(
             query_id, "_qcell", "_qlon", "_qlat",
             F.col("neighbor").alias("_jcell"),
         )
-        cand = q_rep.join(d, F.col("_jcell") == F.col("_dcell"), "inner")
+        cand = q_rep.hint("merge").join(
+            d, F.col("_jcell") == F.col("_dcell"), "inner"
+        )
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"replicate must be 'data' or 'queries': {replicate}")
 
@@ -592,7 +599,11 @@ def _bounded_terminal(
         f"{tiling.cell_expr(lon, lat, res)} AS _dcell",
         f"{lon} AS _dlon", f"{lat} AS _dlat",
     )
-    cand = probes.join(d, F.col("_ccell") == F.col("_dcell"), "inner")
+    # merge hint: the probe side is explode-derived (no stats) — never
+    # let AQE broadcast the data side here
+    cand = probes.hint("merge").join(
+        d, F.col("_ccell") == F.col("_dcell"), "inner"
+    )
     dist_sql = metric.sql(("_qlon", "_qlat"), ("_dlon", "_dlat"))
     cand = cand.withColumn("dist", F.expr(dist_sql))
     w = Window.partitionBy(query_id).orderBy(
