@@ -664,13 +664,10 @@ def knn_join_tiled_exact(
     while (2 * rk + 1) * 2 < n:  # block span must stay < half the circle
         rings.append(rk)
         rk *= 4
-    # final escalation ring: the LARGEST certifiable span (just under a
-    # half circle) — without it, queries whose kth neighbor sits a few
-    # tens of degrees away (data-free oceans next to dense continents)
-    # would skip straight to the terminal all-data pass
-    r_max = (n // 2 - 1) // 2
-    if r_max > rings[-1]:
-        rings.append(r_max)
+    # NOTE: no final half-circle ring — a ring r multiplies the pending
+    # side by (2r+1)² probe cells (16k at res 8), which is the memory hot
+    # spot; the BOUNDED terminal below resolves the same tail with a
+    # per-query distance bound instead of a blanket ring
 
     parts: list[DataFrame] = []
     pending = queries
