@@ -529,7 +529,8 @@ def _cell_mindist_sql(res: int, metric: Distance,
         r_ = metric.radius
         lat_term = f"({r_!r} * radians({lat_margin}))"
         # wrapped angular separation to the nearest lon edge of the cell
-        w = f"pmod(_qlon - {g0}, 360.0)"
+        # (portable non-negative mod — identical text in Spark and DuckDB)
+        w = f"((((_qlon - {g0}) % 360.0) + 360.0) % 360.0)"
         sep = (
             f"CASE WHEN {w} <= {cw!r} THEN 0.0 "
             f"ELSE least({w} - {cw!r}, 360.0 - {w}) END"

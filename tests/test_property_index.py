@@ -92,3 +92,41 @@ def test_bucket_index_equals_brute_anisotropic(seed, k, rx, ry):
     bi, bd, bn = topk_search(q, pts, k, metric)
     assert np.array_equal(ai, bi)
     assert np.array_equal(an, bn)
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 2**31), res=st.sampled_from([3, 4, 5]))
+def test_cell_mindist_bound_is_conservative(seed, res):
+    """The bounded terminal's cell-pruning bound must NEVER exceed the
+    true distance from a query to any point inside the cell (an
+    over-estimate would prune a cell containing a true neighbor).
+    Evaluated through DuckDB on the exact SQL text the engine emits."""
+    import duckdb
+
+    from geostatssolvers_jl_spark import tiling
+    from geostatssolvers_jl_spark.neighbors import _cell_mindist_sql
+
+    rng = np.random.default_rng(seed)
+    metric = Haversine(6371.0)
+    qlon = float(rng.uniform(-180, 180))
+    qlat = float(rng.uniform(-90, 90))
+    # random points; their cells define (query, cell) pairs to bound
+    n = 60
+    plon = rng.uniform(-180, 180, n)
+    plat = rng.uniform(-90, 90, n)
+    cells = tiling.cell_np(plon, plat, res)
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({c}, {x!r}, {y!r})" for c, x, y in zip(cells, plon, plat)
+    )
+    mind = _cell_mindist_sql(res, metric).replace("_ccell", "c")
+    got = con.execute(
+        f"SELECT c, x, y, {mind} AS b FROM "
+        f"(SELECT c, x, y, {qlon!r} AS _qlon, {qlat!r} AS _qlat "
+        f"FROM (VALUES {rows}) _v(c, x, y)) _q"
+    ).fetchall()
+    true_d = metric.np(
+        np.array([[qlon, qlat]]), np.column_stack([plon, plat])
+    )[0]
+    for (c, x, y, b), d in zip(got, true_d):
+        assert b <= d + 1e-6, (c, x, y, b, d)
