@@ -29,9 +29,17 @@ SCALING_DIMS = (2880, 1440)
 
 
 def _warm(spark, cores: int):
-    """Spin up + warm every Python worker (imports, Arrow path) before
-    timing.  On a real cluster executors are long-lived; worker startup is
-    a one-time cost, not part of per-job throughput."""
+    """Spin up + warm every Python worker (imports, Arrow path) AND the
+    driver JVM's one-time machinery (SQL parser, analyzer, whole-stage
+    codegen, TorrentBroadcast, Arrow serde classes) before timing.  On a
+    real cluster the JVM and executors are long-lived; class loading and
+    worker startup are one-time costs, not part of per-job throughput.
+
+    The warmup runs the headline pipeline SHAPE on *synthesized* pages
+    (never the timed input files) at a toy grid, so no timed result or
+    input-scan cache is precomputed — profiling showed the identical cold
+    call ranges 2.7-4.4 s across fresh processes purely from class-loading
+    + shared-VM noise, while the warm call is a stable ~1.1-1.6 s."""
 
     def noop(batches):
         import numpy  # noqa: F401
@@ -47,6 +55,26 @@ def _warm(spark, cores: int):
         .mapInPandas(noop, "id long")
         .count()
     )
+    from geostatssolvers_jl_spark.distances import Haversine
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.sources import pages as P
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    pg = P.geocode(P.synthesize_pages(spark, 512), res=6)
+    pagesdf = pg.selectExpr(
+        "doc_id AS data_id", "lon", "lat",
+        "CAST(length(text) AS DOUBLE) AS z", "cell",
+    )
+    toy = CartesianGrid.from_extent((-180.0, -90.0), (180.0, 90.0), (36, 18))
+    solve_kriging(
+        pagesdf, toy.spark_df(spark, scramble=True, num_partitions=cores),
+        model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=1e4)),
+        data_coord_cols=["lon", "lat"], maxneighbors=8,
+        metric=Haversine(6371.0), strategy="local-broadcast",
+    ).count()
 
 
 def _pipeline(spark, sf_dir: str, k: int = 8, dims: tuple[int, int] = BENCH_DIMS):
