@@ -733,8 +733,37 @@ def _kriging_pages_k3_oracle() -> str:
     )
 
 
+def _kriging_pages_k5_oracle() -> str:
+    hav = Haversine(6371.0).sql(("q.cx", "q.cy"), ("d.x", "d.y"))
+    pages_xyz = (
+        f"(SELECT p.data_id, p.lon AS x, p.lat AS y, "
+        f"CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
+    )
+    pairs = knn_pairs_sql(
+        f"({_oracle_grid(WORLD_GRID)})", pages_xyz, hav, k=5,
+        value_cols=("x", "y", "z"),
+    )
+    return _kriging_local_oracle(
+        rng=800.0, sill=1.0, pairs=pairs, hav=True, round_to=4, k=5,
+    )
+
+
+def _kriging_pages_exactness_oracle() -> str:
+    return (
+        f"SELECT cell_id, round(z0, 1) AS z, "
+        f"CAST(0.0 AS DOUBLE) AS z_variance "
+        f"FROM ({_exactness_queries_sql()}) _q"
+    )
+
+
 def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 local kriging over geocoded pages (the flagship pipeline)."""
+    """O3 local kriging over geocoded pages (the flagship pipeline).
+
+    Value anchors: `kriging_pages_exactness` checks THESE parameters
+    (k=8, range 2000, sill 1e4) via exact interpolation at the data
+    locations; `kriging_pages_k3`/`_k5` check the same solver path
+    hash-exact against SQL-Cramer oracles on the same pages."""
     from geostatssolvers_jl_spark.operators.kriging import (
         KrigingModel, solve_kriging,
     )
@@ -753,6 +782,84 @@ def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sol.selectExpr(
         "cell_id", "round(z, 4) AS z", "round(z_variance, 4) AS z_variance"
+    )
+
+
+def q_kriging_pages_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 LOCAL kriging on REAL pages at k=5 (haversine) — value-checked
+    against the 6×6 SQL-Cramer OK solve (720-term cofactor determinants,
+    a DuckDB-only cost; reference semantics ``src/estimation/krig.jl:
+    205-228``).  Bridges the k=3 anchor toward the k=8 flagship; the
+    flagship parameters themselves are anchored by
+    `kriging_pages_exactness`."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(
+        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+    )
+    sol = solve_kriging(
+        pagesdf, WORLD_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=800.0, sill=1.0)),
+        data_coord_cols=["lon", "lat"], maxneighbors=5,
+        metric=Haversine(6371.0), strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 4) AS z", "round(z_variance, 4) AS z_variance"
+    )
+
+
+def _pages_xyz() -> str:
+    return (
+        f"(SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
+    )
+
+
+def _exactness_queries_sql() -> str:
+    """Shared-dialect query set for the exactness twin: one query per page
+    LOCATION, excluding locations that carry >1 distinct value (geocode
+    hash collisions of different texts) where exact interpolation is
+    mathematically ill-defined."""
+    return (
+        f"SELECT min(data_id) AS cell_id, lon AS cx, lat AS cy, "
+        f"min(z) AS z0 FROM {_pages_xyz()} _x "
+        f"GROUP BY lon, lat HAVING count(DISTINCT z) = 1"
+    )
+
+
+def q_kriging_pages_exactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O3 flagship anchor: OK kriging at the EXACT flagship parameters
+    (k=8, Gaussian range 2000 km, sill 1e4, haversine — same as
+    `kriging_pages_local`) queried AT the page locations themselves.
+    Kriging exactly interpolates its data (the north star's
+    'exact-interpolation at data locations'; reference exactness tests
+    ``test/estimation/krig.jl``), so the oracle is each datum with zero
+    variance.  The engine's 1e-10·sill regularization perturbs μ by ≤4e-3
+    on O(1e3) integer-valued data (measured), so round(z, 1) is exact with
+    13× margin while still verifying the k=8 solve to 5e-5 relative."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(f"SELECT * FROM {_pages_xyz()} _p")
+    queries = spark.sql(_exactness_queries_sql()).select("cell_id", "cx", "cy")
+    sol = solve_kriging(
+        pagesdf, queries,
+        model=KrigingModel(
+            variogram=GaussianVariogram(range=2000.0, sill=10000.0)
+        ),
+        data_coord_cols=["lon", "lat"], maxneighbors=8,
+        metric=Haversine(6371.0), strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 1) AS z", "round(z_variance, 4) AS z_variance"
     )
 
 
@@ -1062,6 +1169,8 @@ def oracle_sql() -> dict[str, str]:
         "kriging_local_fixture": _kriging_local_oracle(),
         "kriging_tiled_fixture": _kriging_local_oracle(),
         "kriging_pages_k3": _kriging_pages_k3_oracle(),
+        "kriging_pages_k5": _kriging_pages_k5_oracle(),
+        "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
@@ -1212,9 +1321,10 @@ def _det_sql(M: list[list[str]]) -> str:
 def _kriging_local_oracle(
     rng: float = 35.0, sill: float = 1.0,
     pairs: str | None = None, hav: bool = False, round_to: int = 6,
+    k: int = 3,
 ) -> str:
-    """Closed-form LOCAL Ordinary Kriging oracle, k = 3 neighbors: the
-    (3+1)×(3+1) OK system per grid cell is solved by Cramer's rule in pure
+    """Closed-form LOCAL Ordinary Kriging oracle, k neighbors: the
+    (k+1)×(k+1) OK system per grid cell is solved by Cramer's rule in pure
     SQL over the pivoted kNN join — a fully independent value check of the
     engine's batched-LAPACK local solver (reference semantics
     ``src/estimation/krig.jl:205-228``).  Includes the engine's 1e-10·sill
@@ -1222,15 +1332,22 @@ def _kriging_local_oracle(
 
     ``pairs``: kNN pair relation with value_cols (x, y, z); defaults to
     the Euclidean 5-point fixture.  ``hav=True`` uses great-circle
-    neighbor-neighbor distances (x=lon, y=lat)."""
+    neighbor-neighbor distances (x=lon, y=lat).
+
+    Cofactor expansion is (k+1)! terms per determinant — k=5 (6×6, 720
+    terms × 7 determinants, ~0.5 MB of SQL) is the practical ceiling; the
+    oracle only ever runs on DuckDB, so Spark codegen limits don't apply.
+    Beyond that, the k=8 flagship is anchored by the exact-interpolation
+    twin (`kriging_pages_exactness`) instead."""
     if pairs is None:
         pairs = knn_pairs_sql(
             f"({FIX_GRID.duck_sql()})", KRIG5_SQL, EUC, k=3,
             value_cols=("x", "y", "z"),
         )
+    rk = range(1, k + 1)
     piv_cols = ", ".join(
         f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
-        for r in (1, 2, 3) for c in ("x", "y", "z", "dist")
+        for r in rk for c in ("x", "y", "z", "dist")
     )
     piv = f"SELECT cell_id, {piv_cols} FROM ({pairs}) _p GROUP BY cell_id"
 
@@ -1254,35 +1371,38 @@ def _kriging_local_oracle(
     reg = 1e-10 * sill
     diag = f"({cov('0.0')} + {reg!r})"
     ents = {
-        "c12": cov(euc(1, 2)), "c13": cov(euc(1, 3)), "c23": cov(euc(2, 3)),
-        "b1": cov("dist1"), "b2": cov("dist2"), "b3": cov("dist3"),
+        f"c{r}{s}": cov(euc(r, s)) for r in rk for s in rk if r < s
     }
+    ents.update({f"b{r}": cov(f"dist{r}") for r in rk})
+    zs = ", ".join(f"z{r}" for r in rk)
     mid = (
-        "SELECT cell_id, z1, z2, z3, "
-        + ", ".join(f"{v} AS {k}" for k, v in ents.items())
+        f"SELECT cell_id, {zs}, "
+        + ", ".join(f"{v} AS {k_}" for k_, v in ents.items())
         + f", {diag} AS cdg FROM ({piv}) _m"
     )
     one, zero = "1.0", "0.0"
     A = [
-        ["cdg", "c12", "c13", one],
-        ["c12", "cdg", "c23", one],
-        ["c13", "c23", "cdg", one],
-        [one, one, one, zero],
-    ]
-    b = ["b1", "b2", "b3", one]
+        [
+            ("cdg" if r == s else f"c{min(r, s)}{max(r, s)}")
+            for s in rk
+        ] + [one]
+        for r in rk
+    ] + [[one] * k + [zero]]
+    b = [f"b{r}" for r in rk] + [one]
     D = _det_sql(A)
     lam = []
-    for j in range(4):
+    for j in range(k + 1):
         Aj = [row[:j] + [b[i]] + row[j + 1:] for i, row in enumerate(A)]
         lam.append(f"({_det_sql(Aj)}) / ({D})")
     # short-name the lambdas in one more layer to keep the final SQL small
     lam_sel = ", ".join(f"{e} AS l{j + 1}" for j, e in enumerate(lam))
+    bs = ", ".join(f"b{r}" for r in rk)
     lamq = (
-        f"SELECT cell_id, z1, z2, z3, b1, b2, b3, {lam_sel} "
+        f"SELECT cell_id, {zs}, {bs}, {lam_sel} "
         f"FROM ({mid}) _e"
     )
-    mu = "l1 * z1 + l2 * z2 + l3 * z3"
-    lam_b = "l1 * b1 + l2 * b2 + l3 * b3 + l4 * 1.0"
+    mu = " + ".join(f"l{r} * z{r}" for r in rk)
+    lam_b = " + ".join(f"l{r} * b{r}" for r in rk) + f" + l{k + 1} * 1.0"
     return (
         f"SELECT cell_id, round({mu}, {round_to}) AS z, "
         f"round(greatest({sill!r} - ({lam_b}), 0.0), {round_to}) AS z_variance "
@@ -1403,6 +1523,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_local_fixture": q_kriging_local_fixture,
         "kriging_tiled_fixture": q_kriging_tiled_fixture,
         "kriging_pages_k3": q_kriging_pages_k3,
+        "kriging_pages_k5": q_kriging_pages_k5,
+        "kriging_pages_exactness": q_kriging_pages_exactness,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
