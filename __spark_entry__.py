@@ -608,6 +608,55 @@ def q_kriging_fixture_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _krig5_spark_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, x, y, z) for i, x, y, z in KRIG5_PTS],
+        "data_id long, x double, y double, z double",
+    )
+
+
+def q_kriging_uk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 UNIVERSAL kriging (degree-1 drift), global path — value-checked
+    against the embedded-inverse oracle with drift design [1, x, y]
+    (reference variant dispatch ``src/ui.jl:40-50``)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=35.0), degree=1),
+        maxneighbors=None,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_kriging_edk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 EXTERNAL-DRIFT kriging, global path — one user drift function
+    (a cloudpickled closure, exercising the UDF-protocol surface) whose
+    SQL twin feeds the embedded-inverse oracle (reference drift design
+    ``src/estimation/krig.jl:68``)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(
+            variogram=GaussianVariogram(range=35.0),
+            drifts=[lambda c: c[..., 0] * c[..., 1] / 1000.0],
+        ),
+        maxneighbors=None,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
 def _krig5_df(spark: SparkSession):
     return spark.createDataFrame(
         KRIG5_PTS, "data_id long, x double, y double, z double"
@@ -1170,6 +1219,12 @@ def oracle_sql() -> dict[str, str]:
         "kriging_tiled_fixture": _kriging_local_oracle(),
         "kriging_pages_k3": _kriging_pages_k3_oracle(),
         "kriging_pages_k5": _kriging_pages_k5_oracle(),
+        "kriging_uk_global": _kriging_global_drift_oracle(
+            ["1.0", "cx", "cy"]
+        ),
+        "kriging_edk_global": _kriging_global_drift_oracle(
+            ["1.0", "(cx * cy / 1000.0)"]
+        ),
         "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "idw_fixture": idw_agg_sql(
@@ -1297,6 +1352,71 @@ def _kriging_global_oracle() -> str:
         f"SELECT cell_id, round({mu}, 6) AS z, "
         f"round(greatest(1.0 - ({lam_b}), 0.0), 6) AS z_variance "
         f"FROM {FIX_GRID.duck_sql()} _g"
+    )
+
+
+def _kriging_global_drift_oracle(drift_sql: list[str]) -> str:
+    """Closed-form GLOBAL kriging oracle with a drift design (UK/EDK,
+    reference dispatch ``src/ui.jl:40-50``, drift assembly
+    ``src/estimation/krig.jl:68``): with fixed data the (n+m)×(n+m) system
+    is CONSTANT — invert it independently here (own covariance formula,
+    numpy inverse) and embed it as SQL literals.  ``drift_sql`` are the m
+    drift columns as SQL over the query coords (cx, cy); the data-side
+    design uses the same formulas evaluated in numpy.  Includes the
+    engine's 1e-10·sill diagonal regularization so both sides solve the
+    same system.  μ = λᵀz, σ² = sill − λᵀ[c₀; f₀] clamped at 0."""
+    import numpy as np
+
+    pts = np.array([[x, y] for _, x, y, _ in KRIG5_PTS])
+    z = [v for _, _, _, v in KRIG5_PTS]
+    n = len(pts)
+    m = len(drift_sql)
+    r2 = 35.0**2
+    H2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    C = np.exp(-3.0 * H2 / r2) + 1e-10 * np.eye(n)  # sill 1, nugget 0
+    # evaluate the SAME drift formulas on the data coords
+    env = {"__builtins__": {}}
+    F = np.stack(
+        [
+            np.asarray(eval(  # noqa: S307 — fixed literal formulas below
+                s.replace("cx", "pts[:, 0]").replace("cy", "pts[:, 1]"),
+                {**env, "pts": pts, "np": np},
+            )) * np.ones(n)
+            for s in drift_sql
+        ],
+        axis=-1,
+    )
+    A = np.zeros((n + m, n + m))
+    A[:n, :n] = C
+    A[:n, n:] = F
+    A[n:, :n] = F.T
+    Ainv = np.linalg.inv(A)
+
+    def c0(i: int) -> str:
+        x, y = pts[i]
+        return (
+            f"exp(-3.0 * ((cx - {x!r}) * (cx - {x!r}) + "
+            f"(cy - {y!r}) * (cy - {y!r})) / {r2!r})"
+        )
+
+    b = [c0(i) for i in range(n)] + [f"({s})" for s in drift_sql]
+    lam = [
+        " + ".join(f"({Ainv[j, i]!r}) * ({b[i]})" for i in range(n + m))
+        for j in range(n + m)
+    ]
+    # short-name λ in one layer to keep the final projection small
+    lam_sel = ", ".join(f"{e} AS l{j}" for j, e in enumerate(lam))
+    b_sel = ", ".join(f"{e} AS b{i}" for i, e in enumerate(b))
+    inner = (
+        f"SELECT cell_id, {lam_sel}, {b_sel} "
+        f"FROM {FIX_GRID.duck_sql()} _g"
+    )
+    mu = " + ".join(f"l{i} * ({z[i]!r})" for i in range(n))
+    lam_b = " + ".join(f"l{i} * b{i}" for i in range(n + m))
+    return (
+        f"SELECT cell_id, round({mu}, 6) AS z, "
+        f"round(greatest(1.0 - ({lam_b}), 0.0), 6) AS z_variance "
+        f"FROM ({inner}) _f"
     )
 
 
@@ -1524,6 +1644,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_tiled_fixture": q_kriging_tiled_fixture,
         "kriging_pages_k3": q_kriging_pages_k3,
         "kriging_pages_k5": q_kriging_pages_k5,
+        "kriging_uk_global": q_kriging_uk_global,
+        "kriging_edk_global": q_kriging_edk_global,
         "kriging_pages_exactness": q_kriging_pages_exactness,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "idw_fixture": q_idw_fixture,
