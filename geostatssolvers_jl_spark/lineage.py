@@ -95,9 +95,17 @@ def commit_units(
             )
         )
         counts.write.format(FORMAT).mode("append").save(_manifest_path(base))
+        # collect the manifest rows (tiny: one per unit) BEFORE unpersist —
+        # returning the live plan would re-execute the full compute DAG on
+        # any caller action after the persist below is dropped, and a
+        # nondeterministic compute could then disagree with the manifest
+        # already written (the exact race the persist closes)
+        rows = counts.collect()
+        spark = df.sparkSession
+        out = spark.createDataFrame(rows, counts.schema)
     finally:
         df.unpersist()
-    return counts
+    return out
 
 
 def run_stage_resumable(

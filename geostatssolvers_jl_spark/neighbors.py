@@ -546,12 +546,24 @@ def _cell_mindist_sql(res: int, metric: Distance,
     if isinstance(metric, Anisotropic):
         ax = (float(metric.radii[0]), float(metric.radii[1]))
     g1 = f"(({tx} + 1) * {cw!r} - 180.0)"
+    # planar domains may extend beyond the ±180/±90 world box;
+    # tiling._tx_expr/_ty_expr CLAMP such points into the boundary cells,
+    # so a boundary cell effectively contains points beyond its raw
+    # rectangle — drop (zero) the margin on any cell side that lies on the
+    # world boundary, mirroring _block_guard_sql's edge-drop rule, to keep
+    # the bound conservative for clamped points
+    lat_margin_p = (
+        f"CASE WHEN _qlat < {l0} AND {ty} > 0 THEN ({l0} - _qlat) "
+        f"WHEN _qlat > {l1} AND {ty} < {n - 1} THEN (_qlat - {l1}) "
+        f"ELSE 0.0 END"
+    )
     lon_margin = (
-        f"CASE WHEN _qlon < {g0} THEN ({g0} - _qlon) "
-        f"WHEN _qlon > {g1} THEN (_qlon - {g1}) ELSE 0.0 END"
+        f"CASE WHEN _qlon < {g0} AND {tx} > 0 THEN ({g0} - _qlon) "
+        f"WHEN _qlon > {g1} AND {tx} < {n - 1} THEN (_qlon - {g1}) "
+        f"ELSE 0.0 END"
     )
     return (
-        f"greatest(({lat_margin}) / {ax[1]!r}, ({lon_margin}) / {ax[0]!r})"
+        f"greatest(({lat_margin_p}) / {ax[1]!r}, ({lon_margin}) / {ax[0]!r})"
     )
 
 
@@ -671,6 +683,7 @@ def knn_join_tiled_exact(
     # per-query distance bound instead of a blanket ring
 
     parts: list[DataFrame] = []
+    caches: list[DataFrame] = []
     pending = queries
     last_out = None
     for i, ring in enumerate(rings):
@@ -680,6 +693,7 @@ def knn_join_tiled_exact(
             replicate=(first_replicate if i == 0 else "queries"),
             salt=salt,
         ).cache()
+        caches.append(out)
         last_out = out
         # a query is resolved iff it has ≥ k candidates and the kth is
         # certified (rank k certified implies ranks < k certified — same
@@ -698,6 +712,7 @@ def knn_join_tiled_exact(
         # cells + probe rows) and the anti-join chain would otherwise
         # re-execute per consumer; the pending set shrinks toward zero
         pending = pending.join(resolved_ids, query_id, "anti").cache()
+        caches.append(pending)
         # eager short-circuit: one cheap limit-1 action per pass prunes
         # every later (and increasingly wide) escalation stage once all
         # queries certified — the common dense-data case pays pass 1 only
@@ -724,4 +739,13 @@ def knn_join_tiled_exact(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # materialize the final pairs ONCE (callers materialize them anyway),
+    # then free every ladder intermediate — repeated tiled solves in one
+    # session previously accumulated pass caches until storage memory
+    # filled.  The returned result stays cached (bounded: ≤ nq × k rows);
+    # callers may .unpersist() it when finished.
+    out = out.cache()
+    out.count()
+    for c in caches:
+        c.unpersist()
     return out

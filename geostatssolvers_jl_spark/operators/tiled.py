@@ -93,7 +93,12 @@ def tiled_local_apply(
         f"{data_coord_cols[0]} AS _nx",
         f"{data_coord_cols[1]} AS _ny",
         *[f"{v} AS _v_{v}" for v in value_cols],
-    )
+    ).dropDuplicates(["data_id"])
+    # dropDuplicates: data_id must identify ONE point — content-derived
+    # ids (sources/delimited) collide only for byte-identical rows, whose
+    # attribute payloads are identical, so keeping one row is exact; a
+    # plain join would otherwise FAN OUT every pair row per duplicate and
+    # collect_list would gather >k structs, truncating real neighbors
     enriched = pairs.join(dvals, "data_id")
     struct_cols = [
         F.col("rank"), F.col("dist"), F.col("_nx"), F.col("_ny"),

@@ -130,3 +130,51 @@ def test_cell_mindist_bound_is_conservative(seed, res):
     )[0]
     for (c, x, y, b), d in zip(got, true_d):
         assert b <= d + 1e-6, (c, x, y, b, d)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31), res=st.sampled_from([2, 3, 4]),
+       aniso=st.booleans())
+def test_cell_mindist_bound_conservative_planar_outside_world(
+    seed, res, aniso
+):
+    """Planar domains (e.g. a 0-100 fixture grid) may place points BEYOND
+    the ±180/±90 world box; tiling clamps those into boundary cells, so a
+    boundary cell contains points outside its raw rectangle — the bound
+    must drop the world-boundary-side margins or it would over-estimate
+    and prune a cell holding a true kth neighbor (r2 ADVICE finding)."""
+    import duckdb
+
+    from geostatssolvers_jl_spark import tiling
+    from geostatssolvers_jl_spark.distances import Anisotropic
+    from geostatssolvers_jl_spark.neighbors import _cell_mindist_sql
+
+    rng = np.random.default_rng(seed)
+    metric = (
+        Anisotropic(
+            (float(rng.uniform(0.3, 4.0)), float(rng.uniform(0.3, 4.0)))
+        )
+        if aniso
+        else Euclidean()
+    )
+    qlon = float(rng.uniform(-400, 400))
+    qlat = float(rng.uniform(-250, 250))
+    n = 60
+    plon = rng.uniform(-400, 400, n)
+    plat = rng.uniform(-250, 250, n)
+    cells = tiling.cell_np(plon, plat, res)
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({c}, {x!r}, {y!r})" for c, x, y in zip(cells, plon, plat)
+    )
+    mind = _cell_mindist_sql(res, metric).replace("_ccell", "c")
+    got = con.execute(
+        f"SELECT c, x, y, {mind} AS b FROM "
+        f"(SELECT c, x, y, {qlon!r} AS _qlon, {qlat!r} AS _qlat "
+        f"FROM (VALUES {rows}) _v(c, x, y)) _q"
+    ).fetchall()
+    true_d = metric.np(
+        np.array([[qlon, qlat]]), np.column_stack([plon, plat])
+    )[0]
+    for (c, x, y, b), d in zip(got, true_d):
+        assert b <= d + 1e-9, (c, x, y, b, d)

@@ -129,3 +129,22 @@ def test_tiled_plan_is_equijoin(spark, geo):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tiled_duplicate_data_ids_no_fanout(spark, geo):
+    """Content-derived data_ids collide for byte-identical rows; the
+    attribute join must not fan out (a plain join would gather >k structs
+    per cell and truncate REAL neighbors — r2 ADVICE finding).  Duplicated
+    rows through the tiled path must match the broadcast path on the same
+    duplicated input."""
+    d, q = geo
+    dup = d.limit(40)
+    ddup = d.union(dup)  # 40 byte-identical duplicate rows, same data_id
+    kw = dict(
+        var="z", data_coord_cols=["lon", "lat"],
+        query_coord_cols=["lon", "lat"], maxneighbors=5,
+        metric=Haversine(6371.0),
+    )
+    a = _rows(solve_idw(ddup, q, strategy="local-broadcast", **kw))
+    b = _rows(solve_idw(ddup, q, strategy="local-tiled", tile_res=4, **kw))
+    assert a == b
