@@ -318,6 +318,110 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT qid, nid, cos_sim, rank FROM ({ranked}) _r WHERE rank <= 3")
 
 
+COMP_PTS = [
+    (0, 25.0, 25.0, 0.1, 0.2, 0.7), (1, 50.0, 75.0, 0.3, 0.4, 0.3),
+    (2, 75.0, 50.0, 0.5, 0.6, 0.2), (3, 75.0, 25.0, 0.2, 0.1, 0.4),
+]
+COMP_SQL = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, {x!r}, {y!r}, {a!r}, {b!r}, {c!r})"
+                for i, x, y, a, b, c in COMP_PTS)
+    + ") _v(data_id, x, y, a, b, c))"
+)
+
+
+def q_idw_compositional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 compositional IDW (reference ``test/estimation/idw.jl:47-65``):
+    weighted Fréchet mean in ilr space, re-closed — value-checked against
+    the closed-form ilr algebra written out in shared-dialect SQL (log
+    ratios, weighted mean, inverse ilr via the Helmert basis, closure,
+    zero-distance datum override)."""
+    from geostatssolvers_jl_spark.operators.idw import (
+        solve_idw_compositional,
+    )
+
+    data = spark.createDataFrame(
+        [(i, x, y, [a, b, c]) for i, x, y, a, b, c in COMP_PTS],
+        "data_id long, x double, y double, z array<double>",
+    )
+    sol = solve_idw_compositional(
+        data, FIX_GRID.spark_df(spark), maxneighbors=3,
+        strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id",
+        "round(z[0], 6) AS z1", "round(z[1], 6) AS z2",
+        "round(z[2], 6) AS z3",
+    )
+
+
+def _idw_compositional_oracle() -> str:
+    """ilr IDW written out for 3-part compositions, k = 3 neighbors —
+    mirrors the engine kernel's op order exactly (closure→log, y₁ =
+    √½(x_a−x_b), y₂ = √(2/3)((x_a+x_b)/2−x_c), weighted mean with
+    zero-weighted exact hits, clr = y·Vᵀ, exp, closure; rank-1
+    zero-distance override with the raw closed datum)."""
+    import numpy as np
+
+    s12 = repr(float(np.sqrt(1 / 2.0)))
+    s23 = repr(float(np.sqrt(2 / 3.0)))
+    pairs = knn_pairs_sql(
+        f"({FIX_GRID.duck_sql()})", COMP_SQL, EUC, k=3,
+        value_cols=("a", "b", "c"),
+    )
+    piv_cols = ", ".join(
+        f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
+        for r in (1, 2, 3) for c in ("a", "b", "c", "dist")
+    )
+    piv = f"SELECT cell_id, {piv_cols} FROM ({pairs}) _p GROUP BY cell_id"
+    # per-neighbor ilr coords + inverse-distance weights (exact hits get
+    # weight 0, the engine's finite_w mask; the rank-1 override reinstates
+    # the datum below)
+    lyr = []
+    for r in (1, 2, 3):
+        s = f"(a{r} + b{r} + c{r})"
+        xa, xb, xc = (f"ln(a{r} / {s})", f"ln(b{r} / {s})",
+                      f"ln(c{r} / {s})")
+        lyr.append(f"{s12} * ({xa} - {xb}) AS y1_{r}")
+        lyr.append(f"{s23} * ((({xa} + {xb}) / 2) - {xc}) AS y2_{r}")
+        lyr.append(
+            f"CASE WHEN dist{r} = 0.0 THEN 0.0 ELSE 1.0 / dist{r} END "
+            f"AS w{r}"
+        )
+    mid = (
+        f"SELECT cell_id, a1, b1, c1, dist1, {', '.join(lyr)} "
+        f"FROM ({piv}) _m"
+    )
+    sw = "(CASE WHEN (w1 + w2 + w3) > 0 THEN (w1 + w2 + w3) ELSE 1.0 END)"
+    ym1 = f"((w1 / {sw}) * y1_1 + (w2 / {sw}) * y1_2 + (w3 / {sw}) * y1_3)"
+    ym2 = f"((w1 / {sw}) * y2_1 + (w2 / {sw}) * y2_2 + (w3 / {sw}) * y2_3)"
+    lamq = (
+        f"SELECT cell_id, a1, b1, c1, dist1, {ym1} AS ym1, {ym2} AS ym2 "
+        f"FROM ({mid}) _e"
+    )
+    # ilr_inv: clr_j = ym · Vᵀ row j (Helmert basis), exp, closure
+    V = [
+        (f"{s12}", f"({s23} / 2)"),
+        (f"(0.0 - {s12})", f"({s23} / 2)"),
+        ("0.0", f"(0.0 - {s23})"),
+    ]
+    es = [f"exp(ym1 * {vj0} + ym2 * {vj1})" for vj0, vj1 in V]
+    expq = (
+        f"SELECT cell_id, a1, b1, c1, dist1, "
+        + ", ".join(f"{e} AS e{j}" for j, e in enumerate(es))
+        + f" FROM ({lamq}) _x"
+    )
+    se = "(e0 + e1 + e2)"
+    outs = []
+    for j, part in enumerate(("a1", "b1", "c1")):
+        outs.append(
+            f"round(CASE WHEN dist1 = 0.0 "
+            f"THEN {part} / (a1 + b1 + c1) "
+            f"ELSE e{j} / {se} END, 6) AS z{j + 1}"
+        )
+    return f"SELECT cell_id, {', '.join(outs)} FROM ({expq}) _f"
+
+
 def q_units_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 affine unit normalization (utils.jl:10-15): a °C-valued variable
     is uadjust-ed to K BEFORE estimation, then IDW runs on the K values —
@@ -483,7 +587,12 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard verification with the hot-shingle candidate cap
     (boilerplate shingles shared by huge doc sets never enter the pair
-    join; values still computed on full sets)."""
+    join; values still computed on full sets).
+
+    The ``b.doc_id - a.doc_id <= 25`` pair predicate exists ONLY to keep
+    the oracle's candidate set small at gate scale — it is a demo bound,
+    not a scale technique; the production composed operator is
+    `dedup_verified` (LSH candidates → exact Jaccard verify)."""
     from geostatssolvers_jl_spark.webtext.dedup import ngram_jaccard_sql
 
     _register(spark, sf_dir, ("documents",))
@@ -1219,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "kriging_tiled_fixture": _kriging_local_oracle(),
         "kriging_pages_k3": _kriging_pages_k3_oracle(),
         "kriging_pages_k5": _kriging_pages_k5_oracle(),
+        "idw_compositional": _idw_compositional_oracle(),
         "kriging_uk_global": _kriging_global_drift_oracle(
             ["1.0", "cx", "cy"]
         ),
@@ -1644,6 +1754,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_tiled_fixture": q_kriging_tiled_fixture,
         "kriging_pages_k3": q_kriging_pages_k3,
         "kriging_pages_k5": q_kriging_pages_k5,
+        "idw_compositional": q_idw_compositional,
         "kriging_uk_global": q_kriging_uk_global,
         "kriging_edk_global": q_kriging_edk_global,
         "kriging_pages_exactness": q_kriging_pages_exactness,

@@ -150,13 +150,39 @@ def solve_idw_compositional(
     exponent: float = 1.0,
     metric: Distance = Euclidean(),
     id_col: str = "cell_id",
+    strategy: str = "auto",
+    tile_res: int | None = None,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """IDW over composition-valued columns (reference:
     ``test/estimation/idw.jl:47-65``): spatial neighbor search + weighted
     mean in ilr space (the Fréchet mean of the Aitchison geometry), output
-    re-closed compositions as an array column."""
+    re-closed compositions as an array column.
+
+    ``strategy`` as in `solve_idw`: 'auto' routes a data side above
+    ``broadcast_limit`` rows through the distributed tiled join
+    (`tiled.idw_compositional_tiled`, bit-identical results) instead of a
+    driver collect."""
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if maxneighbors is not None:
+        from ..planner import choose_strategy, choose_tile_res
+
+        if strategy == "auto":
+            n_data = data.count()
+            strategy = choose_strategy(n_data, maxneighbors, broadcast_limit)
+            if tile_res is None:
+                tile_res = choose_tile_res(n_data)
+        if strategy == "local-tiled":
+            from .tiled import idw_compositional_tiled
+
+            if minneighbors > maxneighbors:
+                raise ValueError("invalid min/max number of neighbors")
+            return idw_compositional_tiled(
+                data, grid_df, var, data_coord_cols, query_coord_cols,
+                maxneighbors, minneighbors, exponent, metric, id_col,
+                res=(tile_res if tile_res is not None else 6),
+            )
     pdf = data.filter(f"{var} IS NOT NULL").select(
         *data_coord_cols, var
     ).toPandas()

@@ -117,13 +117,29 @@ def pointwise_learn(
     label: str,
     model=None,
     out_col: str | None = None,
+    fit_row_cap: int = 1_000_000,
 ) -> DataFrame:
-    """Fit on source (driver), broadcast, predict target via mapInPandas."""
+    """Fit on source (driver), broadcast, predict target via mapInPandas.
+
+    The driver-side fit mirrors the reference's semantics
+    (``src/learning/pointwise.jl:39`` fits on the whole source), but a
+    100 TB source cannot land on the driver: above ``fit_row_cap`` rows the
+    fit uses a seeded uniform SAMPLE of ~cap rows (documented deviation —
+    statistically equivalent for the CART/pluggable models this protocol
+    carries, and the cap is a caller knob)."""
     from pyspark import cloudpickle
 
     model = model or DecisionTreeClassifier()
     out_col = out_col or label
-    src = source.select(*features, label).toPandas()
+    fit_df = source.select(*features, label)
+    n_src = fit_df.count()
+    if n_src > fit_row_cap:
+        # seeded sample (deterministic for a fixed input partitioning),
+        # slightly oversampled then hard-capped so the driver never sees
+        # more than ~fit_row_cap rows
+        frac = min(1.0, 1.05 * fit_row_cap / n_src)
+        fit_df = fit_df.sample(fraction=frac, seed=42).limit(fit_row_cap)
+    src = fit_df.toPandas()
     X = src[features].to_numpy(np.float64)
     y = src[label].to_numpy()
     model.fit(X, y)

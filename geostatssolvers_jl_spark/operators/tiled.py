@@ -230,6 +230,85 @@ def idw_tiled(
     )
 
 
+def idw_compositional_tiled(
+    data_df: DataFrame,
+    grid_df: DataFrame,
+    var: str,
+    data_coord_cols: list[str],
+    query_coord_cols: list[str],
+    k: int,
+    minneighbors: int,
+    exponent: float,
+    metric: Distance,
+    id_col: str,
+    res: int = 6,
+    salt: int = 0,
+) -> DataFrame:
+    """Tiled compositional IDW: the composition array column is expanded
+    into D part columns + (D−1) ilr coordinate columns (computed with the
+    SAME numpy `ilr` as the broadcast path, so the gathered values are
+    bit-identical), then the scalar tiled machinery gathers them and the
+    kernel runs the broadcast kernel's exact op order (weighted mean in
+    ilr space, `ilr_inv`, zero-distance closure override)."""
+    from .idw import closure, ilr, ilr_inv
+
+    # D from one data row — a bounded driver action (first row only)
+    first = data_df.filter(f"{var} IS NOT NULL").select(var).first()
+    if first is None:
+        raise ValueError("estimation requires data")
+    D = len(first[0])
+    ycols = [f"_y{j}" for j in range(D - 1)]
+    ccols = [f"_c{j}" for j in range(D)]
+
+    def expand(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            comp = np.stack(pdf[var].to_numpy())
+            Y = ilr(comp)
+            out = pdf[["data_id", *data_coord_cols]].copy()
+            for j in range(D - 1):
+                out[ycols[j]] = Y[:, j]
+            for j in range(D):
+                out[ccols[j]] = comp[:, j]
+            yield out
+
+    exp_schema = (
+        f"data_id long, {data_coord_cols[0]} double, "
+        f"{data_coord_cols[1]} double, "
+        + ", ".join(f"{c} double" for c in ycols + ccols)
+    )
+    expanded = data_df.filter(f"{var} IS NOT NULL").select(
+        "data_id", *data_coord_cols, var
+    ).mapInPandas(expand, schema=exp_schema)
+
+    def kernel(pdf, qcoords, NC, vals, dist, valid):
+        Yd = np.stack([vals[c] for c in ycols], axis=-1)
+        Cd = np.stack([vals[c] for c in ccols], axis=-1)
+        with np.errstate(divide="ignore"):
+            w = np.where(valid, 1.0 / np.power(dist, exponent), 0.0)
+        finite_w = np.where(np.isfinite(w), w, 0.0)
+        sw = finite_w.sum(axis=1, keepdims=True)
+        sw = np.where(sw > 0, sw, 1.0)
+        ym = np.einsum("nk,nkd->nd", finite_w / sw, Yd)
+        out = ilr_inv(ym)
+        zero = (dist[:, 0] == 0.0) & valid[:, 0]
+        out[zero] = closure(Cd[:, 0][zero])
+        few = valid.sum(axis=1) < minneighbors
+        rows = [None if f else row.tolist() for f, row in zip(few, out)]
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: rows,
+        })
+
+    schema = f"{id_col} long, {var} array<double>"
+    return tiled_local_apply(
+        grid_df, expanded, query_coord_cols, data_coord_cols,
+        ycols + ccols, k, kernel, schema,
+        metric=metric, radius=None, res=res, id_col=id_col, salt=salt,
+    )
+
+
 def lwr_tiled(
     data_df: DataFrame,
     grid_df: DataFrame,

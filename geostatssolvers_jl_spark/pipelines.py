@@ -49,6 +49,8 @@ def kriging_pages_resumable(
     )
 
     def compute(todo: DataFrame) -> DataFrame:
+        # size bound: one row per WORK UNIT (grid block), not per cell —
+        # ≤ ncells/block rows; unit lists are driver-sized by construction
         todo_units = [r["unit"] for r in todo.select("unit").collect()]
         gdf = grid.spark_df(spark).withColumn(
             "unit", (F.col("cell_id") / block).cast("long")

@@ -131,6 +131,21 @@ def _tile_field(
     return Zi.ravel(order="F"), ids.ravel(order="F")
 
 
+def _residual_matrix(zu_rows, dcell_ids: np.ndarray, zdat: np.ndarray,
+                     nreals: int, var: str) -> np.ndarray:
+    """(nreals, ndata) residual scatter zdat − z_unconditional in canonical
+    (sorted dcell_ids) order — one vectorized fancy-index assignment; at
+    nreals=1000 × 10⁴ data cells a per-row Python loop here would be 10⁷
+    driver iterations.  Duplicate (real, cell) rows (a data cell covered by
+    two tiles) resolve last-write-wins in row order, matching the loop
+    form."""
+    rid = zu_rows["real_id"].to_numpy(np.int64)
+    pidx = np.searchsorted(dcell_ids, zu_rows["cell_id"].to_numpy(np.int64))
+    R = np.zeros((nreals, len(dcell_ids)))
+    R[rid, pidx] = zdat[pidx] - zu_rows[var].to_numpy(np.float64)
+    return R
+
+
 def solve_fftgs(
     spark: SparkSession,
     grid: CartesianGrid,
@@ -206,6 +221,8 @@ def solve_fftgs(
         # value) — dropDuplicates varies with partitioning
         .groupBy("cell_id").agg(Fn.min("zdat").alias("zdat"))
     )
+    # size bound: ≤ one row per grid cell holding data (the snapped
+    # conditioning set) — driver-sized like the reference's data view
     dpdf = dcells.toPandas().sort_values("cell_id").reset_index(drop=True)
     dcell_ids = dpdf["cell_id"].to_numpy(np.int64)
     zdat = dpdf["zdat"].to_numpy(np.float64)
@@ -337,6 +354,8 @@ def _solve_fftgs_tiled(
         .selectExpr(f"{snap} AS cell_id", f"{var} AS zdat")
         .groupBy("cell_id").agg(Fn.min("zdat").alias("zdat"))
     )
+    # size bound: ≤ one row per grid cell holding data (the snapped
+    # conditioning set) — driver-sized like the reference's data view
     dpdf = dcells.toPandas().sort_values("cell_id").reset_index(drop=True)
     dcell_ids = dpdf["cell_id"].to_numpy(np.int64)
     zdat = dpdf["zdat"].to_numpy(np.float64)
@@ -372,13 +391,7 @@ def _solve_fftgs_tiled(
         .mapInPandas(gen_at_data, schema=schema)
         .toPandas()
     )
-    # per-real residual vectors in canonical data order
-    pos = {int(c): i for i, c in enumerate(dcell_ids)}
-    R = np.zeros((nreals, len(dcell_ids)))
-    for _, r in zu_rows.iterrows():
-        R[int(r["real_id"]), pos[int(r["cell_id"])]] = (
-            zdat[pos[int(r["cell_id"])]] - r[var]
-        )
+    R = _residual_matrix(zu_rows, dcell_ids, zdat, nreals, var)
     model = KrigingModel(variogram=variogram, mean=0.0)
     bc_cond = spark.sparkContext.broadcast(
         (dcell_ids, zdat, dcoords, R, model, maxneighbors, krig_radius)

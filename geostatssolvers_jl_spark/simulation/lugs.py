@@ -164,6 +164,9 @@ def solve_lugs(
             snap = grid.snap_cell_expr(tuple(data_coord_cols), "cell_id")
             # deterministic survivor per cell (min value) — dropDuplicates
             # keeps an arbitrary row, varying with partitioning
+            # size bound: ≤ one row per grid cell after the groupBy (LUGS
+            # factorizes an ncells² matrix on the driver anyway — the grid
+            # itself must be driver-sized for this solver, lu.jl:72)
             rows = (
                 data.filter(f"{v.var} IS NOT NULL")
                 .selectExpr(f"{snap} AS cell_id", f"{v.var} AS zv")

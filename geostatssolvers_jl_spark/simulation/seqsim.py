@@ -306,6 +306,9 @@ def solve_sgs(
         # deterministic survivor when several data rows snap to one cell:
         # min value wins (dropDuplicates keeps an arbitrary row, which
         # varies with partitioning and breaks realization reproducibility)
+        # size bound: ≤ one row per GRID CELL after the groupBy — the
+        # conditioning set, not the 10¹²-row source (same assumption as
+        # the reference's in-memory data view)
         rows = (
             data.filter(f"{var} IS NOT NULL")
             .selectExpr(f"{snap} AS cell_id", f"{var} AS zv")

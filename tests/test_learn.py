@@ -65,3 +65,28 @@ def test_error_rate_query(spark):
         "avg(CAST(Z <> Ztrue AS DOUBLE)) AS err"
     ).collect()[0]["err"]
     assert err < 0.15
+
+
+def test_pointwise_learn_fit_row_cap(spark):
+    """A source above fit_row_cap must NOT land on the driver whole: the
+    fit samples ~cap rows (r2 verdict perf item — full-source toPandas is
+    a driver OOM at 100 TB) and still predicts every target row."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.operators.learn import pointwise_learn
+
+    n = 600
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(0, 10, n)
+    src = spark.createDataFrame(
+        [(float(x), int(x > 5)) for x in xs], "f double, lab long"
+    )
+    tgt = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1.0, 2.0, 8.0, 9.0])],
+        "id long, f double",
+    )
+    out = pointwise_learn(src, tgt, ["f"], "lab", fit_row_cap=100)
+    rows = {r["id"]: r["lab"] for r in out.collect()}
+    assert len(rows) == 4
+    # a 100-row sample of a cleanly separable rule still learns it
+    assert rows[0] == 0 and rows[1] == 0 and rows[2] == 1 and rows[3] == 1

@@ -354,3 +354,36 @@ def test_fftgs_tiled_halo(spark, data2d_3pt):
         for (i, j), v in [((25, 25), 1.0), ((50, 75), 0.0), ((75, 50), 1.0)]:
             cell = (j - 1) * 100 + (i - 1)
             assert real[cell] == pytest.approx(v, abs=1e-12)
+
+
+def test_fftgs_residual_scatter_matches_loop_form():
+    """_residual_matrix (vectorized pass-A scatter) must be bit-identical
+    to the per-row loop it replaced, including duplicate (real, cell) rows
+    where last-write-wins in row order."""
+    import numpy as np
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.simulation.fftgs import _residual_matrix
+
+    rng = np.random.default_rng(7)
+    nreals, nd = 8, 40
+    dcell_ids = np.sort(rng.choice(10_000, size=nd, replace=False))
+    zdat = rng.normal(0, 3, nd)
+    # rows covering every (real, cell) plus duplicated rows out of order
+    rid = np.repeat(np.arange(nreals), nd)
+    cid = np.tile(dcell_ids, nreals)
+    vals = rng.normal(0, 1, nreals * nd)
+    dup = rng.integers(0, nreals * nd, 25)
+    zu = pd.DataFrame({
+        "real_id": np.concatenate([rid, rid[dup]]),
+        "cell_id": np.concatenate([cid, cid[dup]]),
+        "z": np.concatenate([vals, rng.normal(0, 1, 25)]),
+    })
+    got = _residual_matrix(zu, dcell_ids, zdat, nreals, "z")
+    pos = {int(c): i for i, c in enumerate(dcell_ids)}
+    want = np.zeros((nreals, nd))
+    for _, r in zu.iterrows():
+        want[int(r["real_id"]), pos[int(r["cell_id"])]] = (
+            zdat[pos[int(r["cell_id"])]] - r["z"]
+        )
+    assert np.array_equal(got, want)
