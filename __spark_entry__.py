@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from geostatssolvers_jl_spark import tiling
 from geostatssolvers_jl_spark.distances import Euclidean, Haversine
@@ -1183,6 +1184,66 @@ def q_lugs_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fftgs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 value anchor: the FFTGS sill/mean rescale (reference
+    ``src/simulation/fft.jl:169-170``) makes per-realization sample mean
+    and POPULATION variance exact constants — the DC component is zeroed
+    (fft.jl:103) so mean(Z)≈1e-17 and Z' = √(sill/mean(Z²))·Z + mean gives
+    avg(z)=mean and avg(z²)−avg(z)² = sill·(1−mean(Z)²/mean(Z²)) = sill to
+    ~1e-12 (measured).  Checked per realization on an UNCONDITIONAL run
+    (conditioning adds the kriging correction, which breaks the
+    identity)."""
+    from geostatssolvers_jl_spark.simulation.fftgs import solve_fftgs
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sim = solve_fftgs(
+        spark, SIM_GRID, nreals=4,
+        variogram=GaussianVariogram(range=10.0, sill=2.5),
+        mean=7.0, seed=21,
+    )
+    return (
+        sim.groupBy("real_id")
+        .agg(
+            F.round(F.avg("z"), 6).alias("mean_z"),
+            F.round(
+                F.avg(F.col("z") * F.col("z"))
+                - F.avg("z") * F.avg("z"), 6,
+            ).alias("var_z"),
+        )
+    )
+
+
+def _fftgs_moments_oracle() -> str:
+    return (
+        "SELECT range AS real_id, round(7.0, 6) AS mean_z, "
+        "round(2.5, 6) AS var_z FROM range(4)"
+    )
+
+
+def q_spdegs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 value anchor: the SPDE field is a zero-mean GMRF normalized by a
+    marginal-variance probe to std ≈ σ=1 (``spde.py:solve_spdegs``) — the
+    pooled RMS over (reals × cells) must land within [σ/2, 2σ] and the
+    pooled mean within ±σ/2 (wrong κ² scaling, a broken stencil, or a
+    missing normalization each miss by orders of magnitude).  A bound
+    invariant, not a golden: the oracle is the constant expectation, not
+    the engine's own output."""
+    sim = q_spdegs(spark, sf_dir)
+    return sim.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.abs(F.avg("z")) < 0.5).cast("int").alias("mean_within_half_sigma"),
+        F.sqrt(F.avg(F.col("z") * F.col("z")))
+        .between(0.5, 2.0).cast("int").alias("rms_within_2x_sigma"),
+    )
+
+
+def _spdegs_moments_oracle() -> str:
+    return (
+        "SELECT CAST(2700 AS BIGINT) AS n, "
+        "1 AS mean_within_half_sigma, 1 AS rms_within_2x_sigma"
+    )
+
+
 def q_pointwise_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10 pointwise learning: fit on documents' lang from text features,
     predict held-out docs; returns per-doc predictions (rows-only)."""
@@ -1399,6 +1460,8 @@ def oracle_sql() -> dict[str, str]:
         "lwr_fixture": _lwr_fixture_oracle(),
         "sgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
         "fftgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
+        "fftgs_moments": _fftgs_moments_oracle(),
+        "spdegs_moments": _spdegs_moments_oracle(),
         "lugs_conditioning": _cond_oracle(
             CartesianGrid((100,)), _LUGS_VALUES, 3, ("x",)
         ),
@@ -1788,6 +1851,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conditioning-exactness invariants: value-checked vs the datum
         "sgs_conditioning": q_sgs_conditioning,
         "fftgs_conditioning": q_fftgs_conditioning,
+        "fftgs_moments": q_fftgs_moments,
+        "spdegs_moments": q_spdegs_moments,
         "lugs_conditioning": q_lugs_conditioning,
         "cookie_cutter": q_cookie_cutter,
         # rows-only (linear-algebra / stochastic ops have no SQL equivalent)
