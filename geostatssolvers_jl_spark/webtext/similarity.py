@@ -90,6 +90,27 @@ def _emb_double(dialect: str, emb_rel: str, col: str) -> str:
     )
 
 
+def _dot_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
+    """Dot product of two array<double> columns (fold spelling per
+    `_cos_sql`'s bit-identity notes)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _norm_sql(dialect: str, a: str, dim: int = DIM) -> str:
+    """‖a‖ with the exact same fold text as `_cos_sql`'s norm factors, so
+    precomputing it per VECTOR (instead of per pair) leaves every cosine
+    bit-identical: the quotient divides by the product of the same two
+    sqrt values either way."""
+    return f"sqrt({_dot_sql(dialect, a, a, dim)})"
+
+
 def _cos_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
     """Exact cosine between two array<double> columns, dialect-split only in
     list-function spelling (values bit-identical: every spelling sums terms
@@ -158,7 +179,11 @@ def _lsh_candidates_cte(dialect: str, emb_rel: str, n_planes: int,
         f"_cand AS (SELECT DISTINCT p.vec_id AS qid, d.vec_id AS nid "
         f"FROM _probes p JOIN {rel} d ON p.tbl = d.tbl "
         f"AND p.probe = d.bucket AND {pair_pred}), "
-        f"_emb AS (SELECT * FROM {emb} _ed) "
+        # norm precomputed per VECTOR: the exact-cosine stage then runs ONE
+        # interpreted fold per pair instead of three (dot + both norms) —
+        # values bit-identical, see _norm_sql
+        f"_emb AS (SELECT vec_id, e, {_norm_sql(dialect, 'e', dim)} AS nrm "
+        f"FROM {emb} _ed) "
     )
 
 
@@ -179,7 +204,7 @@ def ann_topk_lsh_sql(dialect: str, emb_rel: str = "embeddings",
         dialect, emb_rel, n_planes, n_tables, dim,
         "p.vec_id <> d.vec_id", bt_rel=bt_rel,
     )
-    cos = _cos_sql(dialect, "q.e", "d.e", dim)
+    cos = f"({_dot_sql(dialect, 'q.e', 'd.e', dim)}) / (q.nrm * d.nrm)"
     inner = (
         f"SELECT c.qid, c.nid, round({cos}, 6) AS cos_sim "
         f"FROM _cand c JOIN _emb q ON c.qid = q.vec_id "
@@ -208,14 +233,18 @@ def dedup_embedding_lsh_sql(dialect: str, emb_rel: str = "embeddings",
         dialect, emb_rel, n_planes, n_tables, dim,
         "p.vec_id < d.vec_id", bt_rel=bt_rel,
     )
-    cos = _cos_sql(dialect, "a.e", "b.e", dim)
+    cos = f"({_dot_sql(dialect, 'a.e', 'b.e', dim)}) / (a.nrm * b.nrm)"
+    # cosine computed ONCE in the inner projection (Spark inlines CTE
+    # expressions, so the old select+WHERE spelling evaluated it twice)
+    inner = (
+        f"SELECT c.qid AS vec_a, c.nid AS vec_b, {cos} AS c "
+        f"FROM _cand c JOIN _emb a ON c.qid = a.vec_id "
+        f"JOIN _emb b ON c.nid = b.vec_id"
+    )
     return (
         cte
-        + f"SELECT c.qid AS vec_a, c.nid AS vec_b, "
-        f"round({cos}, 6) AS cos_sim "
-        f"FROM _cand c JOIN _emb a ON c.qid = a.vec_id "
-        f"JOIN _emb b ON c.nid = b.vec_id "
-        f"WHERE {cos} >= {threshold!r}"
+        + f"SELECT vec_a, vec_b, round(c, 6) AS cos_sim "
+        f"FROM ({inner}) _j WHERE c >= {threshold!r}"
     )
 
 
