@@ -744,6 +744,69 @@ def q_kriging_uk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kriging_sk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 SIMPLE kriging (known mean) through the LOCAL batched path —
+    value-checked against the drift-free Cramer oracle (C λ = c₀,
+    μ = mean + λᵀ(z − mean); variant dispatch ``src/ui.jl:40-50``)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(
+            variogram=GaussianVariogram(range=35.0), mean=0.5
+        ),
+        maxneighbors=3,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_kriging_uk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 UNIVERSAL kriging through the LOCAL batched path (k=3 neighbors
+    + degree-1 drift → 6×6 systems) — value-checked against the
+    drift-extended Cramer oracle (design [1, x, y] matching
+    `KrigingModel.drift_matrix` column order)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=35.0), degree=1),
+        maxneighbors=3,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_kriging_edk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 EXTERNAL-DRIFT kriging through the LOCAL batched path (k=3 + one
+    cloudpickled drift closure → 5×5 systems) — value-checked against the
+    drift-extended Cramer oracle with the SQL twin of the drift."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(
+            variogram=GaussianVariogram(range=35.0),
+            drifts=[lambda c: (c[..., 0] + c[..., 1]) / 100.0],
+        ),
+        maxneighbors=3,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
 def q_kriging_edk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 EXTERNAL-DRIFT kriging, global path — one user drift function
     (a cloudpickled closure, exercising the UDF-protocol surface) whose
@@ -1016,6 +1079,38 @@ def q_kriging_pages_exactness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         data_coord_cols=["lon", "lat"], maxneighbors=8,
         metric=Haversine(6371.0), strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 1) AS z", "round(z_variance, 4) AS z_variance"
+    )
+
+
+def q_kriging_pages_exactness_tiled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The `kriging_pages_exactness` invariant THROUGH the fully
+    distributed tiled big-big path (same flagship parameters, k=8): the
+    escalating tiled join + gathered-array solve must also reproduce every
+    datum — value-anchors the scale path itself on real pages, including
+    the dist-0 self-neighbor ties the exactness queries create."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(f"SELECT * FROM {_pages_xyz()} _p")
+    queries = spark.sql(_exactness_queries_sql()).selectExpr(
+        "cell_id", "cx", "cy"
+    )
+    sol = solve_kriging(
+        pagesdf, queries,
+        model=KrigingModel(
+            variogram=GaussianVariogram(range=2000.0, sill=10000.0)
+        ),
+        data_coord_cols=["lon", "lat"], query_coord_cols=["cx", "cy"],
+        maxneighbors=8, metric=Haversine(6371.0),
+        strategy="local-tiled", tile_res=4,
     )
     return sol.selectExpr(
         "cell_id", "round(z, 1) AS z", "round(z_variance, 4) AS z_variance"
@@ -1393,10 +1488,18 @@ def oracle_sql() -> dict[str, str]:
         "kriging_uk_global": _kriging_global_drift_oracle(
             ["1.0", "cx", "cy"]
         ),
+        "kriging_sk_local": _kriging_local_oracle(sk_mean=0.5),
+        "kriging_uk_local": _kriging_local_oracle(
+            drifts=["{x}", "{y}"]
+        ),
+        "kriging_edk_local": _kriging_local_oracle(
+            drifts=["(({x} + {y}) / 100.0)"]
+        ),
         "kriging_edk_global": _kriging_global_drift_oracle(
             ["1.0", "(cx * cy / 1000.0)"]
         ),
         "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
+        "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
@@ -1615,6 +1718,9 @@ def _kriging_local_oracle(
     rng: float = 35.0, sill: float = 1.0,
     pairs: str | None = None, hav: bool = False, round_to: int = 6,
     k: int = 3,
+    drifts: list[str] | None = None,
+    qgrid: "CartesianGrid | None" = None,
+    sk_mean: float | None = None,
 ) -> str:
     """Closed-form LOCAL Ordinary Kriging oracle, k neighbors: the
     (k+1)×(k+1) OK system per grid cell is solved by Cramer's rule in pure
@@ -1627,7 +1733,14 @@ def _kriging_local_oracle(
     the Euclidean 5-point fixture.  ``hav=True`` uses great-circle
     neighbor-neighbor distances (x=lon, y=lat).
 
-    Cofactor expansion is (k+1)! terms per determinant — k=5 (6×6, 720
+    ``drifts``: UK/EDK drift columns as SQL templates over ``{x}``/``{y}``
+    (e.g. ``"{x}"`` for the x monomial, ``"(({x} + {y}) / 100.0)"`` for a
+    user drift) — the design becomes [1, drift...] per the engine's
+    `KrigingModel.drift_matrix` column order, and the system grows to
+    (k+m)×(k+m); query-side drift values come from the grid relation
+    (``qgrid``, default FIX_GRID) joined back on cell_id.
+
+    Cofactor expansion is (k+m)! terms per determinant — k=5 OK (6×6, 720
     terms × 7 determinants, ~0.5 MB of SQL) is the practical ceiling; the
     oracle only ever runs on DuckDB, so Spark codegen limits don't apply.
     Beyond that, the k=8 flagship is anchored by the exact-interpolation
@@ -1637,12 +1750,23 @@ def _kriging_local_oracle(
             f"({FIX_GRID.duck_sql()})", KRIG5_SQL, EUC, k=3,
             value_cols=("x", "y", "z"),
         )
+    drifts = drifts or []
+    ndr = len(drifts)
+    # Simple Kriging (mean given): NO Lagrange/drift block — the system is
+    # C λ = c₀ and μ = mean + λᵀ(z − mean) (krig.jl SK estimator)
+    m = 0 if sk_mean is not None else 1 + ndr
     rk = range(1, k + 1)
     piv_cols = ", ".join(
         f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
         for r in rk for c in ("x", "y", "z", "dist")
     )
     piv = f"SELECT cell_id, {piv_cols} FROM ({pairs}) _p GROUP BY cell_id"
+    if drifts:
+        grid_rel = (qgrid or FIX_GRID).duck_sql()
+        piv = (
+            f"SELECT _pv.*, _g.cx, _g.cy FROM ({piv}) _pv "
+            f"JOIN ({grid_rel}) _g ON _pv.cell_id = _g.cell_id"
+        )
 
     def cov(h: str) -> str:
         # engine op order: sill − sill·(1 − exp(−3(h/r)²))
@@ -1667,6 +1791,10 @@ def _kriging_local_oracle(
         f"c{r}{s}": cov(euc(r, s)) for r in rk for s in rk if r < s
     }
     ents.update({f"b{r}": cov(f"dist{r}") for r in rk})
+    for j, dstr in enumerate(drifts):
+        for r in rk:
+            ents[f"g{j}_{r}"] = dstr.format(x=f"x{r}", y=f"y{r}")
+        ents[f"gq{j}"] = dstr.format(x="cx", y="cy")
     zs = ", ".join(f"z{r}" for r in rk)
     mid = (
         f"SELECT cell_id, {zs}, "
@@ -1674,28 +1802,52 @@ def _kriging_local_oracle(
         + f", {diag} AS cdg FROM ({piv}) _m"
     )
     one, zero = "1.0", "0.0"
-    A = [
-        [
-            ("cdg" if r == s else f"c{min(r, s)}{max(r, s)}")
-            for s in rk
-        ] + [one]
-        for r in rk
-    ] + [[one] * k + [zero]]
-    b = [f"b{r}" for r in rk] + [one]
+    if m == 0:
+        A = [
+            [
+                ("cdg" if r == s else f"c{min(r, s)}{max(r, s)}")
+                for s in rk
+            ]
+            for r in rk
+        ]
+        b = [f"b{r}" for r in rk]
+    else:
+        A = [
+            [
+                ("cdg" if r == s else f"c{min(r, s)}{max(r, s)}")
+                for s in rk
+            ] + [one] + [f"g{j}_{r}" for j in range(ndr)]
+            for r in rk
+        ] + [[one] * k + [zero] * m] + [
+            [f"g{j}_{r}" for r in rk] + [zero] * m for j in range(ndr)
+        ]
+        b = [f"b{r}" for r in rk] + [one] + [f"gq{j}" for j in range(ndr)]
     D = _det_sql(A)
     lam = []
-    for j in range(k + 1):
+    for j in range(k + m):
         Aj = [row[:j] + [b[i]] + row[j + 1:] for i, row in enumerate(A)]
         lam.append(f"({_det_sql(Aj)}) / ({D})")
     # short-name the lambdas in one more layer to keep the final SQL small
     lam_sel = ", ".join(f"{e} AS l{j + 1}" for j, e in enumerate(lam))
     bs = ", ".join(f"b{r}" for r in rk)
+    gqs = "".join(f", gq{j}" for j in range(ndr))
     lamq = (
-        f"SELECT cell_id, {zs}, {bs}, {lam_sel} "
+        f"SELECT cell_id, {zs}, {bs}{gqs}, {lam_sel} "
         f"FROM ({mid}) _e"
     )
-    mu = " + ".join(f"l{r} * z{r}" for r in rk)
-    lam_b = " + ".join(f"l{r} * b{r}" for r in rk) + f" + l{k + 1} * 1.0"
+    if sk_mean is not None:
+        # engine SK op order: mean + Σ w_r·((z_r − mean)·1)
+        mu = f"{sk_mean!r} + " + " + ".join(
+            f"l{r} * (z{r} - {sk_mean!r})" for r in rk
+        )
+        lam_b = " + ".join(f"l{r} * b{r}" for r in rk)
+    else:
+        mu = " + ".join(f"l{r} * z{r}" for r in rk)
+        lam_b = (
+            " + ".join(f"l{r} * b{r}" for r in rk)
+            + f" + l{k + 1} * 1.0"
+            + "".join(f" + l{k + 2 + j} * gq{j}" for j in range(ndr))
+        )
     return (
         f"SELECT cell_id, round({mu}, {round_to}) AS z, "
         f"round(greatest({sill!r} - ({lam_b}), 0.0), {round_to}) AS z_variance "
@@ -1819,8 +1971,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_pages_k5": q_kriging_pages_k5,
         "idw_compositional": q_idw_compositional,
         "kriging_uk_global": q_kriging_uk_global,
+        "kriging_sk_local": q_kriging_sk_local,
+        "kriging_uk_local": q_kriging_uk_local,
+        "kriging_edk_local": q_kriging_edk_local,
         "kriging_edk_global": q_kriging_edk_global,
         "kriging_pages_exactness": q_kriging_pages_exactness,
+        "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
