@@ -1358,6 +1358,21 @@ def q_pointwise_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.select("doc_id", "lang")
 
 
+def q_lwr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/F5 LWR with k=4 > p=3 neighbors — the weight kernel does NOT
+    cancel (unlike the exact-fit k=3 entries), so this value-checks the
+    actual weighted least squares: w = exp(−3(d/dmax)²), θ = (XᵀWX)⁻¹XᵀWz,
+    σ = ‖WX(XᵀWX)⁻¹x₀‖ (reference ``lwr.jl:58,127-145``)."""
+    from geostatssolvers_jl_spark.operators.lwr import solve_lwr
+
+    sol = solve_lwr(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark), maxneighbors=4,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
 def q_lwr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 LWR on the canonical fixture — value-checked against the exact-fit
     closed form (k=3 in 2-D: weights cancel; mu = r.z, sigma = |r| with
@@ -1501,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
+        "lwr_weighted": _lwr_weighted_oracle(),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
             round_to=6,
@@ -1855,6 +1871,85 @@ def _kriging_local_oracle(
     )
 
 
+def _lwr_weighted_oracle(k: int = 4, round_to: int = 6) -> str:
+    """Closed-form WEIGHTED LWR oracle, k > p neighbors (the non-cancelling
+    case — `_lwr_fixture_oracle`'s exact-fit k=3 makes the weights drop
+    out; here they matter): w = exp(−3(d/dmax)²), G = XᵀWX and XᵀWz summed
+    in SQL over the pivoted kNN join, θ and G⁻¹x₀ by 3×3 Cramer, μ = θᵀx₀,
+    σ = ‖WX·G⁻¹x₀‖ (reference ``lwr.jl:127-145``; weight default
+    ``lwr.jl:58``)."""
+    pairs = knn_pairs_sql(
+        f"({FIX_GRID.duck_sql()})", KRIG5_SQL, EUC, k=k,
+        value_cols=("x", "y", "z"),
+    )
+    rk = range(1, k + 1)
+    piv_cols = ", ".join(
+        f"max(CASE WHEN rank = {r} THEN {c} END) AS {c}{r}"
+        for r in rk for c in ("x", "y", "z", "dist")
+    )
+    piv = (
+        f"SELECT _pv.*, _g.cx, _g.cy FROM "
+        f"(SELECT cell_id, {piv_cols} FROM ({pairs}) _p GROUP BY cell_id) _pv "
+        f"JOIN ({FIX_GRID.duck_sql()}) _g ON _pv.cell_id = _g.cell_id"
+    )
+    dmax = "greatest(" + ", ".join(f"dist{r}" for r in rk) + ")"
+    dmax = f"(CASE WHEN {dmax} > 0 THEN {dmax} ELSE 1.0 END)"
+    wts = (
+        f"SELECT *, "
+        + ", ".join(
+            f"exp(-3.0 * (dist{r} / {dmax}) * (dist{r} / {dmax})) AS w{r}"
+            for r in rk
+        )
+        + f" FROM ({piv}) _w"
+    )
+    # X_r = [1, x_r, y_r]; engine op order: G_pq = Σ_r X_rp · (w_r · X_rq)
+    Xc = {1: lambda r: "1.0", 2: lambda r: f"x{r}", 3: lambda r: f"y{r}"}
+    ents = {}
+    for p_ in (1, 2, 3):
+        for q_ in (1, 2, 3):
+            if q_ < p_:
+                continue
+            ents[f"g{p_}{q_}"] = " + ".join(
+                f"{Xc[p_](r)} * (w{r} * {Xc[q_](r)})" for r in rk
+            )
+        ents[f"bb{p_}"] = " + ".join(
+            f"(w{r} * {Xc[p_](r)}) * z{r}" for r in rk
+        )
+    keep = ", ".join(
+        [f"w{r}" for r in rk] + [f"x{r}" for r in rk] + [f"y{r}" for r in rk]
+    )
+    mid = (
+        f"SELECT cell_id, cx, cy, {keep}, "
+        + ", ".join(f"({v}) AS {n_}" for n_, v in ents.items())
+        + f" FROM ({wts}) _m"
+    )
+    G = [["g11", "g12", "g13"], ["g12", "g22", "g23"], ["g13", "g23", "g33"]]
+    bvec = ["bb1", "bb2", "bb3"]
+    x0 = ["1.0", "cx", "cy"]
+    D = _det_sql(G)
+    theta, v = [], []
+    for j in range(3):
+        Tj = [row[:j] + [bvec[i]] + row[j + 1:] for i, row in enumerate(G)]
+        theta.append(f"({_det_sql(Tj)}) / ({D})")
+        Vj = [row[:j] + [x0[i]] + row[j + 1:] for i, row in enumerate(G)]
+        v.append(f"({_det_sql(Vj)}) / ({D})")
+    sel = ", ".join(
+        [f"{e} AS t{j + 1}" for j, e in enumerate(theta)]
+        + [f"{e} AS v{j + 1}" for j, e in enumerate(v)]
+    )
+    lamq = f"SELECT *, {sel} FROM ({mid}) _e"
+    mu = "t1 * 1.0 + t2 * cx + t3 * cy"
+    rs = [
+        f"(w{r} * 1.0 * v1 + w{r} * x{r} * v2 + w{r} * y{r} * v3)"
+        for r in rk
+    ]
+    sig = "sqrt(" + " + ".join(f"{e} * {e}" for e in rs) + ")"
+    return (
+        f"SELECT cell_id, round({mu}, {round_to}) AS z, "
+        f"round({sig}, {round_to}) AS z_variance FROM ({lamq}) _f"
+    )
+
+
 def _lwr_fixture_oracle() -> str:
     """Closed-form LWR oracle, k = 3 neighbors in 2-D: the weighted LS fit
     through 3 points is EXACT, so the weights cancel and
@@ -1978,6 +2073,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_pages_exactness": q_kriging_pages_exactness,
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
+        "lwr_weighted": q_lwr_weighted,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
         "nearest_snap": q_nearest_snap,
