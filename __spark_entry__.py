@@ -1358,6 +1358,29 @@ def q_pointwise_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.select("doc_id", "lang")
 
 
+def q_idw_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 IDW with a non-default exponent (2.0) over REAL pages — the
+    reference parametrizes the power (``idw.jl:30-33``); value-checked
+    against the shared-dialect weighted-mean aggregation at the same
+    power.  Pages (not the integer fixture) because np.power vs libm pow
+    differ at 1 ulp and the fixture's clean √250-style distances produce
+    exact decimal-halfway means that flip under round()."""
+    from geostatssolvers_jl_spark.operators.idw import solve_idw
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(f"SELECT * FROM {_pages_xyz()} _p").selectExpr(
+        "data_id", "lon", "lat", "z"
+    )
+    sol = solve_idw(
+        pagesdf, WORLD_GRID.spark_df(spark), var="z",
+        data_coord_cols=["lon", "lat"], maxneighbors=5, exponent=2.0,
+        metric=Haversine(6371.0), strategy="local-broadcast",
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_distance, 6) AS z_distance"
+    )
+
+
 def q_lwr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/F5 LWR with k=4 > p=3 neighbors — the weight kernel does NOT
     cancel (unlike the exact-fit k=3 entries), so this value-checks the
@@ -1517,6 +1540,9 @@ def oracle_sql() -> dict[str, str]:
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "lwr_weighted": _lwr_weighted_oracle(),
+        "idw_power": idw_agg_sql(
+            f"({idw_pages_pairs}) _p", exponent=2.0, round_to=6,
+        ),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
             round_to=6,
@@ -2074,6 +2100,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "lwr_weighted": q_lwr_weighted,
+        "idw_power": q_idw_power,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
         "nearest_snap": q_nearest_snap,
