@@ -1315,6 +1315,51 @@ def _fftgs_moments_oracle() -> str:
     )
 
 
+def q_lugs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 ensemble anchor: pooled mean/variance bound invariant for the
+    conditional LUGS ensemble (sill 1, zero-mean GMRF with {0,1} data
+    pulling the conditioned region) — measured (m=0.12, v=0.96 at the
+    fixed seed); wrong sill scaling, a broken factorization, or RNG misuse
+    miss the [−0.5, 0.5] / [0.3, 2.0] windows by construction."""
+    sim = q_lugs(spark, sf_dir)
+    return sim.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.abs(F.avg("z")) <= 0.5).cast("int").alias("mean_bounded"),
+        (
+            F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")
+        ).between(0.3, 2.0).cast("int").alias("var_near_sill"),
+    )
+
+
+def _lugs_moments_oracle() -> str:
+    return (
+        "SELECT CAST(300 AS BIGINT) AS n, 1 AS mean_bounded, "
+        "1 AS var_near_sill"
+    )
+
+
+def q_sgs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O7 ensemble anchor: same pooled-moment bound invariant for the
+    conditional SGS ensemble (measured m=0.24, v=0.64 at the fixed seed —
+    sequential conditioning shrinks variance below the sill near data, so
+    the window is [0.3, 2.0])."""
+    sim = q_sgs(spark, sf_dir)
+    return sim.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.abs(F.avg("z")) <= 0.5).cast("int").alias("mean_bounded"),
+        (
+            F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")
+        ).between(0.3, 2.0).cast("int").alias("var_near_sill"),
+    )
+
+
+def _sgs_moments_oracle() -> str:
+    return (
+        "SELECT CAST(5000 AS BIGINT) AS n, 1 AS mean_bounded, "
+        "1 AS var_near_sill"
+    )
+
+
 def q_spdegs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 value anchor: the SPDE field is a zero-mean GMRF normalized by a
     marginal-variance probe to std ≈ σ=1 (``spde.py:solve_spdegs``) — the
@@ -1394,6 +1439,41 @@ def q_lwr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sol.selectExpr(
         "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
     )
+
+
+def q_pointwise_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 anchor: the learning protocol (driver fit → broadcast →
+    vectorized distributed predict) on a threshold-SEPARABLE label.  The
+    corpus's `lang` label is independent of its text (all langs share the
+    same synthetic vocabulary; the majority class is the Bayes optimum),
+    so `pointwise_learn`'s own lang entry stays rows-only — this twin
+    instead teaches the CART a recoverable rule (n_chars > 300) from two
+    monotone features and checks held-out accuracy ≥ 0.95 as a bound
+    invariant (wrong fit, broken broadcast, or scrambled predict all fall
+    to ~0.5)."""
+    from geostatssolvers_jl_spark.operators.learn import pointwise_learn
+
+    _register(spark, sf_dir, ("documents",))
+    feats = spark.sql(
+        "SELECT doc_id, CAST(n_chars AS DOUBLE) AS f1, "
+        "CAST(length(text) AS DOUBLE) AS f2, "
+        "CAST(n_chars > 300 AS BIGINT) AS lab FROM documents"
+    )
+    src = feats.filter("doc_id % 2 = 0")
+    tgt = feats.filter("doc_id % 2 = 1").drop("lab")
+    pred = pointwise_learn(src, tgt, ["f1", "f2"], "lab")
+    truth = feats.filter("doc_id % 2 = 1").select("doc_id", "lab")
+    j = pred.withColumnRenamed("lab", "lab_hat").join(truth, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.avg((F.col("lab_hat") == F.col("lab")).cast("double")) >= 0.95
+        ).cast("int").alias("acc_ge_95"),
+    )
+
+
+def _pointwise_accuracy_oracle() -> str:
+    return "SELECT CAST(250 AS BIGINT) AS n, 1 AS acc_ge_95"
 
 
 def q_lwr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,6 +1687,9 @@ def oracle_sql() -> dict[str, str]:
         "fftgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
         "fftgs_moments": _fftgs_moments_oracle(),
         "spdegs_moments": _spdegs_moments_oracle(),
+        "lugs_moments": _lugs_moments_oracle(),
+        "sgs_moments": _sgs_moments_oracle(),
+        "pointwise_accuracy": _pointwise_accuracy_oracle(),
         "lugs_conditioning": _cond_oracle(
             CartesianGrid((100,)), _LUGS_VALUES, 3, ("x",)
         ),
@@ -2132,6 +2215,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fftgs_conditioning": q_fftgs_conditioning,
         "fftgs_moments": q_fftgs_moments,
         "spdegs_moments": q_spdegs_moments,
+        "lugs_moments": q_lugs_moments,
+        "sgs_moments": q_sgs_moments,
+        "pointwise_accuracy": q_pointwise_accuracy,
         "lugs_conditioning": q_lugs_conditioning,
         "cookie_cutter": q_cookie_cutter,
         # rows-only (linear-algebra / stochastic ops have no SQL equivalent)
