@@ -97,6 +97,24 @@ def incremental_cell_stats(pages: DataFrame, res: int = 6) -> DataFrame:
     )
 
 
+def dedup_stream(pages: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """STREAMING exact dedup: first-seen wins per text fingerprint within
+    the watermark horizon (`dropDuplicatesWithinWatermark` — state is
+    bounded by the horizon, unlike a global dropDuplicates whose state
+    grows with the corpus).  The batch analogue is the `dedup_exact`
+    entry's min-per-md5 group; a page whose md5 already appeared inside
+    the horizon is suppressed, so the downstream pipeline (geocode → tile
+    → estimate) sees each text once.  At 10¹² docs the horizon IS the
+    dedup contract: cross-horizon repeats re-enter, exactly like a
+    re-crawl in a fresh batch run."""
+    fp = pages.selectExpr(
+        "url", "warc_ts", "text", "md5(text) AS text_md5"
+    )
+    return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_md5"]
+    )
+
+
 def run_available(stream_df: DataFrame, checkpoint: str,
                   mode: str = "append") -> list:
     """Drain everything currently available (Trigger.AvailableNow) into an

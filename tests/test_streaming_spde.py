@@ -161,3 +161,39 @@ def test_incremental_cell_stats_stateful(spark, tmp_path):
         n, m = want[c]
         assert r["n_pages"] == n
         assert np.isclose(r["mean_len"], m)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exact streaming dedup: duplicate texts inside the watermark horizon
+    are suppressed (first-seen wins), distinct texts all pass; the dedup
+    key is the same md5 fingerprint as the batch dedup_exact entry."""
+    from geostatssolvers_jl_spark.streaming.ingest import (
+        dedup_stream, run_available, stream_pages,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rows = []
+    for i in range(60):
+        rows.append({
+            "url": f"https://s.example.org/{i}",
+            "warc_ts": f"2024-01-01T00:{i % 60:02d}:00.000Z",
+            # 20 distinct texts, each repeated 3x under different urls
+            "text": f"duplicated stream document number {i % 20}",
+            "lang": "en",
+        })
+    (drop / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:40])
+    )
+    (drop / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[40:])
+    )
+
+    out = run_available(
+        dedup_stream(stream_pages(spark, str(drop)), watermark="2 hours"),
+        str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    md5s = [r["text_md5"] for r in out]
+    assert len(md5s) == 20          # one survivor per distinct text
+    assert len(set(md5s)) == 20
