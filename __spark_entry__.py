@@ -1476,6 +1476,25 @@ def _pointwise_accuracy_oracle() -> str:
     return "SELECT CAST(250 AS BIGINT) AS n, 1 AS acc_ge_95"
 
 
+def q_lwr_custom_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-protocol anchor: LWR with a USER weight kernel (a cloudpickled
+    closure, (1 − δ/2)² — Epanechnikov-style, strictly positive so a
+    tied max distance cannot zero out two neighbors and de-rank the
+    normal matrix) instead of the default exp(−3δ²);
+    value-checked against the same weighted-WLS Cramer oracle with the
+    weight twin swapped in.  Written as a product (not **2) so numpy and
+    SQL share bits."""
+    from geostatssolvers_jl_spark.operators.lwr import solve_lwr
+
+    sol = solve_lwr(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark), maxneighbors=4,
+        weightfun=lambda h: (1.0 - 0.5 * h) * (1.0 - 0.5 * h),
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
 def q_lwr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 LWR on the canonical fixture — value-checked against the exact-fit
     closed form (k=3 in 2-D: weights cancel; mu = r.z, sigma = |r| with
@@ -1620,6 +1639,9 @@ def oracle_sql() -> dict[str, str]:
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "lwr_weighted": _lwr_weighted_oracle(),
+        "lwr_custom_weight": _lwr_weighted_oracle(
+            w_sql="(1.0 - 0.5 * {d}) * (1.0 - 0.5 * {d})"
+        ),
         "idw_power": idw_agg_sql(
             f"({idw_pages_pairs}) _p", exponent=2.0, round_to=6,
         ),
@@ -1980,7 +2002,8 @@ def _kriging_local_oracle(
     )
 
 
-def _lwr_weighted_oracle(k: int = 4, round_to: int = 6) -> str:
+def _lwr_weighted_oracle(k: int = 4, round_to: int = 6,
+                         w_sql: str | None = None) -> str:
     """Closed-form WEIGHTED LWR oracle, k > p neighbors (the non-cancelling
     case — `_lwr_fixture_oracle`'s exact-fit k=3 makes the weights drop
     out; here they matter): w = exp(−3(d/dmax)²), G = XᵀWX and XᵀWz summed
@@ -2003,10 +2026,14 @@ def _lwr_weighted_oracle(k: int = 4, round_to: int = 6) -> str:
     )
     dmax = "greatest(" + ", ".join(f"dist{r}" for r in rk) + ")"
     dmax = f"(CASE WHEN {dmax} > 0 THEN {dmax} ELSE 1.0 END)"
+    # weight template over {d} = normalized distance (default = the
+    # engine's default_weightfun; entries with a user weightfun pass its
+    # SQL twin)
+    w_sql = w_sql or "exp(-3.0 * {d} * {d})"
     wts = (
         f"SELECT *, "
         + ", ".join(
-            f"exp(-3.0 * (dist{r} / {dmax}) * (dist{r} / {dmax})) AS w{r}"
+            w_sql.format(d=f"(dist{r} / {dmax})") + f" AS w{r}"
             for r in rk
         )
         + f" FROM ({piv}) _w"
@@ -2183,6 +2210,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "lwr_weighted": q_lwr_weighted,
+        "lwr_custom_weight": q_lwr_custom_weight,
         "idw_power": q_idw_power,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
