@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geostatssolvers_jl_spark import tiling
-from geostatssolvers_jl_spark.distances import Euclidean, Haversine
+from geostatssolvers_jl_spark.distances import Anisotropic, Euclidean, Haversine
 from geostatssolvers_jl_spark.grid import CartesianGrid
 from geostatssolvers_jl_spark.oracle import knn_pairs_sql
 from geostatssolvers_jl_spark.operators.idw import idw_agg_sql
@@ -1476,6 +1476,24 @@ def _pointwise_accuracy_oracle() -> str:
     return "SELECT CAST(250 AS BIGINT) AS n, 1 AS acc_ge_95"
 
 
+def q_idw_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/F1 ellipsoid-metric anchor: IDW under an Anisotropic MetricBall
+    ((2, 0.5) radii — the reference's anisotropic neighborhoods,
+    ``test/simulation/lu.jl:59``) — the kNN ORDERING itself changes vs
+    Euclidean, so this value-checks the metric through selection, not just
+    the distance column."""
+    from geostatssolvers_jl_spark.distances import Anisotropic
+    from geostatssolvers_jl_spark.operators.idw import solve_idw
+
+    sol = solve_idw(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark), maxneighbors=3,
+        metric=Anisotropic((2.0, 0.5)),
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_distance, 6) AS z_distance"
+    )
+
+
 def q_lwr_custom_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-protocol anchor: LWR with a USER weight kernel (a cloudpickled
     closure, (1 − δ/2)² — Epanechnikov-style, strictly positive so a
@@ -1644,6 +1662,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "idw_power": idw_agg_sql(
             f"({idw_pages_pairs}) _p", exponent=2.0, round_to=6,
+        ),
+        "idw_anisotropic": idw_agg_sql(
+            "("
+            + knn_pairs_sql(
+                f"({fix})", KRIG5_SQL,
+                Anisotropic((2.0, 0.5)).sql(("q.cx", "q.cy"), ("d.x", "d.y")),
+                k=3,
+            )
+            + ") _p",
+            round_to=6,
         ),
         "idw_fixture": idw_agg_sql(
             f"({knn_pairs_sql(f'({fix})', FIX_PTS_SQL, EUC, k=3)}) _p",
@@ -2212,6 +2240,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lwr_weighted": q_lwr_weighted,
         "lwr_custom_weight": q_lwr_custom_weight,
         "idw_power": q_idw_power,
+        "idw_anisotropic": q_idw_anisotropic,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
         "nearest_snap": q_nearest_snap,

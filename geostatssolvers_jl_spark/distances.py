@@ -119,8 +119,13 @@ class Anisotropic:
     radii: tuple[float, ...]
 
     def sql(self, a: tuple[str, ...], b: tuple[str, ...]) -> str:
+        # scale-THEN-subtract mirrors `np` (Euclidean on scaled points)
+        # bit-for-bit; (a−b)/r differs at 1 ulp, which would fork the
+        # tiled join's SQL distances from the broadcast kernel's numpy
+        # distances on near-ties
         terms = " + ".join(
-            f"((({x}) - ({y})) / {r!r}) * ((({x}) - ({y})) / {r!r})"
+            f"((({x}) / {r!r} - ({y}) / {r!r})) * "
+            f"((({x}) / {r!r} - ({y}) / {r!r}))"
             for x, y, r in zip(a, b, self.radii)
         )
         return f"sqrt({terms})"
