@@ -744,6 +744,50 @@ def q_kriging_uk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kriging_exponential_local(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F3 anchor: OK kriging under an EXPONENTIAL variogram WITH a nugget
+    (0.1) — value-checks the γ = partial·structure + nugget·1(h>0) model
+    family beyond the Gaussian all other kriging entries use (reference
+    models from Variography.jl, ``src/estimation/krig.jl:65``)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import ExponentialVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(
+            variogram=ExponentialVariogram(range=35.0, nugget=0.1)
+        ),
+        maxneighbors=3,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
+def q_kriging_spherical_local(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F3 anchor: OK kriging under a SPHERICAL variogram (the model the
+    SGS/LUGS entries use, here value-checked directly)."""
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    sol = solve_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        model=KrigingModel(variogram=SphericalVariogram(range=35.0)),
+        maxneighbors=3,
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 6) AS z", "round(z_variance, 6) AS z_variance"
+    )
+
+
 def q_kriging_sk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 SIMPLE kriging (known mean) through the LOCAL batched path —
     value-checked against the drift-free Cramer oracle (C λ = c₀,
@@ -1644,6 +1688,10 @@ def oracle_sql() -> dict[str, str]:
             ["1.0", "cx", "cy"]
         ),
         "kriging_sk_local": _kriging_local_oracle(sk_mean=0.5),
+        "kriging_exponential_local": _kriging_local_oracle(
+            vg="exponential", nugget=0.1
+        ),
+        "kriging_spherical_local": _kriging_local_oracle(vg="spherical"),
         "kriging_uk_local": _kriging_local_oracle(
             drifts=["{x}", "{y}"]
         ),
@@ -1896,6 +1944,8 @@ def _kriging_local_oracle(
     drifts: list[str] | None = None,
     qgrid: "CartesianGrid | None" = None,
     sk_mean: float | None = None,
+    vg: str = "gaussian",
+    nugget: float = 0.0,
 ) -> str:
     """Closed-form LOCAL Ordinary Kriging oracle, k neighbors: the
     (k+1)×(k+1) OK system per grid cell is solved by Cramer's rule in pure
@@ -1943,11 +1993,28 @@ def _kriging_local_oracle(
             f"JOIN ({grid_rel}) _g ON _pv.cell_id = _g.cell_id"
         )
 
+    partial = sill - nugget  # engine: partial = sill − nugget (float, same bits)
+
     def cov(h: str) -> str:
-        # engine op order: sill − sill·(1 − exp(−3(h/r)²))
+        """C(h) = sill − γ(h), mirroring `variogram.Variogram.gamma`'s op
+        order: γ = where(h>0, partial·structure + nugget, 0)."""
+        if vg == "gaussian":
+            struct = (
+                f"(1.0 - exp(-3.0 * (({h}) / {rng!r}) * (({h}) / {rng!r})))"
+            )
+        elif vg == "exponential":
+            struct = f"(1.0 - exp(-3.0 * (({h}) / {rng!r})))"
+        elif vg == "spherical":
+            hr = f"least(({h}) / {rng!r}, 1.0)"
+            struct = f"(1.5 * {hr} - 0.5 * {hr} * {hr} * {hr})"
+        else:  # pragma: no cover
+            raise ValueError(vg)
+        if nugget == 0.0:
+            # γ(0) = 0 falls out of struct(0) = 0 — no CASE needed
+            return f"({sill!r} - {partial!r} * {struct})"
         return (
-            f"({sill!r} - {sill!r} * (1.0 - exp(-3.0 * (({h}) / {rng!r}) * "
-            f"(({h}) / {rng!r}))))"
+            f"({sill!r} - (CASE WHEN ({h}) > 0.0 "
+            f"THEN {partial!r} * {struct} + {nugget!r} ELSE 0.0 END))"
         )
 
     def euc(r: int, s: int) -> str:
@@ -2231,6 +2298,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_compositional": q_idw_compositional,
         "kriging_uk_global": q_kriging_uk_global,
         "kriging_sk_local": q_kriging_sk_local,
+        "kriging_exponential_local": q_kriging_exponential_local,
+        "kriging_spherical_local": q_kriging_spherical_local,
         "kriging_uk_local": q_kriging_uk_local,
         "kriging_edk_local": q_kriging_edk_local,
         "kriging_edk_global": q_kriging_edk_global,
