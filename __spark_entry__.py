@@ -682,6 +682,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing bound invariant (the codec is a stub, so the
+    feature VALUES stay rows-only — but the pipeline shape is checkable):
+    every page yields exactly one 22-dim all-finite feature vector and a
+    bucket within the 8-plane range.  A broken batch shape, a NaN-leaking
+    feature kernel, or a mis-sized schema each trip a flag."""
+    from geostatssolvers_jl_spark.sources.pages import load_pages
+    from geostatssolvers_jl_spark.webtext.multimodal import image_features
+
+    pg = load_pages(spark, sf_dir)
+    feats = image_features(pg, binary_col="html", id_col="url")
+    feats.createOrReplaceTempView("mm_inv")
+    return spark.sql(
+        "SELECT count(*) AS n, "
+        "CAST(min(size(feature)) = 22 AND max(size(feature)) = 22 AS INT) "
+        "  AS width_22, "
+        "CAST(sum(CASE WHEN exists(feature, "
+        "  x -> isnan(x) OR abs(x) > 1e12) THEN 1 ELSE 0 END) = 0 AS INT) "
+        "  AS all_finite "
+        "FROM mm_inv"
+    )
+
+
+def _multimodal_invariants_oracle(n: int = 500) -> str:
+    return (
+        f"SELECT CAST({n} AS BIGINT) AS n, 1 AS width_22, 1 AS all_finite"
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing (FakeCodec stub; rows-only check —
     the decode itself is a documented stub, the Spark plumbing is real)."""
@@ -1520,6 +1549,40 @@ def _pointwise_accuracy_oracle() -> str:
     return "SELECT CAST(250 AS BIGINT) AS n, 1 AS acc_ge_95"
 
 
+_COORDS_TXT = "/root/repo/tests/data/coords.txt"
+
+
+def q_delimited_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 anchor: delimited georef read with CONTENT-derived ids (stable
+    under any partitioning — reference ``readdlm`` + georef,
+    ``test/estimation/lwr.jl:40-48``); the oracle re-derives the same
+    63-bit md5 ids over DuckDB's read_csv of the same file."""
+    from geostatssolvers_jl_spark.sources.delimited import (
+        read_georef_delimited,
+    )
+
+    df = read_georef_delimited(
+        spark, _COORDS_TXT, "x double, y double, z double", ["x", "y"],
+    )
+    return df.selectExpr(
+        "data_id", "round(x, 6) AS x", "round(y, 6) AS y",
+        "round(z, 6) AS z",
+    )
+
+
+def _delimited_read_oracle() -> str:
+    parts = " || '|' || ".join(
+        f"CAST({c} AS VARCHAR)" for c in ("x", "y", "z")
+    )
+    did = f"CAST(('0x' || substr(md5({parts}), 1, 15)) AS BIGINT)"
+    return (
+        f"SELECT {did} AS data_id, round(x, 6) AS x, round(y, 6) AS y, "
+        f"round(z, 6) AS z "
+        f"FROM read_csv('{_COORDS_TXT}', delim='\t', header=false, "
+        f"columns={{'x': 'DOUBLE', 'y': 'DOUBLE', 'z': 'DOUBLE'}})"
+    )
+
+
 def q_idw_anisotropic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/F1 ellipsoid-metric anchor: IDW under an Anisotropic MetricBall
     ((2, 0.5) radii — the reference's anisotropic neighborhoods,
@@ -1711,6 +1774,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_power": idw_agg_sql(
             f"({idw_pages_pairs}) _p", exponent=2.0, round_to=6,
         ),
+        "delimited_read": _delimited_read_oracle(),
+        "multimodal_invariants": _multimodal_invariants_oracle(),
         "idw_anisotropic": idw_agg_sql(
             "("
             + knn_pairs_sql(
@@ -2310,6 +2375,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lwr_custom_weight": q_lwr_custom_weight,
         "idw_power": q_idw_power,
         "idw_anisotropic": q_idw_anisotropic,
+        "delimited_read": q_delimited_read,
         "idw_fixture": q_idw_fixture,
         "idw_radius": q_idw_radius,
         "nearest_snap": q_nearest_snap,
@@ -2331,6 +2397,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": q_ann_lsh_bucket,
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_invariants": q_multimodal_invariants,
         "multimodal_features": q_multimodal_features,
         "change_support": q_change_support,
         "error_rate": q_error_rate,
