@@ -69,3 +69,34 @@ def test_json_source_and_solution_sink(spark, tmp_path):
     a = {r["cell_id"]: r["z"] for r in sol.collect()}
     b = {r["cell_id"]: r["z"] for r in back.collect()}
     assert a == b
+
+
+def test_spark_submit_pyfiles_deployment():
+    """The north star's deployment mode: the engine arrives ONLY via
+    `spark-submit --py-files pkg.zip` (PYTHONPATH scrubbed) and runs the
+    flagship pipeline shape end-to-end — executors import the package from
+    the shipped zip, not the checkout."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    with tempfile.TemporaryDirectory() as td:
+        zip_path = str(Path(td) / "pkg.zip")
+        subprocess.run(
+            [sys.executable, str(root / "tools" / "make_pyfiles_zip.py"),
+             zip_path],
+            check=True, cwd=td,
+        )
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        out = subprocess.run(
+            ["spark-submit", "--master", "local[4]",
+             "--py-files", zip_path,
+             str(root / "tools" / "submit_smoke_job.py")],
+            capture_output=True, text=True, timeout=300, env=env, cwd=td,
+        )
+        assert "SUBMIT_SMOKE rows=2592 non_null=2592" in out.stdout, (
+            out.stdout[-2000:], out.stderr[-2000:],
+        )
