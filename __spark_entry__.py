@@ -57,6 +57,15 @@ def _geo_pages_rel() -> str:
     )
 
 
+def _pages_xyz() -> str:
+    """Pages joined to their n_chars value — THE data side every pages
+    kriging/IDW entry and oracle shares (single source of truth)."""
+    return (
+        f"(SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
+        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
+    )
+
+
 _SHIPPED: set[int] = set()
 
 
@@ -178,8 +187,7 @@ def q_idw_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     pagesdf = spark.sql(
-        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+        f"SELECT * FROM {_pages_xyz()} _p"
     )
     sol = solve_idw(
         pagesdf, WORLD_GRID.spark_df(spark), var="z",
@@ -954,8 +962,7 @@ def q_idw_pages_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     pagesdf = spark.sql(
-        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+        f"SELECT * FROM {_pages_xyz()} _p"
     )
     sol = solve_idw(
         pagesdf, WORLD_GRID.spark_df(spark), var="z",
@@ -998,8 +1005,7 @@ def q_kriging_pages_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     pagesdf = spark.sql(
-        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+        f"SELECT * FROM {_pages_xyz()} _p"
     )
     sol = solve_kriging(
         pagesdf, WORLD_GRID.spark_df(spark),
@@ -1015,9 +1021,7 @@ def q_kriging_pages_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kriging_pages_k3_oracle() -> str:
     hav = Haversine(6371.0).sql(("q.cx", "q.cy"), ("d.x", "d.y"))
     pages_xyz = (
-        f"(SELECT p.data_id, p.lon AS x, p.lat AS y, "
-        f"CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
+        f"(SELECT data_id, lon AS x, lat AS y, z FROM {_pages_xyz()} _px)"
     )
     pairs = knn_pairs_sql(
         f"({_oracle_grid(WORLD_GRID)})", pages_xyz, hav, k=3,
@@ -1031,9 +1035,7 @@ def _kriging_pages_k3_oracle() -> str:
 def _kriging_pages_k5_oracle() -> str:
     hav = Haversine(6371.0).sql(("q.cx", "q.cy"), ("d.x", "d.y"))
     pages_xyz = (
-        f"(SELECT p.data_id, p.lon AS x, p.lat AS y, "
-        f"CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
+        f"(SELECT data_id, lon AS x, lat AS y, z FROM {_pages_xyz()} _px)"
     )
     pairs = knn_pairs_sql(
         f"({_oracle_grid(WORLD_GRID)})", pages_xyz, hav, k=5,
@@ -1066,8 +1068,7 @@ def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     pagesdf = spark.sql(
-        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+        f"SELECT * FROM {_pages_xyz()} _p"
     )
     sol = solve_kriging(
         pagesdf, WORLD_GRID.spark_df(spark),
@@ -1094,8 +1095,7 @@ def q_kriging_pages_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     pagesdf = spark.sql(
-        f"SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id"
+        f"SELECT * FROM {_pages_xyz()} _p"
     )
     sol = solve_kriging(
         pagesdf, WORLD_GRID.spark_df(spark),
@@ -1107,12 +1107,6 @@ def q_kriging_pages_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id", "round(z, 4) AS z", "round(z_variance, 4) AS z_variance"
     )
 
-
-def _pages_xyz() -> str:
-    return (
-        f"(SELECT p.data_id, p.lon, p.lat, CAST(d.n_chars AS DOUBLE) AS z "
-        f"FROM {_geo_pages_rel()} p JOIN documents d ON p.data_id = d.doc_id)"
-    )
 
 
 def _exactness_queries_sql() -> str:

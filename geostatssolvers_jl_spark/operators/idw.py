@@ -183,16 +183,27 @@ def solve_idw_compositional(
                 maxneighbors, minneighbors, exponent, metric, id_col,
                 res=(tile_res if tile_res is not None else 6),
             )
-    pdf = data.filter(f"{var} IS NOT NULL").select(
-        *data_coord_cols, var
-    ).toPandas()
+    # mirror neighbors.collect_points: canonical id-sorted order so kNN
+    # ties break deterministically AND identically to the tiled path's
+    # (dist, data_id) window ordering; without a data_id column the
+    # collection order off a shuffled DataFrame would be nondeterministic
+    has_id = "data_id" in data.columns
+    sel = [*data_coord_cols, var] + (["data_id"] if has_id else [])
+    pdf = data.filter(f"{var} IS NOT NULL").select(*sel).toPandas()
+    ids = (
+        pdf["data_id"].to_numpy(np.int64)
+        if has_id
+        else np.arange(len(pdf), dtype=np.int64)
+    )
+    order = np.argsort(ids, kind="stable")
+    pdf = pdf.iloc[order].reset_index(drop=True)
     coords = pdf[data_coord_cols].to_numpy(np.float64)
     comp = np.stack(pdf[var].to_numpy())
     Y = ilr(comp)
     d = PointData(
         coords=coords,
         values={"_ilr": Y, var: comp},
-        ids=np.arange(len(pdf), dtype=np.int64),
+        ids=ids[order],
     )
     if d.n == 0:
         raise ValueError("estimation requires data")

@@ -131,15 +131,23 @@ def pointwise_learn(
 
     model = model or DecisionTreeClassifier()
     out_col = out_col or label
-    fit_df = source.select(*features, label)
-    n_src = fit_df.count()
-    if n_src > fit_row_cap:
-        # seeded sample (deterministic for a fixed input partitioning),
-        # slightly oversampled then hard-capped so the driver never sees
-        # more than ~fit_row_cap rows
-        frac = min(1.0, 1.05 * fit_row_cap / n_src)
-        fit_df = fit_df.sample(fraction=frac, seed=42).limit(fit_row_cap)
-    src = fit_df.toPandas()
+    # persist: count + the fit read would otherwise execute the (possibly
+    # expensive) source plan twice
+    cached = source.select(*features, label).persist()
+    try:
+        n_src = cached.count()
+        sel = cached
+        if n_src > fit_row_cap:
+            # seeded uniform sample with the EXACT fraction — no limit()
+            # truncation, which takes rows in partition order and would
+            # systematically drop the tail partitions (a biased fit on
+            # time/region-sorted sources); expected size = cap ± O(√cap)
+            sel = cached.sample(
+                fraction=min(1.0, fit_row_cap / n_src), seed=42
+            )
+        src = sel.toPandas()
+    finally:
+        cached.unpersist()
     X = src[features].to_numpy(np.float64)
     y = src[label].to_numpy()
     model.fit(X, y)

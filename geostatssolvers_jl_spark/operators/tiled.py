@@ -88,17 +88,27 @@ def tiled_local_apply(
         # KBallSearch semantics: the ≤k nearest within the ball
         pairs = pairs.filter(F.col("dist") <= radius)
 
-    dvals = data_df.selectExpr(
-        "data_id",
-        f"{data_coord_cols[0]} AS _nx",
-        f"{data_coord_cols[1]} AS _ny",
-        *[f"{v} AS _v_{v}" for v in value_cols],
-    ).dropDuplicates(["data_id"])
-    # dropDuplicates: data_id must identify ONE point — content-derived
-    # ids (sources/delimited) collide only for byte-identical rows, whose
-    # attribute payloads are identical, so keeping one row is exact; a
-    # plain join would otherwise FAN OUT every pair row per duplicate and
-    # collect_list would gather >k structs, truncating real neighbors
+    # one attribute row per data_id — a plain join would FAN OUT every
+    # pair row per duplicate and collect_list would gather >k structs,
+    # truncating real neighbors.  data_id must identify ONE point:
+    # content-derived ids (sources/delimited) collide only for
+    # byte-identical rows (identical payloads, so any survivor is exact);
+    # should a caller-supplied id ever collide across DIFFERENT payloads,
+    # min(struct) keeps a DETERMINISTIC survivor (dropDuplicates keeps a
+    # partitioning-dependent one — the nondeterminism this engine
+    # eliminates everywhere else with min-based survivors)
+    acols = ["_nx", "_ny"] + [f"_v_{v}" for v in value_cols]
+    dvals = (
+        data_df.selectExpr(
+            "data_id",
+            f"{data_coord_cols[0]} AS _nx",
+            f"{data_coord_cols[1]} AS _ny",
+            *[f"{v} AS _v_{v}" for v in value_cols],
+        )
+        .groupBy("data_id")
+        .agg(F.min(F.struct(*acols)).alias("_srv"))
+        .select("data_id", *[F.col(f"_srv.{c}").alias(c) for c in acols])
+    )
     enriched = pairs.join(dvals, "data_id")
     struct_cols = [
         F.col("rank"), F.col("dist"), F.col("_nx"), F.col("_ny"),

@@ -107,8 +107,12 @@ def dedup_stream(pages: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     → estimate) sees each text once.  At 10¹² docs the horizon IS the
     dedup contract: cross-horizon repeats re-enter, exactly like a
     re-crawl in a fresh batch run."""
+    # NULL text would collapse to one NULL key and dropDuplicates* treats
+    # NULL keys as duplicates of each other — null-text pages are NOT
+    # duplicates, so they key on their url and all pass through
     fp = pages.selectExpr(
-        "url", "warc_ts", "text", "md5(text) AS text_md5"
+        "url", "warc_ts", "text",
+        "coalesce(md5(text), concat('null:', url)) AS text_md5",
     )
     return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["text_md5"]
