@@ -116,3 +116,30 @@ def test_compositional_idw_tiled_bit_identical(spark):
          for r in solve_idw_compositional(
              data, q, strategy="local-tiled", tile_res=3, **kw).collect()}
     assert a == b
+
+
+def test_compositional_idw_tie_break_deterministic(spark):
+    """Distance TIES must break on data_id in both physical paths (the
+    review found the broadcast path used collection order): two data
+    points exactly equidistant from each query, ids supplied in
+    DESCENDING row order — both paths must pick the same (min-id-first)
+    neighbor set and agree bit-for-bit."""
+    # ids reversed vs row order on purpose
+    data = spark.createDataFrame(
+        [(5, 2.0, 0.0, [0.7, 0.2, 0.1]), (1, 0.0, 0.0, [0.1, 0.2, 0.7]),
+         (3, 1.0, 1.0, [0.3, 0.3, 0.4])],
+        "data_id long, x double, y double, z array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 1.0, 2.0)],
+        "cell_id long, cx double, cy double",
+    )
+    kw = dict(var="z", data_coord_cols=["x", "y"],
+              query_coord_cols=["cx", "cy"], maxneighbors=2)
+    a = {r["cell_id"]: r["z"]
+         for r in solve_idw_compositional(
+             data, q, strategy="local-broadcast", **kw).collect()}
+    b = {r["cell_id"]: r["z"]
+         for r in solve_idw_compositional(
+             data, q, strategy="local-tiled", tile_res=3, **kw).collect()}
+    assert a == b
