@@ -45,8 +45,15 @@ class BucketIndex:
         self.coords = coords
         m, dim = coords.shape
         assert dim == 2, "bucket index is 2-D; use brute force otherwise"
-        self.features = metric.rank_features(coords)  # (m, f) float32
         self.is_sphere = isinstance(metric, Haversine)
+        # center the float64 ranking features on the data mean before the
+        # float32 cast — large-magnitude planar coords AND tightly
+        # clustered spherical unit vectors otherwise carry absolute key
+        # noise past the shortlist slack (exact float64 distances always
+        # use the ORIGINAL coords; see neighbors.topk_search)
+        F64 = metric.rank_features(coords)
+        self._fcenter = F64.mean(axis=0)
+        self.features = (F64 - self._fcenter).astype(np.float32)
         # Anisotropic: bucket GEOMETRY (assignment + boundary margins)
         # lives in the scaled space, where the metric is plain Euclidean —
         # raw-coordinate margins would over-estimate the bound for
@@ -57,10 +64,15 @@ class BucketIndex:
         lo = geo.min(axis=0)
         hi = geo.max(axis=0)
         span = np.maximum(hi - lo, 1e-9)
-        nb = max(1, int(np.sqrt(max(m, 1) / target)))
+        # total bucket budget ≈ m/target, split by aspect but CLAMPED so
+        # degenerate (near-collinear) data cannot explode one axis: the
+        # span floor makes aspect ~1e11 for a single-latitude transect,
+        # and unclamped nbx ≈ nb·√aspect allocated multi-MB start arrays
+        # per worker; a 1-D strip of ≤ total buckets is the correct limit
+        total = max(1, int(m / target))
         aspect = span[0] / span[1] if span[1] > 0 else 1.0
-        self.nbx = max(1, int(round(nb * np.sqrt(aspect))))
-        self.nby = max(1, int(round(nb / np.sqrt(aspect))))
+        self.nbx = int(np.clip(round(np.sqrt(total * aspect)), 1, total))
+        self.nby = max(1, total // self.nbx)
         self.lo, self.hi, self.span = lo, hi, span
         self.wx = span[0] / self.nbx
         self.wy = span[1] / self.nby
@@ -169,7 +181,9 @@ class BucketIndex:
 
         bid = self._query_bucket(qcoords)
         order = np.argsort(bid, kind="stable")
-        QF_all = metric.rank_features(qcoords)
+        QF_all = (metric.rank_features(qcoords) - self._fcenter).astype(
+            np.float32
+        )
         bid_sorted = bid[order]
         gstarts = np.searchsorted(bid_sorted, np.arange(self.nbx * self.nby + 1))
         max_r = max(self.nbx, self.nby)

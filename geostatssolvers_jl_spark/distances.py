@@ -33,20 +33,21 @@ class Euclidean:
         return np.sqrt(np.sum(d * d, axis=-1))
 
     # --- fast ranking surrogate (BLAS GEMM): key = squared distance ---
+    # Callers CENTER the float64 features on the data mean and cast to
+    # float32 (see neighbors.topk_search): the key ‖q‖²−2q·d+‖d‖² cancels
+    # catastrophically whenever ‖features‖ ≫ span — UTM-like 1e6 planar
+    # coords, or a sub-km Haversine cluster whose unit vectors all sit
+    # within one float32 ulp of each other.
 
     def rank_features(self, P: np.ndarray) -> np.ndarray:
-        # float32: the key matrix is the memory-bandwidth hot spot; exact
-        # float64 distances are recomputed on the selected pairs only
-        return P.astype(np.float32)
+        """float64 ranking features; the caller centers + casts float32."""
+        return np.asarray(P, dtype=np.float64)
 
     def rank_keys(self, QF: np.ndarray, DF: np.ndarray) -> np.ndarray:
         """(n, m) keys, monotone in true distance: ‖q‖²−2q·d+‖d‖²."""
         qn = np.einsum("nd,nd->n", QF, QF)[:, None]
         dn = np.einsum("md,md->m", DF, DF)[None, :]
         return qn - np.float32(2.0) * (QF @ DF.T) + dn
-
-    def radius_key(self, r: float) -> float:
-        return r * r
 
 
 @dataclass(frozen=True)
@@ -88,24 +89,23 @@ class Haversine:
         )
         return 2.0 * self.radius * np.arcsin(np.minimum(1.0, np.sqrt(h)))
 
-    # --- fast ranking surrogate: key = −(unit-vector dot product) -------
-    # haversine h = (1 − u·v)/2 with u, v unit vectors on the sphere, and
-    # dist = 2R·asin(√h) is monotone in −u·v — so ranking needs only one
-    # GEMM over 3-D features; the expensive trig runs on selected pairs.
+    # --- fast ranking surrogate: key = squared CHORD distance -----------
+    # haversine h = (1 − u·v)/2 = ‖u−v‖²/4 with u, v unit vectors, and
+    # dist = 2R·asin(√h) is monotone in ‖u−v‖² — so ranking needs only one
+    # GEMM over 3-D features, and the squared-chord form survives the
+    # caller's mean-centering EXACTLY (‖(u−c)−(v−c)‖² = ‖u−v‖²), unlike
+    # the raw dot product whose values all collapse to within one float32
+    # ulp of −1 on sub-km clusters; the expensive trig runs on selected
+    # pairs only.
 
     def rank_features(self, P: np.ndarray) -> np.ndarray:
         lam, phi = np.radians(P[:, 0]), np.radians(P[:, 1])
         cphi = np.cos(phi)
         return np.column_stack(
             [cphi * np.cos(lam), cphi * np.sin(lam), np.sin(phi)]
-        ).astype(np.float32)
+        )
 
-    def rank_keys(self, QF: np.ndarray, DF: np.ndarray) -> np.ndarray:
-        return -(QF @ DF.T)
-
-    def radius_key(self, r: float) -> float:
-        # dist ≤ r ⇔ u·v ≥ cos(r/R) ⇔ key ≤ −cos(r/R)
-        return -np.cos(min(r / self.radius, np.pi))
+    rank_keys = Euclidean.rank_keys
 
 
 @dataclass(frozen=True)
@@ -143,15 +143,15 @@ class Anisotropic:
         return Euclidean().np(self._scaled(A), self._scaled(B))
 
     def np_pairs(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # scale-then-subtract: same op order as `sql` and `np`
         r = np.asarray(self.radii, dtype=np.float64)
-        d = (A[:, None, :] - B) / r
+        d = A[:, None, :] / r - B / r
         return np.sqrt(np.sum(d * d, axis=-1))
 
     def rank_features(self, P: np.ndarray) -> np.ndarray:
-        return self._scaled(P).astype(np.float32)
+        return self._scaled(P)
 
     rank_keys = Euclidean.rank_keys
-    radius_key = Euclidean.radius_key
 
 
 Distance = Euclidean | Haversine | Anisotropic

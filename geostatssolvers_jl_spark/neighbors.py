@@ -161,16 +161,28 @@ def topk_search(
         return idx, dist, np.zeros(n, dtype=np.int64)
 
     # ranking runs on a GEMM-able monotone surrogate (squared distance /
-    # negative chord dot product) — one BLAS call per chunk instead of
+    # squared chord distance) — one BLAS call per chunk instead of
     # full-matrix trig; the canonical-formula distance (bit-identical to
     # the SQL text, hence to the DuckDB oracle) is evaluated only on the
     # selected n×k pairs.
-    DF = metric.rank_features(dcoords)
-    rkey = metric.radius_key(radius) if radius is not None else None
-    if rkey is not None:
-        # tiny slack: the surrogate threshold must never exclude a point
-        # the exact canonical cut (applied below) would admit
-        rkey = rkey + 1e-9 * max(1.0, abs(rkey))
+    #
+    # CENTER the float64 features on the data mean before the float32
+    # cast: the key qn − 2q·d + dn cancels catastrophically whenever
+    # ‖features‖ ≫ span — UTM-like 1e6-magnitude planar coords, or a
+    # sub-km Haversine cluster whose unit vectors all collapse to within
+    # one float32 ulp (observed: true neighbors at 0.6 km dropped from a
+    # 0.2°-wide cluster).  Centering is exact for the squared-distance /
+    # squared-chord keys; canonical float64 distances below always use
+    # the ORIGINAL coords.
+    # NOTE: the former float32 radius pre-cut was REMOVED — its 1e-9
+    # threshold slack was smaller than float32 key noise, so it could
+    # hard-exclude genuinely in-radius points before the exact cut, and
+    # it made under-filled rows take the per-row overflow path over all
+    # m points; shortlisting by key alone is sufficient (top-k-within-
+    # radius ⊆ top-buffer-by-distance) and the exact cut applies below.
+    DF64 = metric.rank_features(dcoords)
+    center = DF64.mean(axis=0)
+    DF = (DF64 - center).astype(np.float32)
 
     # chunk so the (qchunk, m) float32 key block stays cache-resident
     # between the GEMM and the argpartition — the whole search is memory-
@@ -179,19 +191,16 @@ def topk_search(
     buffer = min(m, k + 16)  # float32-ranking slack
     for s in range(0, n, qchunk):
         e = min(n, s + qchunk)
-        QF = metric.rank_features(qcoords[s:e])
+        QF = (metric.rank_features(qcoords[s:e]) - center).astype(
+            np.float32
+        )
         K = metric.rank_keys(QF, DF)  # (c, m) monotone in true distance
-        if rkey is not None:
-            K = np.where(K <= rkey, K, np.inf)
         cand, overflow = shortlist_topk(K, buffer)
-        ck = np.take_along_axis(K, cand, axis=1)
-        valid = np.isfinite(ck)
         # canonical float64 distances on the FULL buffer, then rank —
         # float32 keys only shortlist; the final k and their order come
         # from the exact metric, so float32 cancellation can't leak into
         # the result (would need >buffer points inside one float32 ulp)
-        cd = metric.np_pairs(qcoords[s:e], dcoords[np.maximum(cand, 0)])
-        cd = np.where(valid, cd, np.inf)
+        cd = metric.np_pairs(qcoords[s:e], dcoords[cand])
         order2 = np.lexsort((cand, cd), axis=1)
         cand = np.take_along_axis(cand, order2, axis=1)[:, :k]
         cd = np.take_along_axis(cd, order2, axis=1)[:, :k]
@@ -340,8 +349,8 @@ def _block_guard_sql(res: int, ring: int, metric: Distance) -> str:
     n = tiling.nside(res)
     ch = 180.0 / n
     cw = 360.0 / n
-    ty = f"(CAST(floor((_qcell % {1 << 58}) / {1 << 29}) AS BIGINT))"
-    tx = f"(_qcell % {1 << 29})"
+    ty = tiling.ty_from_cell_expr("_qcell")
+    tx = tiling.tx_from_cell_expr("_qcell")
     bot = f"(({ty} - {ring}) * {ch!r} - 90.0)"
     top = f"(({ty} + {ring} + 1) * {ch!r} - 90.0)"
     west = f"(({tx} - {ring}) * {cw!r} - 180.0)"
@@ -516,8 +525,8 @@ def _cell_mindist_sql(res: int, metric: Distance,
     n = tiling.nside(res)
     ch = 180.0 / n
     cw = 360.0 / n
-    ty = f"(CAST(floor(({cell} % {1 << 58}) / {1 << 29}) AS BIGINT))"
-    tx = f"({cell} % {1 << 29})"
+    ty = tiling.ty_from_cell_expr(cell)
+    tx = tiling.tx_from_cell_expr(cell)
     l0 = f"({ty} * {ch!r} - 90.0)"
     l1 = f"(({ty} + 1) * {ch!r} - 90.0)"
     g0 = f"({tx} * {cw!r} - 180.0)"
@@ -606,7 +615,7 @@ def _bounded_terminal(
         f"CAST({res} AS BIGINT) * {1 << 58} "
         f"+ CAST(floor(_ci / {n}) AS BIGINT) * {1 << 29} + (_ci % {n}) "
         f"AS _ccell",
-    ).where(F.expr(f"({mind}) <= _b"))
+    ).where(F.expr(f"({mind}) * (1.0 - 1e-12) <= _b"))
     d = data.selectExpr(
         data_id,
         f"{tiling.cell_expr(lon, lat, res)} AS _dcell",

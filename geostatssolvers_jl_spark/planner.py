@@ -69,7 +69,9 @@ def choose_tile_res(n_data: int, target_per_cell: int = 64) -> int:
 
     n_cells = max(1, n_data // target_per_cell)
     nside = max(2, int(math.sqrt(n_cells)))
-    return min(28, max(3, math.ceil(math.log2(nside))))
+    from . import tiling
+
+    return min(tiling.MAX_RES, max(3, math.ceil(math.log2(nside))))
 
 
 def choose_strategy(n_data: int, maxneighbors: int | None,

@@ -18,7 +18,12 @@ engine and provided here:
   certifies exact-kNN termination of ring expansion.
 
 Layout of the id:  ``cell = (r << 58) | (ty << 29) | tx`` with
-``tx, ty < 2^29`` (r ≤ 28).  All ops stay in signed-64 range.
+``tx, ty < 2^29``.  All ops stay in signed-64 range.  **Contract:
+r ≤ MAX_RES = 24** — the shared-dialect SQL DECODE of ty is a double
+floor-division (``floor((cell % 2^58) / 2^29)``: Spark and DuckDB have no
+common integer-division spelling), and ``ty·2^29 + tx`` must stay inside
+the 53-bit double mantissa for it to be exact; res 24 is the last exact
+level (≈ 2.4 m cells at the equator — far below any practical tiling).
 """
 
 from __future__ import annotations
@@ -28,8 +33,28 @@ import numpy as np
 EARTH_RADIUS_KM = 6371.0
 
 
+MAX_RES = 24  # SQL ty-decode exactness bound, see module docstring
+
+
 def nside(res: int) -> int:
+    if res > MAX_RES:
+        raise ValueError(
+            f"tile res {res} > {MAX_RES}: the shared-dialect SQL cell "
+            f"decode is only exact through res {MAX_RES}"
+        )
     return 1 << res
+
+
+def tx_from_cell_expr(cell: str) -> str:
+    """Shared-dialect tx decode of a packed cell id."""
+    return f"(({cell}) % {1 << 29})"
+
+
+def ty_from_cell_expr(cell: str) -> str:
+    """Shared-dialect ty decode (double floor-division — exact only for
+    res ≤ MAX_RES, enforced at encode time by `nside`)."""
+    return f"(CAST(floor((({cell}) % {1 << 58}) / {1 << 29}) AS BIGINT))"
+
 
 
 def _tx_expr(lon: str, res: int) -> str:
@@ -60,8 +85,8 @@ def parent_expr(cell: str, res: int, parent_res: int) -> str:
     shift = res - parent_res
     assert shift >= 0
     d = 1 << shift
-    tx = f"(({cell}) % {1 << 29})"
-    ty = f"(CAST(floor(({cell} % {1 << 58}) / {1 << 29}) AS BIGINT))"
+    tx = tx_from_cell_expr(cell)
+    ty = ty_from_cell_expr(cell)
     r_bits = parent_res * (1 << 58)
     return (
         f"({r_bits} + CAST(floor({ty} / {d}) AS BIGINT) * {1 << 29}"

@@ -178,3 +178,93 @@ def test_cell_mindist_bound_conservative_planar_outside_world(
     )[0]
     for (c, x, y, b), d in zip(got, true_d):
         assert b <= d + 1e-9, (c, x, y, b, d)
+
+
+def _naive_topk(q, d, k, metric, radius=None):
+    """Pure-float64 reference: full pairwise + stable argsort."""
+    D = metric.np(q, d)
+    idx = np.full((len(q), k), -1, dtype=np.int64)
+    dist = np.full((len(q), k), np.inf)
+    for i in range(len(q)):
+        row = D[i].copy()
+        if radius is not None:
+            row = np.where(row <= radius, row, np.inf)
+        o = np.lexsort((np.arange(len(d)), row))[:k]
+        keep = np.isfinite(row[o])
+        idx[i, : keep.sum()] = o[keep]
+        dist[i, : keep.sum()] = row[o][keep]
+    return idx, dist
+
+
+def test_topk_large_magnitude_coords_exact():
+    """UTM-like 1e6-magnitude planar coords: the float32 surrogate key
+    qn−2q·d+dn cancels catastrophically without centering (absolute noise
+    ~‖q‖²·2⁻²⁴ ≫ the k+16 shortlist slack) — r3 review finding.  Both
+    search paths must equal the pure-float64 reference exactly."""
+    rng = np.random.default_rng(11)
+    n = 3000  # above INDEX_THRESHOLD for the bucket path
+    d = np.column_stack([
+        rng.uniform(1e6, 1e6 + 2000, n), rng.uniform(5e6, 5e6 + 2000, n),
+    ])
+    q = np.column_stack([
+        rng.uniform(1e6, 1e6 + 2000, 60), rng.uniform(5e6, 5e6 + 2000, 60),
+    ])
+    metric = Euclidean()
+    wi, wd = _naive_topk(q, d, 8, metric)
+    bi, bd, _ = topk_search(q, d, 8, metric)
+    assert np.array_equal(bi, wi)
+    ii, idd, _ = BucketIndex(d, metric, target=16).topk(q, 8)
+    assert np.array_equal(ii, wi)
+
+
+def test_topk_small_radius_keeps_in_radius_points():
+    """Tight Haversine ball (6.4 km on a 6371 km sphere): the removed
+    float32 radius pre-cut randomly hard-excluded points in a ~1 km band
+    inside the radius (its 1e-9 slack was 20× below float32 key noise) —
+    r3 review finding.  Every genuinely in-radius point must survive."""
+    rng = np.random.default_rng(5)
+    n = 400
+    # a cluster ~0.1° wide: distances span 0–20 km
+    d = np.column_stack([
+        10.0 + rng.uniform(-0.1, 0.1, n), 45.0 + rng.uniform(-0.1, 0.1, n),
+    ])
+    q = np.column_stack([
+        10.0 + rng.uniform(-0.05, 0.05, 30),
+        45.0 + rng.uniform(-0.05, 0.05, 30),
+    ])
+    metric = Haversine(6371.0)
+    radius = 6.4
+    wi, wd = _naive_topk(q, d, 10, metric, radius)
+    bi, bd, bn = topk_search(q, d, 10, metric, radius)
+    assert np.array_equal(bi, wi)
+    assert np.allclose(bd, wd, equal_nan=True) or np.array_equal(bd, wd)
+
+
+def test_bucket_index_collinear_data_bounded():
+    """Near-collinear data (single-latitude transect): the aspect-driven
+    bucket split must stay within the m/target budget instead of
+    exploding one axis to millions of buckets — r3 review finding."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    d = np.column_stack([
+        rng.uniform(-180, 180, n), np.full(n, 37.5),
+    ])
+    metric = Haversine(6371.0)
+    idx = BucketIndex(d, metric, target=32)
+    assert idx.nbx * idx.nby <= max(1, n // 32)
+    q = np.column_stack([rng.uniform(-180, 180, 25), np.full(25, 37.2)])
+    ai, ad, _ = idx.topk(q, 5)
+    bi, bd, _ = topk_search(q, d, 5, metric)
+    assert np.array_equal(ai, bi)
+
+
+def test_tile_res_decode_exactness_bound():
+    """res > 24 must be rejected: the shared-dialect SQL ty decode is a
+    double floor-division, exact only while ty·2²⁹+tx fits 53 bits."""
+    import pytest as _pytest
+
+    from geostatssolvers_jl_spark import tiling
+
+    assert tiling.nside(24) == 1 << 24
+    with _pytest.raises(ValueError):
+        tiling.nside(25)
