@@ -183,30 +183,22 @@ def solve_idw_compositional(
                 maxneighbors, minneighbors, exponent, metric, id_col,
                 res=(tile_res if tile_res is not None else 6),
             )
-    # mirror neighbors.collect_points: canonical id-sorted order so kNN
-    # ties break deterministically AND identically to the tiled path's
-    # (dist, data_id) window ordering; without a data_id column the
-    # collection order off a shuffled DataFrame would be nondeterministic
-    has_id = "data_id" in data.columns
-    sel = [*data_coord_cols, var] + (["data_id"] if has_id else [])
-    pdf = data.filter(f"{var} IS NOT NULL").select(*sel).toPandas()
-    ids = (
-        pdf["data_id"].to_numpy(np.int64)
-        if has_id
-        else np.arange(len(pdf), dtype=np.int64)
+    # collect_points gives the canonical id-sorted order, so kNN ties
+    # break deterministically AND identically to the tiled path's
+    # (dist, data_id) window ordering
+    d0 = collect_points(
+        data.filter(f"{var} IS NOT NULL"), data_coord_cols, [var],
+        id_col="data_id" if "data_id" in data.columns else None,
     )
-    order = np.argsort(ids, kind="stable")
-    pdf = pdf.iloc[order].reset_index(drop=True)
-    coords = pdf[data_coord_cols].to_numpy(np.float64)
-    comp = np.stack(pdf[var].to_numpy())
+    if d0.n == 0:
+        raise ValueError("estimation requires data")
+    comp = np.stack(d0.values[var])
     Y = ilr(comp)
     d = PointData(
-        coords=coords,
+        coords=d0.coords,
         values={"_ilr": Y, var: comp},
-        ids=ids[order],
+        ids=d0.ids,
     )
-    if d.n == 0:
-        raise ValueError("estimation requires data")
     k = d.n if maxneighbors is None else min(maxneighbors, d.n)
 
     def kernel(qpdf, dd, idx, dist, nvalid):
@@ -261,6 +253,8 @@ def solve_idw(
     above ``broadcast_limit`` through the distributed tiled join."""
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if minneighbors < 1:
+        raise ValueError("minneighbors must be >= 1")
     if exponent <= 0:
         raise ValueError("exponent must be positive")  # idw.jl:94
     if isinstance(data, DataFrame) and maxneighbors is not None:
@@ -290,8 +284,6 @@ def solve_idw(
         )
     if data.n == 0:
         raise ValueError("estimation requires data")  # idw.jl:93
-    if exponent <= 0:
-        raise ValueError("exponent must be positive")  # idw.jl:94
     k = data.n if maxneighbors is None else min(maxneighbors, data.n)
     if minneighbors > k:
         raise ValueError("invalid min/max number of neighbors")  # idw.jl:95

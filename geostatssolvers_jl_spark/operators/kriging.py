@@ -143,6 +143,21 @@ def _predict_global(model: KrigingModel, fit: dict, qcoords: np.ndarray,
                     metric: Distance) -> tuple[np.ndarray, np.ndarray]:
     X, z, Ainv, n, m = fit["X"], fit["z"], fit["Ainv"], fit["n"], fit["m"]
     sill = model.variogram.sill
+    # cache-resident sub-chunks: the (q, n) covariance block plus the
+    # (q, n, d) difference temporaries inside metric.np would otherwise
+    # churn gigabytes per Arrow batch at n ~ 10⁴⁺ data points (same
+    # rationale as solve_systems' step=2048)
+    q_total = qcoords.shape[0]
+    step = max(1, 2_000_000 // max(n, 1))
+    if q_total > step:
+        mu = np.empty(q_total)
+        var_ = np.empty(q_total)
+        for s in range(0, q_total, step):
+            sl = slice(s, min(q_total, s + step))
+            mu[sl], var_[sl] = _predict_global(
+                model, fit, qcoords[sl], metric
+            )
+        return mu, var_
     c0 = _pairwise_cov(model.variogram, qcoords, X, metric)  # (q, n)
     f0 = model.drift_matrix(qcoords)  # (q, m)
     rhs = np.concatenate([c0, f0], axis=1)  # (q, n+m)
@@ -166,7 +181,6 @@ def _solve_local_batch(
     qcoords: np.ndarray,
     idx: np.ndarray,
     dist: np.ndarray,
-    nvalid: np.ndarray,
     metric: Distance,
     minneighbors: int,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -235,12 +249,25 @@ def solve_systems(
     C[:, ar, ar] = np.where(
         valid, C[:, ar, ar] + 1e-10 * model.variogram.sill, 1.0
     )
-    Fm = Fm * vmask[:, :, None]
+    # where-mask, NOT multiply: padded slots hold placeholder coords, and
+    # a user EDK drift non-finite there (log, sqrt, division) would turn
+    # drift·0 into NaN and poison the whole system
+    Fm = np.where(vmask[:, :, None] > 0, Fm, 0.0)
 
     A = np.zeros((B, k + m, k + m))
     A[:, :k, :k] = C
     A[:, :k, k:] = Fm
     A[:, k:, :k] = np.transpose(Fm, (0, 2, 1))
+    if m > 0:
+        # zero-neighbor rows (radius cut, empty region): their KKT block
+        # is exactly [[I,0],[0,0]] — put 1s on the Lagrange diagonal so
+        # the BATCHED solve stays on the fast path (the rows are NaN-
+        # masked below; without this one empty row dumped the whole
+        # 2048-row batch into the per-row Python fallback)
+        empty = np.nonzero(nvalid == 0)[0]
+        if empty.size:
+            arm = np.arange(m)
+            A[empty[:, None], k + arm, k + arm] = 1.0
     rhs = np.concatenate([c0, f0], axis=1)  # (B, k+m)
 
     try:
@@ -300,6 +327,8 @@ def solve_kriging(
     model = model or KrigingModel()
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if minneighbors < 1:
+        raise ValueError("minneighbors must be >= 1")
     if isinstance(data, DataFrame) and maxneighbors is not None:
         from ..planner import choose_strategy, choose_tile_res
 
@@ -330,6 +359,13 @@ def solve_kriging(
 
     spark = grid_df.sparkSession
     schema = f"{id_col} long, {var} double, {var}_variance double"
+
+    if maxneighbors is None and radius is not None:
+        # MetricBall-only neighborhood (KBallSearch with no k cap): the
+        # GLOBAL path would silently ignore the ball and weight every
+        # point — route local with k = n instead, matching what the same
+        # arguments mean in solve_idw/solve_lwr (planner.searcher_ui)
+        maxneighbors = data.n
 
     if maxneighbors is None:
         from pyspark import cloudpickle
@@ -362,7 +398,7 @@ def solve_kriging(
     def kernel(pdf, d, idx, dist, nvalid):
         q = pdf[query_coord_cols].to_numpy(np.float64)
         mu, v = _solve_local_batch(
-            model, d, var, q, idx, dist, nvalid, metric, minneighbors
+            model, d, var, q, idx, dist, metric, minneighbors
         )
         return pd.DataFrame({
             id_col: pdf[id_col].to_numpy(np.int64),

@@ -29,6 +29,35 @@ def default_weightfun(h: np.ndarray) -> np.ndarray:
     return np.exp(-3.0 * h * h)
 
 
+def _wls_solve(
+    G: np.ndarray, b: np.ndarray, x0: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Solve the stacked normal systems; singular rows (k < p neighbors,
+    exactly collinear coords) fall back to pinv PER ROW — a batch-wide
+    pinv fallback would make every query's result depend on which OTHER
+    queries share its Arrow batch (batch composition varies with
+    partitioning and between the broadcast and tiled paths, breaking
+    their bit-identical contract; same per-row policy as
+    kriging.solve_systems)."""
+    try:
+        theta = np.linalg.solve(G, b[:, :, None])[:, :, 0]
+        Ginv_x0 = np.linalg.solve(G, x0[:, :, None])[:, :, 0]
+        return theta, Ginv_x0
+    except np.linalg.LinAlgError:
+        pass
+    theta = np.empty_like(b)
+    Ginv_x0 = np.empty_like(x0)
+    for i in range(G.shape[0]):
+        try:
+            theta[i] = np.linalg.solve(G[i], b[i])
+            Ginv_x0[i] = np.linalg.solve(G[i], x0[i])
+        except np.linalg.LinAlgError:
+            Gi = np.linalg.pinv(G[i])
+            theta[i] = Gi @ b[i]
+            Ginv_x0[i] = Gi @ x0[i]
+    return theta, Ginv_x0
+
+
 def lwr_kernel(var: str, weightfun: Callable, minneighbors: int,
                id_col: str = "cell_id", query_coord_cols: list[str] | None = None):
     qcols = query_coord_cols or ["cx", "cy"]
@@ -62,14 +91,7 @@ def lwr_kernel(var: str, weightfun: Callable, minneighbors: int,
         q = pdf[qcols].to_numpy(np.float64)
         x0 = np.concatenate([np.ones((B, 1)), q], axis=1)  # (B, p)
 
-        # regularize genuinely singular systems (e.g. k < p) via pinv path
-        try:
-            theta = np.linalg.solve(G, b[:, :, None])[:, :, 0]
-            Ginv_x0 = np.linalg.solve(G, x0[:, :, None])[:, :, 0]
-        except np.linalg.LinAlgError:
-            Ginv = np.linalg.pinv(G)
-            theta = np.einsum("bpq,bq->bp", Ginv, b)
-            Ginv_x0 = np.einsum("bpq,bq->bp", Ginv, x0)
+        theta, Ginv_x0 = _wls_solve(G, b, x0)
 
         mu = np.einsum("bp,bp->b", theta, x0)
         r = WX @ Ginv_x0[:, :, None]               # W X (XᵀWX)⁻¹ x₀, (B,k,1)
@@ -107,6 +129,8 @@ def solve_lwr(
     side above ``broadcast_limit`` through the distributed tiled join."""
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    if minneighbors < 1:
+        raise ValueError("minneighbors must be >= 1")
     if isinstance(data, DataFrame) and maxneighbors is not None:
         from ..planner import choose_strategy, choose_tile_res
 

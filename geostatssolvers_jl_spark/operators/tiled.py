@@ -64,6 +64,12 @@ def tiled_local_apply(
     ``first_replicate``: which side the bulk tiled pass replicates ×9 —
     'queries' when the estimation grid is the smaller side (see
     `knn_join_tiled_exact`)."""
+    if len(data_coord_cols) != 2 or len(query_coord_cols) != 2:
+        raise ValueError(
+            "the tiled strategy tiles a 2-D (lon, lat) domain; "
+            f"got {len(data_coord_cols)}-D coords — use the broadcast "
+            "strategy for higher-dimensional data"
+        )
     if "data_id" not in data_df.columns:
         raise ValueError(
             "tiled strategy requires a deterministic 'data_id' column "
@@ -349,13 +355,9 @@ def lwr_tiled(
         G = np.einsum("bkp,bkq->bpq", X, WX)
         b_ = np.einsum("bkp,bk->bp", WX, zn)
         x0 = np.concatenate([np.ones((B, 1)), qcoords], axis=1)
-        try:
-            theta = np.linalg.solve(G, b_[:, :, None])[:, :, 0]
-            Ginv_x0 = np.linalg.solve(G, x0[:, :, None])[:, :, 0]
-        except np.linalg.LinAlgError:
-            Ginv = np.linalg.pinv(G)
-            theta = np.einsum("bpq,bq->bp", Ginv, b_)
-            Ginv_x0 = np.einsum("bpq,bq->bp", Ginv, x0)
+        from .lwr import _wls_solve
+
+        theta, Ginv_x0 = _wls_solve(G, b_, x0)
         mu = np.einsum("bp,bp->b", theta, x0)
         r = (WX @ Ginv_x0[:, :, None])[:, :, 0]
         sigma = np.sqrt(np.einsum("bk,bk->b", r, r))
