@@ -136,11 +136,17 @@ def _residual_matrix(zu_rows, dcell_ids: np.ndarray, zdat: np.ndarray,
     """(nreals, ndata) residual scatter zdat − z_unconditional in canonical
     (sorted dcell_ids) order — one vectorized fancy-index assignment; at
     nreals=1000 × 10⁴ data cells a per-row Python loop here would be 10⁷
-    driver iterations.  Duplicate (real, cell) rows (a data cell covered by
-    two tiles) resolve last-write-wins in row order, matching the loop
-    form."""
+    driver iterations.  Tile interiors partition the grid, so each
+    (real, cell) appears exactly once; the membership assert below keeps
+    the old dict-lookup loop's fail-loudly contract (searchsorted would
+    otherwise silently scatter an unknown cell id into a neighbor's
+    slot)."""
     rid = zu_rows["real_id"].to_numpy(np.int64)
-    pidx = np.searchsorted(dcell_ids, zu_rows["cell_id"].to_numpy(np.int64))
+    cells = zu_rows["cell_id"].to_numpy(np.int64)
+    pidx = np.searchsorted(dcell_ids, cells)
+    pidx = np.minimum(pidx, len(dcell_ids) - 1)
+    if not np.array_equal(dcell_ids[pidx], cells):
+        raise ValueError("unconditional rows contain non-data cell ids")
     R = np.zeros((nreals, len(dcell_ids)))
     R[rid, pidx] = zdat[pidx] - zu_rows[var].to_numpy(np.float64)
     return R

@@ -112,30 +112,17 @@ def _norm_sql(dialect: str, a: str, dim: int = DIM) -> str:
 
 
 def _cos_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
-    """Exact cosine between two array<double> columns, dialect-split only in
-    list-function spelling (values bit-identical: every spelling sums terms
-    left-to-right; the fold starts at 0.0, and 0.0 + x == x exactly).
+    """Exact cosine between two array<double> columns — expressed through
+    the SAME _dot_sql/_norm_sql folds the bucketed queries use, so the
+    bit-identity contract lives in one spelling (values identical: every
+    fold sums terms left-to-right from a 0.0 seed, and 0.0 + x == x).
     An explicit indexed 64-term chain was tried and REJECTED: it blows the
     Janino 64KB method limit inside the window stage, forcing a slower
     interpreted fallback than the higher-order fold."""
-    if dialect == "spark":
-        dot = (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
-            f"(acc, x) -> acc + x)"
-        )
-        nrm = (
-            f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0.0D, "
-            f"(acc, x) -> acc + x)) * "
-            f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0.0D, "
-            f"(acc, x) -> acc + x))"
-        )
-    else:
-        dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
-        nrm = (
-            f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {a}[i]))) * "
-            f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {b}[i] * {b}[i])))"
-        )
-    return f"({dot}) / ({nrm})"
+    return (
+        f"({_dot_sql(dialect, a, b, dim)}) / "
+        f"({_norm_sql(dialect, a, dim)} * {_norm_sql(dialect, b, dim)})"
+    )
 
 
 def _probe_union(n_planes: int) -> str:
@@ -234,8 +221,11 @@ def dedup_embedding_lsh_sql(dialect: str, emb_rel: str = "embeddings",
         "p.vec_id < d.vec_id", bt_rel=bt_rel,
     )
     cos = f"({_dot_sql(dialect, 'a.e', 'b.e', dim)}) / (a.nrm * b.nrm)"
-    # cosine computed ONCE in the inner projection (Spark inlines CTE
-    # expressions, so the old select+WHERE spelling evaluated it twice)
+    # NOTE: Spark still evaluates the pair fold twice (the threshold
+    # predicate is pushed through the projection and re-expands the
+    # alias) — the real per-pair saving is the per-vector norm precompute
+    # in _emb; the subquery just keeps the rounded output and the
+    # threshold reading one expression
     inner = (
         f"SELECT c.qid AS vec_a, c.nid AS vec_b, {cos} AS c "
         f"FROM _cand c JOIN _emb a ON c.qid = a.vec_id "
