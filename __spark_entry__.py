@@ -1566,7 +1566,7 @@ def q_delimited_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _delimited_read_oracle() -> str:
     parts = " || '|' || ".join(
-        f"CAST({c} AS VARCHAR)" for c in ("x", "y", "z")
+        f"coalesce(CAST({c} AS VARCHAR), '<NULL>')" for c in ("x", "y", "z")
     )
     did = f"CAST(('0x' || substr(md5({parts}), 1, 15)) AS BIGINT)"
     return (

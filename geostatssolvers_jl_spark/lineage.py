@@ -36,12 +36,17 @@ def _manifest_path(base: str) -> str:
 
 
 def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         m = spark.read.schema(MANIFEST_SCHEMA).format(FORMAT).load(
             _manifest_path(base)
         )
         return m.filter(F.col("stage") == stage)
-    except Exception:
+    except AnalysisException:
+        # path not found = fresh run.  A CORRUPT or transiently unreadable
+        # manifest must SURFACE (a blanket except would silently schedule
+        # a full recompute of every unit and append duplicate rows)
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
@@ -61,12 +66,18 @@ def commit_units(
     base: str,
     stage: str,
     unit_col: str = "unit",
+    units: DataFrame | None = None,
 ) -> DataFrame:
     """Write one batch of finished units + their manifest rows.
 
     ``df`` must carry ``unit_col``; data lands partitioned by it so a
     re-run of the same unit overwrites in place (idempotent).  Returns the
     manifest rows written (the per-partition lineage record).
+
+    ``units``: the FULL set of work units this batch covers — a unit whose
+    compute legitimately produced zero rows still gets a manifest row
+    (rows = 0); without it such units would stay pending forever and every
+    'resume' would re-run the whole stage.
     """
     t0 = time.time()
     # persist so the manifest counts reuse the materialized rows instead of
@@ -86,13 +97,15 @@ def commit_units(
         # lineage rows for THIS batch only — never rescan previously-
         # committed units (at 10^12-row scale a full rescan per batch is
         # the bottleneck)
-        counts = (
-            df.groupBy("unit")
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .select(
-                "unit", "rows", F.lit(stage).alias("stage"),
-                F.lit(wall).alias("wall_s"),
-            )
+        counts = df.groupBy("unit").agg(F.count(F.lit(1)).alias("rows"))
+        if units is not None:
+            allu = units.select(
+                F.col(unit_col).cast("long").alias("unit")
+            ).distinct()
+            counts = allu.join(counts, "unit", "left").fillna(0, ["rows"])
+        counts = counts.select(
+            "unit", "rows", F.lit(stage).alias("stage"),
+            F.lit(wall).alias("wall_s"),
         )
         counts.write.format(FORMAT).mode("append").save(_manifest_path(base))
         # collect the manifest rows (tiny: one per unit) BEFORE unpersist —
@@ -121,5 +134,5 @@ def run_stage_resumable(
     todo = pending_units(units, spark, base, stage, unit_col)
     if todo.limit(1).count() > 0:
         out = compute(todo)
-        commit_units(out, base, stage, unit_col)
+        commit_units(out, base, stage, unit_col, units=todo)
     return spark.read.format(FORMAT).load(f"{base}/{stage}")

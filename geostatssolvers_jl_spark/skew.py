@@ -26,7 +26,15 @@ def salt_hot_keys(
 ) -> DataFrame:
     """Add a ``salt`` column: 0 for cold keys; 0..n_salt-1 for hot keys,
     derived from a deterministic row hash (never random — resume-safe)."""
-    hash_cols = hash_cols or [c for c in df.columns if c != key][:1]
+    # default: hash ALL non-key columns — hashing just one (e.g. a
+    # low-cardinality lang column constant within a hot metro cell) makes
+    # the salt a single value and the re-shard a silent no-op
+    hash_cols = hash_cols or [c for c in df.columns if c != key]
+    if not hash_cols:
+        raise ValueError(
+            "salt_hot_keys needs at least one non-key column to hash "
+            "(a key-only frame has no deterministic row identity to salt on)"
+        )
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
     hot = counts.filter(F.col("_cnt") > threshold).select(
         key,

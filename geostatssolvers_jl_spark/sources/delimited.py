@@ -21,7 +21,13 @@ def _content_id(cols: list[str]) -> str:
     partitioning / file split (ties in kNN break on this id, so it must
     not depend on read order).  Collisions are detectable (distinct count
     drops) and astronomically unlikely below ~10⁹ rows per load."""
-    parts = " || '|' || ".join(f"CAST({c} AS STRING)" for c in cols)
+    # coalesce each column: '||' propagates NULL, which would give every
+    # row with ANY missing field the same data_id = NULL — breaking the
+    # deterministic tie-break contract and making the distinct-count
+    # collision check blind (all NULLs count as one)
+    parts = " || '|' || ".join(
+        f"coalesce(CAST({c} AS STRING), '<NULL>')" for c in cols
+    )
     return (
         f"CAST(conv(substr(md5({parts}), 1, 15), 16, 10) AS BIGINT)"
     )

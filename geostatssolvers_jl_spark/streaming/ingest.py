@@ -31,6 +31,19 @@ def stream_pages(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
+def _geocoded(pages: DataFrame, res: int, extra: list[str]) -> DataFrame:
+    """Shared stream-side geocode + tile projection — the SAME lon/lat/
+    cell expressions as the batch path (sources.pages), in one place, so
+    batch and streaming tile assignments cannot silently diverge."""
+    return pages.selectExpr(
+        "url", "warc_ts", *extra,
+        f"{lon_expr('text')} AS lon",
+        f"{lat_expr('text')} AS lat",
+    ).selectExpr(
+        "*", f"{tiling.cell_expr('lon', 'lat', res)} AS cell"
+    )
+
+
 def tile_counts_stream(
     pages: DataFrame, res: int = 6, window: str = "10 minutes",
     watermark: str = "30 minutes",
@@ -38,13 +51,7 @@ def tile_counts_stream(
     """Watermarked per-tile page counts per event-time window — the
     streaming analogue of `q_tile_assign`; late pages beyond the watermark
     are dropped, state is bounded."""
-    geo = pages.selectExpr(
-        "url", "warc_ts", "text", "lang",
-        f"{lon_expr('text')} AS lon",
-        f"{lat_expr('text')} AS lat",
-    ).selectExpr(
-        "*", f"{tiling.cell_expr('lon', 'lat', res)} AS cell"
-    )
+    geo = _geocoded(pages, res, ["text", "lang"])
     return (
         geo.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window), F.col("cell"))
@@ -65,14 +72,7 @@ def incremental_cell_stats(pages: DataFrame, res: int = 6) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    geo = pages.selectExpr(
-        "url", "warc_ts",
-        f"{lon_expr('text')} AS lon",
-        f"{lat_expr('text')} AS lat",
-        "CAST(length(text) AS DOUBLE) AS z",
-    ).selectExpr(
-        "*", f"{tiling.cell_expr('lon', 'lat', res)} AS cell"
-    )
+    geo = _geocoded(pages, res, ["CAST(length(text) AS DOUBLE) AS z"])
 
     def update(key, pdfs, state):
         n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
@@ -127,13 +127,24 @@ def run_available(stream_df: DataFrame, checkpoint: str,
     ``append`` emits only watermark-closed windows (bounded state, the
     production mode); ``complete`` emits every window (test introspection).
     """
+    import hashlib as _hashlib
+
+    # per-checkpoint table name: a fixed name would collide across two
+    # streams drained in one session (second start() fails or the collect
+    # reads the wrong stream's table)
+    name = "drain_" + _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
-        .queryName("tile_counts")
+        .queryName(name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return stream_df.sparkSession.sql("SELECT * FROM tile_counts").collect()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "AvailableNow drain did not finish within 300 s — partial "
+            "results would otherwise be returned silently"
+        )
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()

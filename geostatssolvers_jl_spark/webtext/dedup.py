@@ -23,10 +23,16 @@ BANDS = 4  # rows-per-band = N_HASHES // BANDS = 2
 
 
 def shingles_spark(text: str, k: int = 3) -> str:
+    # CASE guard: documents with < k tokens must yield an EMPTY shingle
+    # set — Spark's sequence(1, 0) is the DESCENDING [1, 0] (unlike
+    # DuckDB's empty generate_series) and slice(toks, 0, k) then throws,
+    # killing the whole dedup job on the first short/empty document
     toks = f"split({text}, ' ')"
     return (
-        f"transform(sequence(1, greatest(0, size({toks}) - {k - 1})), "
-        f"i -> array_join(slice({toks}, i, {k}), ' '))"
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> array_join(slice({toks}, i, {k}), ' ')) "
+        f"ELSE array() END"
     )
 
 

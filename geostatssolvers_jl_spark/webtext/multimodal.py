@@ -16,6 +16,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class RealCodecUnavailable(NotImplementedError):
@@ -74,7 +75,11 @@ def decode_images(df: DataFrame, binary_col: str = "html",
                 "n_bytes": nb, "thumb_md5": th,
             })
 
-    return df.select(id_col, binary_col).mapInPandas(
+    # NULL payloads (e.g. a page with NULL text cast to binary) are
+    # skipped — bytes(None) would kill the whole stage on one bad row
+    return df.select(id_col, binary_col).filter(
+        F.col(binary_col).isNotNull()
+    ).mapInPandas(
         run,
         schema=f"{id_col} string, width int, height int, n_bytes long, "
                f"thumb_md5 string",
@@ -117,7 +122,11 @@ def image_features(df: DataFrame, binary_col: str = "html",
                 "feature": [row.tolist() for row in feats],
             })
 
-    return df.select(id_col, binary_col).mapInPandas(
+    # NULL payloads (e.g. a page with NULL text cast to binary) are
+    # skipped — bytes(None) would kill the whole stage on one bad row
+    return df.select(id_col, binary_col).filter(
+        F.col(binary_col).isNotNull()
+    ).mapInPandas(
         run, schema=f"{id_col} string, feature array<double>"
     )
 
@@ -148,7 +157,11 @@ def frame_features(df: DataFrame, binary_col: str = "html",
                 id_col: ids, "frame_id": fids, "feature": feats,
             })
 
-    return df.select(id_col, binary_col).mapInPandas(
+    # NULL payloads (e.g. a page with NULL text cast to binary) are
+    # skipped — bytes(None) would kill the whole stage on one bad row
+    return df.select(id_col, binary_col).filter(
+        F.col(binary_col).isNotNull()
+    ).mapInPandas(
         run,
         schema=f"{id_col} string, frame_id int, feature array<double>",
     )
@@ -177,7 +190,11 @@ def decode_audio(df: DataFrame, binary_col: str = "html",
                 id_col: ids, "duration_s": dur, "rms": rms, "peak": peak,
             })
 
-    return df.select(id_col, binary_col).mapInPandas(
+    # NULL payloads (e.g. a page with NULL text cast to binary) are
+    # skipped — bytes(None) would kill the whole stage on one bad row
+    return df.select(id_col, binary_col).filter(
+        F.col(binary_col).isNotNull()
+    ).mapInPandas(
         run,
         schema=f"{id_col} string, duration_s double, rms double, "
                f"peak double",

@@ -15,7 +15,11 @@ def token_count_expr(text: str = "text") -> str:
 
 
 def phrase_count_expr(text: str, word: str) -> str:
-    pad = f"' ' || {text} || ' '"
+    # double every internal space first: adjacent occurrences ('the the')
+    # share a delimiter space, and non-overlapping replace would count
+    # only one of them — after doubling, each ' w ' occurrence owns its
+    # delimiters
+    pad = f"' ' || replace({text}, ' ', '  ') || ' '"
     return (
         f"CAST((length({pad}) - length(replace({pad}, ' {word} ', ''))) "
         f"/ {len(word) + 2} AS BIGINT)"

@@ -228,3 +228,45 @@ def test_multimodal_feature_ops(spark):
     assert len(au) == 12
     assert all(r["rms"] > 0 and r["duration_s"] > 0 and r["peak"] >= r["rms"]
                for r in au)
+
+
+def test_dedup_survives_short_and_empty_documents(spark):
+    """One document with < k tokens previously killed the WHOLE Spark
+    dedup job (sequence(1,0) is the descending [1,0]; slice at 0 throws)
+    while the DuckDB dialect returned fine — r3 review, reproduced live."""
+    from geostatssolvers_jl_spark.webtext.dedup import (
+        dedup_verified_sql, minhash_signature_sql,
+    )
+
+    spark.createDataFrame(
+        [(0, "hi"), (1, ""), (2, "one two"),
+         (3, "a proper document with plenty of tokens to shingle"),
+         (4, "a proper document with plenty of tokens to shingle")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    sig = spark.sql(minhash_signature_sql("spark")).collect()
+    # docs with < k=3 tokens have NO 3-shingles and drop out of the
+    # signature relation — the point is the query completes instead of
+    # throwing on them
+    assert {r["doc_id"] for r in sig} == {3, 4}
+    ver = spark.sql(dedup_verified_sql("spark", threshold=0.5)).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in ver} == {(3, 4)}
+
+
+def test_content_id_not_null_on_missing_fields(spark, tmp_path):
+    """Rows with a NULL column must still get DISTINCT deterministic ids —
+    '||' propagates NULL and previously every such row got data_id=NULL
+    (r3 review, reproduced live)."""
+    from geostatssolvers_jl_spark.sources.delimited import (
+        read_georef_delimited,
+    )
+
+    p = tmp_path / "d.tsv"
+    p.write_text("1.0\t\t3.0\n2.0\t\t9.0\n5.0\t6.0\t7.0\n")
+    df = read_georef_delimited(
+        spark, str(p), "x double, y double, z double", ["x", "y"],
+    )
+    rows = df.collect()
+    ids = [r["data_id"] for r in rows]
+    assert all(i is not None for i in ids)
+    assert len(set(ids)) == 3
