@@ -47,6 +47,3 @@ def knn_pairs_sql(
     )
     return f"SELECT * FROM ({ranked}) _r WHERE rank <= {k}"
 
-
-def rounded(expr: str, digits: int | None) -> str:
-    return expr if digits is None else f"round({expr}, {digits})"

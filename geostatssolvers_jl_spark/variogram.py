@@ -65,6 +65,14 @@ class ExponentialVariogram(Variogram):
 
 @dataclass(frozen=True)
 class NuggetEffect(Variogram):
+    """Pure nugget: γ(h) = n·1(h>0), C(h>0) = 0.  GeoStats.jl's
+    NuggetEffect(n) has total sill == nugget; the inherited sill=1.0
+    default would silently leave C(h>0) = 1−n (a correlated model), so
+    the sill is FORCED to the nugget here."""
+
+    def __post_init__(self):
+        object.__setattr__(self, "sill", self.nugget)
+
     def _structure(self, h: np.ndarray) -> np.ndarray:
         return np.zeros_like(h)
 

@@ -42,6 +42,13 @@ def run(sf_dir: str, only: list[str]) -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a misspelled name must NOT silently produce a passing gate
+            # that checked nothing
+            print(f"unknown queries: {unknown}")
+            return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
