@@ -32,7 +32,11 @@ def _make_frames(spark):
                  Yt.ravel().tolist())),
         "cell_id long, X double, Y double",
     )
-    return src, tgt, Z.ravel()
+    # truth keyed BY CELL ID: Z.ravel()[k] belongs to cell.ravel()[k],
+    # not to cell k — indexing truth by position only worked because this
+    # field happens to be i<->j symmetric (r3 test review)
+    truth = {int(c): int(z) for c, z in zip(cell.ravel(), Z.ravel())}
+    return src, tgt, truth
 
 
 def test_pointwise_learn_error_rate(spark):
@@ -40,8 +44,7 @@ def test_pointwise_learn_error_rate(spark):
     src, tgt, truth = _make_frames(spark)
     pred = pointwise_learn(src, tgt, ["X", "Y"], "Z")
     rows = {r["cell_id"]: r["Z"] for r in pred.collect()}
-    yhat = np.array([rows[c] for c in range(len(truth))])
-    err = float((yhat != truth).mean())
+    err = float(np.mean([rows[c] != z for c, z in truth.items()]))
     assert err < 0.15, err
 
 
@@ -85,8 +88,20 @@ def test_pointwise_learn_fit_row_cap(spark):
         [(i, float(v)) for i, v in enumerate([1.0, 2.0, 8.0, 9.0])],
         "id long, f double",
     )
-    out = pointwise_learn(src, tgt, ["f"], "lab", fit_row_cap=100)
+    class Recording(DecisionTreeClassifier):
+        n_fit = None
+
+        def fit(self, X, y):
+            Recording.n_fit = len(X)
+            return super().fit(X, y)
+
+    out = pointwise_learn(
+        src, tgt, ["f"], "lab", model=Recording(), fit_row_cap=100
+    )
     rows = {r["id"]: r["lab"] for r in out.collect()}
     assert len(rows) == 4
-    # a 100-row sample of a cleanly separable rule still learns it
+    # the fit must have seen ~cap rows, NOT the full 600-row source —
+    # removing the sampling branch would otherwise pass silently
+    assert Recording.n_fit is not None and Recording.n_fit <= 160
+    # a ~100-row sample of a cleanly separable rule still learns it
     assert rows[0] == 0 and rows[1] == 0 and rows[2] == 1 and rows[3] == 1

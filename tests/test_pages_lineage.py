@@ -33,7 +33,6 @@ def test_geocode_matches_duckdb_oracle(spark):
     """The geocode SQL is the parity anchor: same text → same coordinates
     in both engines, which is exactly the byte-identity invariant."""
     pg = P.load_pages(spark, SF)
-    pg.createOrReplaceTempView("__pages")
     sql = (
         "SELECT url, round(lon, 6) AS lon, round(lat, 6) AS lat, text_md5 "
         f"FROM ({P.geocoded_pages_sql('__pages_docs')}) g"
@@ -61,7 +60,7 @@ def test_text_byte_identity_through_pipeline(spark):
         .filter("lon IS NOT NULL")
         .select("url", F.md5("text").alias("h"))
     )
-    diff = before.join(after, "url").filter("before.h IS NULL") if False else (
+    diff = (
         before.alias("b").join(after.alias("a"), "url")
         .filter(F.col("b.h") != F.col("a.h"))
     )

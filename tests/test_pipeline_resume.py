@@ -18,7 +18,8 @@ MODEL = KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=1e4))
 def test_pipeline_kill_and_resume(spark, tmp_path):
     base = str(tmp_path / "ck")
 
-    # simulate a killed run: only units 0-3 of 8 finished
+    # full first run (complete manifest); the PARTIAL kill/resume case
+    # is covered by test_pipeline_true_partial_resume below
     partial = kriging_pages_resumable(
         spark, SF, base, GRID, MODEL, n_units=8, stage="krig_partial"
     )

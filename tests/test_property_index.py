@@ -12,9 +12,6 @@ from geostatssolvers_jl_spark.bucket_index import BucketIndex
 from geostatssolvers_jl_spark.distances import Euclidean, Haversine
 from geostatssolvers_jl_spark.neighbors import topk_search
 
-finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
-
-
 @st.composite
 def point_cloud(draw):
     n = draw(st.integers(8, 120))
@@ -70,6 +67,9 @@ def test_bucket_index_equals_brute_euclidean(seed, k, use_radius):
     ai, ad, an = idx.topk(q, k, radius)
     bi, bd, bn = topk_search(q, pts, k, metric, radius)
     assert np.array_equal(ai, bi)
+    # distances too (the Haversine twin checks them; a wrong-distance-
+    # right-index bug would otherwise pass the Euclidean suite)
+    assert np.allclose(ad, bd, equal_nan=True) or np.array_equal(ad, bd)
     assert np.array_equal(an, bn)
 
 

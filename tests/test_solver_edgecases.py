@@ -75,7 +75,10 @@ def test_kriging_edk_drift_safe_on_padded_slots(spark, small):
         var="z",
         model=KrigingModel(
             variogram=GaussianVariogram(range=2000.0, sill=4.0),
-            drifts=[lambda c: np.log(np.maximum(c[..., 0], 1e-300))],
+            # UNCLAMPED log: at the tiled pad placeholder (0, 0) this is
+            # -inf, so a regression from the where-mask back to Fm*vmask
+            # (-inf * 0 = NaN) actually poisons the batch and fails here
+            drifts=[lambda c: np.log(c[..., 0])],
         ),
         data_coord_cols=["lon", "lat"], query_coord_cols=["cx", "cy"],
         maxneighbors=5, radius=900.0, metric=Haversine(6371.0),

@@ -64,6 +64,9 @@ def test_streaming_tile_counts(spark, tmp_path):
     closed = run_available(stream2, str(tmp_path / "ckpt2"), mode="append")
     # events span 00:00–00:59, watermark 30m ⇒ only windows ending ≤ 00:29
     assert 0 < sum(r["n_pages"] for r in closed) < 200
+    # only windows ENDING before the 00:29 watermark may close —
+    # minute <= 30 would tolerate a leaked just-beyond-watermark window
+    assert all(r["window"]["end"].minute < 30 for r in closed)
     assert all(r["window"]["end"].minute <= 30 for r in closed)
     # tile assignment identical to the batch expression
     from geostatssolvers_jl_spark import tiling

@@ -32,7 +32,7 @@ def test_minhash_lsh_finds_exact_dups(spark, docs):
 
     dup = spark.sql(
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 100000, text FROM documents LIMIT 2000"
+        "UNION ALL (SELECT doc_id + 100000, text FROM documents LIMIT 2000)"
     )
     dup.createOrReplaceTempView("dup_docs")
     cands = {
@@ -68,7 +68,10 @@ def test_simhash_similarity_property(spark, docs):
     import numpy as np
 
     hams = []
-    for did in list(rows)[:50]:
+    # deterministic sample: the first 50 ORIGINAL ids — dict order off
+    # an unordered collect could surface the +100000 clones first and
+    # leave the ham set empty
+    for did in sorted(i for i in rows if i < 100000)[:50]:
         if did < 100000 and did + 100000 in rows:
             x = rows[did] ^ rows[did + 100000]
             hams.append(bin(x & 0xFFFFFFFF).count("1"))
