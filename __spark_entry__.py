@@ -182,6 +182,26 @@ def q_knn_join_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_tiled_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 big-big path WITH the explicit two-stage skew salt (salt=4, the
+    north rule's 'skewed hot tiles are salted and re-sharded explicitly')
+    — the salted partial top-k must still produce rows identical to the
+    brute-force oracle."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    _register(spark, sf_dir, ("documents",))
+    pagesdf = spark.sql(f"SELECT * FROM {_geo_pages_rel()} _p")
+    qdf = WORLD_GRID.spark_df(spark).selectExpr(
+        "cell_id", "cx AS lon", "cy AS lat"
+    )
+    out = knn_join_tiled_exact(
+        qdf, pagesdf, k=3, res=4, metric=Haversine(6371.0), salt=4,
+    )
+    return out.selectExpr(
+        "cell_id", "data_id", "round(dist, 6) AS dist", "rank"
+    )
+
+
 def q_idw_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 IDW over real pages: estimate n_chars on the world grid."""
     from geostatssolvers_jl_spark.operators.idw import solve_idw
@@ -1710,6 +1730,11 @@ def oracle_sql() -> dict[str, str]:
             + knn_pairs_sql(f"({world})", geo_pages, HAV, k=3, value_cols=())
             + ") _k"
         ),
+        "knn_join_tiled_salted": (
+            f"SELECT cell_id, data_id, round(dist, 6) AS dist, rank FROM ("
+            + knn_pairs_sql(f"({world})", geo_pages, HAV, k=3, value_cols=())
+            + ") _k"
+        ),
         "idw_pages": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
         "idw_pages_tiled": idw_agg_sql(f"({idw_pages_pairs}) _p", round_to=6),
         "kriging_local_fixture": _kriging_local_oracle(),
@@ -2321,6 +2346,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_parent": q_tile_parent,
         "knn_join": q_knn_join,
         "knn_join_tiled": q_knn_join_tiled,
+        "knn_join_tiled_salted": q_knn_join_tiled_salted,
         "idw_pages": q_idw_pages,
         "idw_pages_tiled": q_idw_pages_tiled,
         "kriging_local_fixture": q_kriging_local_fixture,
