@@ -107,15 +107,18 @@ def commit_units(
             "unit", "rows", F.lit(stage).alias("stage"),
             F.lit(wall).alias("wall_s"),
         )
-        counts.write.format(FORMAT).mode("append").save(_manifest_path(base))
-        # collect the manifest rows (tiny: one per unit) BEFORE unpersist —
-        # returning the live plan would re-execute the full compute DAG on
-        # any caller action after the persist below is dropped, and a
-        # nondeterministic compute could then disagree with the manifest
-        # already written (the exact race the persist closes)
+        # ONE execution of the counts plan feeds both the manifest append
+        # and the returned rows: collect first (tiny — one row per unit),
+        # then write the collected batch.  Appending the live plan and
+        # re-executing it for the return value would run the counts twice,
+        # and when `units` is supplied that plan reads the manifest path
+        # being appended to (via pending_units' anti-join) — a file-index
+        # refresh between the two executions would make the second see the
+        # just-written rows and return a wrong result.
         rows = counts.collect()
         spark = df.sparkSession
         out = spark.createDataFrame(rows, counts.schema)
+        out.write.format(FORMAT).mode("append").save(_manifest_path(base))
     finally:
         df.unpersist()
     return out

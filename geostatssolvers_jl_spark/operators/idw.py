@@ -165,6 +165,12 @@ def solve_idw_compositional(
     driver collect."""
     data_coord_cols = data_coord_cols or ["x", "y"]
     query_coord_cols = query_coord_cols or ["cx", "cy"]
+    # shared by BOTH strategies (the broadcast path must reject the same
+    # inputs the tiled path does — idw.jl:95)
+    if minneighbors < 1:
+        raise ValueError("minneighbors must be >= 1")
+    if maxneighbors is not None and minneighbors > maxneighbors:
+        raise ValueError("invalid min/max number of neighbors")
     if maxneighbors is not None:
         from ..planner import choose_strategy, choose_tile_res
 
@@ -176,8 +182,6 @@ def solve_idw_compositional(
         if strategy == "local-tiled":
             from .tiled import idw_compositional_tiled
 
-            if minneighbors > maxneighbors:
-                raise ValueError("invalid min/max number of neighbors")
             return idw_compositional_tiled(
                 data, grid_df, var, data_coord_cols, query_coord_cols,
                 maxneighbors, minneighbors, exponent, metric, id_col,

@@ -84,3 +84,23 @@ def choose_strategy(n_data: int, maxneighbors: int | None,
     if n_data <= broadcast_limit:
         return "local-broadcast"
     return "local-tiled"
+
+
+def choose_planes(n_vectors: int, bucket_target: int = 64,
+                  lo: int = 3, hi: int = 24) -> int:
+    """LSH hyperplane count for sign-bucket ANN/near-dup:
+    ``planes ≈ log₂(n / bucket_target)`` keeps the EXPECTED bucket
+    occupancy near ``bucket_target`` so the per-bucket candidate join
+    stays ~n·bucket_target rows instead of growing quadratically.
+
+    The rule is validated at n=100k in ``tools/ann_stress.py`` (plane
+    count 5 — tuned at 2k vectors — yields 13.7e9 analytic candidate
+    rows; the rule's choice collapses that to 1.8e9 at planted-pair
+    recall 1.0).  Clamped to [lo, hi]: below 2^lo buckets LSH stops
+    pruning, above `hi` planes the Hamming-1 probe fanout dominates."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    raw = round(math.log2(max(1.0, n_vectors / bucket_target)))
+    return min(hi, max(lo, int(raw)))

@@ -28,14 +28,37 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..distances import Anisotropic, Distance, Euclidean
 from ..grid import CartesianGrid
 from ..variogram import Variogram, require_stationary
 
 
-def _cov_image(grid: CartesianGrid, gamma: Variogram) -> np.ndarray:
+def _axis_scales(grid: CartesianGrid, metric: Distance | None) -> list[float]:
+    """Per-axis 1/rᵢ scaling realizing the ellipsoid (MetricBall) metric;
+    identity for Euclidean.  Haversine is rejected — grid simulation is
+    planar (same restriction as the reference's CartesianGrid domains)."""
+    if metric is None or isinstance(metric, Euclidean):
+        return [1.0] * grid.ndims
+    if isinstance(metric, Anisotropic):
+        if len(metric.radii) != grid.ndims:
+            raise ValueError(
+                f"metric has {len(metric.radii)} radii for a "
+                f"{grid.ndims}-D grid"
+            )
+        return [1.0 / r for r in metric.radii]
+    raise ValueError(f"FFTGS supports Euclidean/Anisotropic metrics, got {metric}")
+
+
+def _cov_image(
+    grid: CartesianGrid, gamma: Variogram, metric: Distance | None = None,
+) -> np.ndarray:
     """C(center, every cell) reshaped to dims, Fortran (column-major)
-    layout to match the reference's LinearIndices cell order."""
+    layout to match the reference's LinearIndices cell order.  With an
+    Anisotropic metric (GeoStats `GaussianVariogram(MetricBall((r1,r2)))`,
+    test/simulation/lu.jl:59) lags are scaled per axis before the
+    variogram is evaluated."""
     dims = grid.dims
+    scales = _axis_scales(grid, metric)
     idx = [np.arange(1, d + 1, dtype=np.float64) for d in dims]
     centers = [
         o + (ix - 0.5) * s for o, s, ix in zip(grid.origin, grid.spacing, idx)
@@ -45,7 +68,10 @@ def _cov_image(grid: CartesianGrid, gamma: Variogram) -> np.ndarray:
         o + (ci - 0.5) * s for o, s, ci in zip(grid.origin, grid.spacing, cidx)
     ]
     mesh = np.meshgrid(*centers, indexing="ij")
-    h2 = sum((mx - cc) ** 2 for mx, cc in zip(mesh, ccoord))
+    h2 = sum(
+        ((mx - cc) * sc) ** 2
+        for mx, cc, sc in zip(mesh, ccoord, scales)
+    )
     return gamma.cov(np.sqrt(h2))
 
 
@@ -64,14 +90,18 @@ def _one_realization(
 
 def _tile_layout(
     grid: CartesianGrid, tile_dims: tuple[int, int], variogram: Variogram,
+    metric: Distance | None = None,
 ) -> list[dict]:
     """Tile the 2-D grid with halos ≥ 3× the correlation range per side
     (the reference's own circulant-validity rule, fft.jl:46-47).  Each
     entry: interior [ix0, ix1) × [iy0, iy1) and extended (haloed, clipped
     at the domain) [ex0, ex1) × [ey0, ey1) index ranges."""
     nx, ny = grid.dims
-    hx = int(np.ceil(3.0 * variogram.range / grid.spacing[0]))
-    hy = int(np.ceil(3.0 * variogram.range / grid.spacing[1]))
+    # effective range along axis i under the ellipsoid metric is
+    # range / scale_i (= range * r_i for Anisotropic((r1, r2)))
+    sx_m, sy_m = _axis_scales(grid, metric)
+    hx = int(np.ceil(3.0 * variogram.range / sx_m / grid.spacing[0]))
+    hy = int(np.ceil(3.0 * variogram.range / sy_m / grid.spacing[1]))
     tx, ty = tile_dims
     sx, sy = -(-nx // tx), -(-ny // ty)
     tiles = []
@@ -93,6 +123,7 @@ def _tile_layout(
 def _tile_field(
     grid: CartesianGrid, tl: dict, variogram: Variogram, mean: float,
     seed: int, real_id: int, spec_cache: dict,
+    metric: Distance | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One tile's interior field + its global cell ids.  The spectrum is
     cached per extended-tile SHAPE (shared by all interior tiles)."""
@@ -107,7 +138,7 @@ def _tile_field(
             grid.spacing,
         )
         F = np.sqrt(np.abs(np.fft.fftn(np.fft.fftshift(
-            _cov_image(sub, variogram)
+            _cov_image(sub, variogram, metric)
         ))))
         F.flat[0] = 0.0
         spec_cache[key] = F
@@ -165,6 +196,7 @@ def solve_fftgs(
     maxneighbors: int | None = None,
     krig_radius: float | None = None,
     tile_dims: tuple[int, int] | None = None,
+    metric: Distance | None = None,
 ) -> DataFrame:
     """Returns a long DataFrame (real_id, cell_id, z) — the Ensemble sink
     (SURVEY §2.1 S4), realizations as the partition key.
@@ -181,9 +213,11 @@ def solve_fftgs(
         return _solve_fftgs_tiled(
             spark, grid, nreals, variogram, mean, data, var,
             data_coord_cols, seed, maxneighbors, krig_radius, tile_dims,
+            metric,
         )
     dims = grid.dims
-    F = np.sqrt(np.abs(np.fft.fftn(np.fft.fftshift(_cov_image(grid, variogram)))))
+    F = np.sqrt(np.abs(np.fft.fftn(np.fft.fftshift(
+        _cov_image(grid, variogram, metric)))))
     F.flat[0] = 0.0  # zero the reference level, fft.jl:103
     bc = spark.sparkContext.broadcast((F, variogram, mean, dims, seed))
 
@@ -234,21 +268,21 @@ def solve_fftgs(
     zdat = dpdf["zdat"].to_numpy(np.float64)
     dcoords = grid.centroids_np(dcell_ids)
     model = KrigingModel(variogram=variogram, mean=0.0)  # SK on residuals
+    met_cond = metric if metric is not None else Euclidean()
     bc_cond = spark.sparkContext.broadcast(
-        (dcell_ids, zdat, dcoords, model, maxneighbors, krig_radius)
+        (dcell_ids, zdat, dcoords, model, maxneighbors, krig_radius,
+         met_cond)
     )
     chunk = 262_144
 
     def gen_cond(batches):
-        from ..distances import Euclidean
         from ..neighbors import PointData, search
         from ..operators.kriging import (
             _fit_global, _predict_global, solve_systems,
         )
 
         Fb, g, mu0, dd, sd = bc.value
-        ids_d, zd, Xd, mdl, kmax, rad = bc_cond.value
-        met = Euclidean()
+        ids_d, zd, Xd, mdl, kmax, rad, met = bc_cond.value
         nd = len(ids_d)
         pd_data = PointData(coords=Xd, values={}, ids=ids_d)
         Ainv = None          # global path: factorization, once per task
@@ -319,6 +353,7 @@ def _solve_fftgs_tiled(
     maxneighbors: int | None,
     krig_radius: float | None,
     tile_dims: tuple[int, int],
+    metric: Distance | None = None,
 ) -> DataFrame:
     """Tiled-halo FFTGS.  Unconditional: one job over (real × tile) units.
     Conditional: pass A evaluates zᵤ at the (few) data-bearing tiles to
@@ -326,18 +361,22 @@ def _solve_fftgs_tiled(
     simulates every (real × tile) and applies the residual-kriging
     correction in-task.  Two jobs total, RNG streams (seed, real, tile)
     identical in both passes, no driver-side per-realization loop."""
-    tiles = _tile_layout(grid, tile_dims, variogram)
+    tiles = _tile_layout(grid, tile_dims, variogram, metric)
     schema = f"real_id long, cell_id long, {var} double"
     nunits = nreals * len(tiles)
-    bc = spark.sparkContext.broadcast((grid, tiles, variogram, mean, seed))
+    bc = spark.sparkContext.broadcast(
+        (grid, tiles, variogram, mean, seed, metric)
+    )
 
     def gen_uncond(batches):
-        g_, tl_, vg_, mu_, sd_ = bc.value
+        g_, tl_, vg_, mu_, sd_, met_ = bc.value
         cache: dict = {}
         for pdf in batches:
             for unit in pdf["id"].tolist():
                 real_id, ti = int(unit) // len(tl_), int(unit) % len(tl_)
-                z, ids = _tile_field(g_, tl_[ti], vg_, mu_, sd_, real_id, cache)
+                z, ids = _tile_field(
+                    g_, tl_[ti], vg_, mu_, sd_, real_id, cache, met_
+                )
                 yield pd.DataFrame({
                     "real_id": np.full(len(ids), real_id, dtype=np.int64),
                     "cell_id": ids.astype(np.int64),
@@ -376,14 +415,16 @@ def _solve_fftgs_tiled(
     bc_d = spark.sparkContext.broadcast((dcell_ids, data_tiles))
 
     def gen_at_data(batches):
-        g_, tl_, vg_, mu_, sd_ = bc.value
+        g_, tl_, vg_, mu_, sd_, met_ = bc.value
         ids_d, dts = bc_d.value
         cache: dict = {}
         for pdf in batches:
             for unit in pdf["id"].tolist():
                 real_id, k_ = int(unit) // len(dts), int(unit) % len(dts)
                 tl = tl_[dts[k_]]
-                z, ids = _tile_field(g_, tl, vg_, mu_, sd_, real_id, cache)
+                z, ids = _tile_field(
+                    g_, tl, vg_, mu_, sd_, real_id, cache, met_
+                )
                 m_ = np.isin(ids, ids_d)
                 yield pd.DataFrame({
                     "real_id": np.full(int(m_.sum()), real_id, dtype=np.int64),
@@ -399,20 +440,20 @@ def _solve_fftgs_tiled(
     )
     R = _residual_matrix(zu_rows, dcell_ids, zdat, nreals, var)
     model = KrigingModel(variogram=variogram, mean=0.0)
+    met_cond = metric if metric is not None else Euclidean()
     bc_cond = spark.sparkContext.broadcast(
-        (dcell_ids, zdat, dcoords, R, model, maxneighbors, krig_radius)
+        (dcell_ids, zdat, dcoords, R, model, maxneighbors, krig_radius,
+         met_cond)
     )
 
     def gen_cond(batches):
-        from ..distances import Euclidean
         from ..neighbors import PointData, search
         from ..operators.kriging import (
             _fit_global, _predict_global, solve_systems,
         )
 
-        g_, tl_, vg_, mu_, sd_ = bc.value
-        ids_d, zd, Xd, R_, mdl, kmax, rad = bc_cond.value
-        met = Euclidean()
+        g_, tl_, vg_, mu_, sd_, _met_unused = bc.value
+        ids_d, zd, Xd, R_, mdl, kmax, rad, met = bc_cond.value
         nd = len(ids_d)
         pd_data = PointData(coords=Xd, values={}, ids=ids_d)
         fit0 = None
@@ -420,7 +461,9 @@ def _solve_fftgs_tiled(
         for pdf in batches:
             for unit in pdf["id"].tolist():
                 real_id, ti = int(unit) // len(tl_), int(unit) % len(tl_)
-                z, ids = _tile_field(g_, tl_[ti], vg_, mu_, sd_, real_id, cache)
+                z, ids = _tile_field(
+                    g_, tl_[ti], vg_, mu_, sd_, real_id, cache, met
+                )
                 resid = R_[real_id]
                 q = g_.centroids_np(ids)
                 if kmax is None:

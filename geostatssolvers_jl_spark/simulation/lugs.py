@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..distances import Euclidean
+from ..distances import Distance, Euclidean
 from ..grid import CartesianGrid
 from ..variogram import GaussianVariogram, Variogram, require_stationary
 
@@ -44,6 +44,11 @@ class LUGSVariable:
     # src/simulation/lu.jl:70, exercised with `lu` at
     # test/simulation/lu.jl:72-73): "cholesky" | "lu"
     factorization: str = "cholesky"
+    # anisotropic neighborhoods: GeoStats' `GaussianVariogram(ball)` with
+    # `MetricBall((r1, r2))` (test/simulation/lu.jl:59) = ellipsoid metric
+    # + range-1 variogram; pass `Anisotropic((r1, r2))` here with a
+    # range-1 variogram for the same covariance model
+    metric: Distance = field(default_factory=Euclidean)
 
 
 def _centroids(grid: CartesianGrid) -> np.ndarray:
@@ -84,6 +89,7 @@ def _factor(C: np.ndarray, method: str) -> np.ndarray:
 def _preprocess_one(
     grid: CartesianGrid, vg: Variogram, z_by_cell: dict[int, float],
     mean: float | None, factorization: str = "cholesky",
+    metric: Distance | None = None,
 ) -> dict:
     require_stationary(vg, "LUGS")
     pts = _centroids(grid)
@@ -95,7 +101,7 @@ def _preprocess_one(
         )
     dlocs = np.array(sorted(z_by_cell), dtype=np.int64)
     slocs = np.setdiff1d(np.arange(n), dlocs)
-    met = Euclidean()
+    met = metric if metric is not None else Euclidean()
     C22 = vg.cov(met.np(pts[slocs], pts[slocs]))
     if dlocs.size == 0:
         d2 = np.zeros(len(slocs))
@@ -175,7 +181,7 @@ def solve_lugs(
             )
             z_by_cell = {int(r["cell_id"]): float(r["zv"]) for r in rows}
         pres.append(_preprocess_one(
-            grid, v.variogram, z_by_cell, v.mean, v.factorization
+            grid, v.variogram, z_by_cell, v.mean, v.factorization, v.metric
         ))
 
     names = [v.var for v in variables]

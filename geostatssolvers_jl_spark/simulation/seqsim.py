@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..distances import Anisotropic, Distance, Euclidean
 from ..grid import CartesianGrid
 from ..variogram import GaussianVariogram, Variogram, require_stationary
 from .lugs import _centroids
@@ -56,6 +57,12 @@ class SGSParams:
     # (rng, query_xy, neigh_xy, neigh_z) -> drawn value.  None → the SGS
     # Simple-Kriging conditional Normal (sgs.jl:64-69).
     estimator: object | None = None
+    # ellipsoid (MetricBall) neighborhoods: Anisotropic((r1, r2)) with a
+    # range-1 variogram = GeoStats `GaussianVariogram(MetricBall((r1,r2)))`
+    # (test/simulation/lu.jl:59).  Coordinates are scaled ONCE per tile;
+    # radius/variogram then act in metric units.  Haversine is rejected —
+    # grid simulation is planar.
+    metric: Distance = field(default_factory=Euclidean)
 
 
 def _sk_draw(
@@ -229,6 +236,14 @@ def _simulate_tile(
     force_dense: bool = False,
 ) -> np.ndarray:
     vg, mean = params.variogram, params.mean
+    if isinstance(params.metric, Anisotropic):
+        # scale-then-search: every downstream distance (bucket index,
+        # radius cut, SK covariances) becomes the ellipsoid metric
+        pts = pts / np.asarray(params.metric.radii, dtype=np.float64)
+    elif not isinstance(params.metric, Euclidean):
+        raise ValueError(
+            f"SGS supports Euclidean/Anisotropic metrics, got {params.metric}"
+        )
     nc = len(cells)
     values = np.full(nc, np.nan)
     simulated = np.zeros(nc, dtype=bool)
@@ -298,6 +313,11 @@ def solve_sgs(
     for intra-realization parallelism (None → single tile = exact)."""
     params = params or SGSParams()
     require_stationary(params.variogram, "SGS")
+    if not isinstance(params.metric, (Euclidean, Anisotropic)):
+        # fail at plan time, not inside an executor task
+        raise ValueError(
+            f"SGS supports Euclidean/Anisotropic metrics, got {params.metric}"
+        )
     data_coord_cols = data_coord_cols or ["x", "y"][: grid.ndims]
 
     init_vals: dict[int, float] = {}

@@ -109,10 +109,14 @@ def dedup_stream(pages: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     re-crawl in a fresh batch run."""
     # NULL text would collapse to one NULL key and dropDuplicates* treats
     # NULL keys as duplicates of each other — null-text pages are NOT
-    # duplicates, so they key on their url and all pass through
+    # duplicates, so they key on their url; null-text AND null-url rows
+    # fall through to a timestamp key so they don't collapse either
+    # (concat() is NULL if ANY argument is NULL, so each tier must be a
+    # fully-non-null expression for the rows it covers)
     fp = pages.selectExpr(
         "url", "warc_ts", "text",
-        "coalesce(md5(text), concat('null:', url)) AS text_md5",
+        "coalesce(md5(text), concat('null:', url), "
+        "concat('nullrow:', cast(warc_ts AS string))) AS text_md5",
     )
     return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["text_md5"]

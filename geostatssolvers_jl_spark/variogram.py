@@ -68,9 +68,16 @@ class NuggetEffect(Variogram):
     """Pure nugget: γ(h) = n·1(h>0), C(h>0) = 0.  GeoStats.jl's
     NuggetEffect(n) has total sill == nugget; the inherited sill=1.0
     default would silently leave C(h>0) = 1−n (a correlated model), so
-    the sill is FORCED to the nugget here."""
+    the sill is FORCED to the nugget here.  The nugget default is
+    overridden to 1.0 (matching GeoStats.jl's NuggetEffect()) — the
+    inherited 0.0 would make a bare NuggetEffect() fully degenerate
+    (sill = 0 ⇒ C ≡ 0 and zero regularization, every system singular)."""
+
+    nugget: float = 1.0
 
     def __post_init__(self):
+        if self.nugget <= 0.0:
+            raise ValueError("NuggetEffect requires nugget > 0")
         object.__setattr__(self, "sill", self.nugget)
 
     def _structure(self, h: np.ndarray) -> np.ndarray:

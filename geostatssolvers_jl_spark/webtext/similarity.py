@@ -256,3 +256,45 @@ def cosine_topk_spark(emb_view: str, k: int, query_pred: str = "q.vec_id < 20") 
         f"ORDER BY cos_sim DESC, nid) AS rank FROM ({inner}) _i"
     )
     return f"SELECT qid, nid, cos_sim, rank FROM ({ranked}) _r WHERE rank <= {k}"
+
+
+# ---- auto-tuned DataFrame-level scale path -------------------------------
+# The *_sql builders above pin n_planes explicitly (the oracle-twinned
+# gate entries need both engines on one literal plane count).  These
+# wrappers are the user-facing path: plane count derives from the corpus
+# size via planner.choose_planes, so a 100k- or 10¹²-vector corpus never
+# silently runs the 2k-tuned default (r3 verdict: defaults correct at
+# sf0.1, 13.7e9-row candidate fanout at 100k).
+
+
+def _auto_planes(emb_df, n_planes: int | None) -> int:
+    from ..planner import choose_planes
+
+    if n_planes is not None:
+        return n_planes
+    return choose_planes(emb_df.count())
+
+
+def ann_topk(spark, emb_df, k: int = 3, n_planes: int | None = None,
+             n_tables: int = 6, dim: int = DIM):
+    """Composed multi-table bucketed ANN top-k over an embeddings
+    DataFrame (vec_id, embedding array<float>).  ``n_planes=None`` →
+    auto-tuned from the corpus count."""
+    p = _auto_planes(emb_df, n_planes)
+    emb_df.createOrReplaceTempView("_emb_auto")
+    return spark.sql(
+        ann_topk_lsh_sql("spark", "_emb_auto", k=k, n_planes=p,
+                         n_tables=n_tables, dim=dim)
+    )
+
+
+def dedup_embedding(spark, emb_df, threshold: float = 0.35,
+                    n_planes: int | None = None, n_tables: int = 6,
+                    dim: int = DIM):
+    """Embedding near-dup pairs through auto-tuned LSH buckets."""
+    p = _auto_planes(emb_df, n_planes)
+    emb_df.createOrReplaceTempView("_emb_auto")
+    return spark.sql(
+        dedup_embedding_lsh_sql("spark", "_emb_auto", threshold=threshold,
+                                n_planes=p, n_tables=n_tables, dim=dim)
+    )

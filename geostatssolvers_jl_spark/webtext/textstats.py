@@ -18,11 +18,13 @@ def phrase_count_expr(text: str, word: str) -> str:
     # double every internal space first: adjacent occurrences ('the the')
     # share a delimiter space, and non-overlapping replace would count
     # only one of them — after doubling, each ' w ' occurrence owns its
-    # delimiters
+    # delimiters.  A multi-word needle must have ITS internal spaces
+    # doubled too, to match the transformed text.
+    needle = word.replace(" ", "  ")
     pad = f"' ' || replace({text}, ' ', '  ') || ' '"
     return (
-        f"CAST((length({pad}) - length(replace({pad}, ' {word} ', ''))) "
-        f"/ {len(word) + 2} AS BIGINT)"
+        f"CAST((length({pad}) - length(replace({pad}, ' {needle} ', ''))) "
+        f"/ {len(needle) + 2} AS BIGINT)"
     )
 
 

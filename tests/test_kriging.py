@@ -125,3 +125,21 @@ def test_local_matches_global_with_all_neighbors(spark, data2d_3pt):
         assert r["z_variance"] == pytest.approx(
             gm[r["cell_id"]]["z_variance"], abs=1e-9
         )
+
+
+def test_nugget_effect_defaults_and_validation():
+    """A bare NuggetEffect() must be GeoStats.jl's unit nugget (sill =
+    nugget = 1), not the degenerate sill-0 model the inherited nugget=0.0
+    default produced (r3 advice: C ≡ 0 and zero regularization sent every
+    system to the singular lstsq fallback)."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.variogram import NuggetEffect
+
+    n = NuggetEffect()
+    assert n.nugget == 1.0 and n.sill == 1.0
+    assert np.allclose(n.cov(np.array([0.0, 1.0, 5.0])), [1.0, 0.0, 0.0])
+    with pytest.raises(ValueError, match="nugget > 0"):
+        NuggetEffect(nugget=0.0)
+    with pytest.raises(ValueError, match="nugget > 0"):
+        NuggetEffect(nugget=-1.0)

@@ -396,3 +396,116 @@ def test_fftgs_residual_scatter_matches_loop_form():
             zdat[pos[int(r["cell_id"])]] - r["z"]
         )
     assert np.array_equal(got, want)
+
+
+# ---- anisotropic (MetricBall) metrics, reference test/simulation/lu.jl:57-62
+
+
+def _dir_corrs(rows, nx: int, ny: int) -> tuple[float, float]:
+    """Pooled lag-1 correlation along x and y from long (real, cell, z)."""
+    import collections
+
+    byreal = collections.defaultdict(dict)
+    for r in rows:
+        byreal[r["real_id"]][r["cell_id"]] = r["z"]
+    ax, bx, ay, by = [], [], [], []
+    for real in byreal.values():
+        Z = np.empty((nx, ny))
+        for cid, v in real.items():
+            Z[cid % nx, cid // nx] = v
+        ax.append(Z[:-1, :].ravel())
+        bx.append(Z[1:, :].ravel())
+        ay.append(Z[:, :-1].ravel())
+        by.append(Z[:, 1:].ravel())
+    cx = np.corrcoef(np.concatenate(ax), np.concatenate(bx))[0, 1]
+    cy = np.corrcoef(np.concatenate(ay), np.concatenate(by))[0, 1]
+    return float(cx), float(cy)
+
+
+def test_lugs_anisotropic_metricball(spark):
+    # lu.jl:57-62: LUGS(:z => (variogram=GaussianVariogram(ball),)) with
+    # ball = MetricBall((20.0, 5.0)) — ellipsoid metric + range-1 model;
+    # the field must be smoother along x (range 20) than y (range 5)
+    from geostatssolvers_jl_spark.distances import Anisotropic
+
+    grid = CartesianGrid((30, 30))
+    sol = solve_lugs(
+        spark, grid, nreals=3,
+        variables=[LUGSVariable(
+            variogram=GaussianVariogram(range=1.0),
+            metric=Anisotropic((20.0, 5.0)),
+        )],
+        seed=11,
+    )
+    cx, cy = _dir_corrs(sol.collect(), 30, 30)
+    assert cx > cy + 0.05, (cx, cy)
+    # isotropic control: no direction preferred (gap within noise)
+    iso = solve_lugs(
+        spark, grid, nreals=3,
+        variables=[LUGSVariable(variogram=GaussianVariogram(range=10.0))],
+        seed=11,
+    )
+    icx, icy = _dir_corrs(iso.collect(), 30, 30)
+    assert abs(icx - icy) < 0.05, (icx, icy)
+
+
+def test_fftgs_anisotropic_metric(spark):
+    from geostatssolvers_jl_spark.distances import Anisotropic, Haversine
+
+    grid = CartesianGrid((64, 64))
+    sol = solve_fftgs(
+        spark, grid, nreals=2, variogram=GaussianVariogram(range=1.0),
+        seed=5, metric=Anisotropic((16.0, 4.0)),
+    )
+    cx, cy = _dir_corrs(sol.collect(), 64, 64)
+    assert cx > cy + 0.05, (cx, cy)
+    with pytest.raises(ValueError, match="Euclidean/Anisotropic"):
+        solve_fftgs(
+            spark, grid, nreals=1, variogram=GaussianVariogram(range=1.0),
+            metric=Haversine(),
+        )
+
+
+def test_fftgs_tiled_anisotropic_halo(spark):
+    # tiled path: halo must scale with the per-axis EFFECTIVE range
+    from geostatssolvers_jl_spark.distances import Anisotropic
+    from geostatssolvers_jl_spark.simulation.fftgs import _tile_layout
+
+    grid = CartesianGrid((64, 64))
+    vg = GaussianVariogram(range=1.0)
+    tiles = _tile_layout(grid, (2, 2), vg, Anisotropic((8.0, 2.0)))
+    # axis-x effective range 8 → halo 24; axis-y effective range 2 → 6
+    t0 = tiles[0]
+    assert t0["ex1"] - t0["ix1"] == 24
+    assert t0["ey1"] - t0["iy1"] == 6
+    sol = solve_fftgs(
+        spark, grid, nreals=2, variogram=vg, seed=5,
+        metric=Anisotropic((16.0, 4.0)), tile_dims=(2, 2),
+    )
+    cx, cy = _dir_corrs(sol.collect(), 64, 64)
+    assert cx > cy + 0.05, (cx, cy)
+
+
+def test_sgs_anisotropic_metric(spark):
+    from geostatssolvers_jl_spark.distances import Anisotropic, Haversine
+
+    grid = CartesianGrid((30, 30))
+    sol = solve_sgs(
+        spark, grid, nreals=2,
+        params=SGSParams(
+            variogram=GaussianVariogram(range=1.0),
+            metric=Anisotropic((15.0, 3.0)),
+            maxneighbors=12,
+        ),
+        seed=3,
+    )
+    cx, cy = _dir_corrs(sol.collect(), 30, 30)
+    assert cx > cy + 0.05, (cx, cy)
+    with pytest.raises(ValueError, match="Euclidean/Anisotropic"):
+        solve_sgs(
+            spark, grid, nreals=1,
+            params=SGSParams(
+                variogram=GaussianVariogram(range=1.0), metric=Haversine(),
+            ),
+            seed=3,
+        ).collect()

@@ -148,3 +148,24 @@ def test_compositional_empty_data_raises(spark):
             data, q, maxneighbors=2, strategy="local-broadcast",
             data_coord_cols=["x", "y"], query_coord_cols=["cx", "cy"],
         )
+
+
+def test_compositional_minneighbors_validation(spark):
+    """Both compositional strategies share the neighbor-count guards (r3
+    advice: the broadcast path silently accepted minneighbors=0 and
+    min > max)."""
+    from geostatssolvers_jl_spark.operators.idw import solve_idw_compositional
+
+    data = spark.createDataFrame(
+        [(0, 0.0, 0.0, [0.5, 0.5]), (1, 10.0, 0.0, [0.2, 0.8]),
+         (2, 0.0, 10.0, [0.7, 0.3])],
+        "data_id long, x double, y double, z array<double>",
+    )
+    q = spark.createDataFrame([(0, 5.0, 5.0)], "cell_id long, cx double, cy double")
+    kw = dict(var="z", data_coord_cols=["x", "y"], query_coord_cols=["cx", "cy"])
+    with pytest.raises(ValueError, match="minneighbors"):
+        solve_idw_compositional(data, q, maxneighbors=2, minneighbors=0, **kw)
+    with pytest.raises(ValueError, match="min/max"):
+        solve_idw_compositional(data, q, maxneighbors=2, minneighbors=3, **kw)
+    with pytest.raises(ValueError, match="minneighbors"):
+        solve_idw_compositional(data, q, maxneighbors=None, minneighbors=0, **kw)

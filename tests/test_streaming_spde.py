@@ -200,3 +200,38 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     md5s = [r["text_md5"] for r in out]
     assert len(md5s) == 20          # one survivor per distinct text
     assert len(set(md5s)) == 20
+
+
+def test_streaming_dedup_null_rows_do_not_collapse(spark, tmp_path):
+    """NULL-text pages key on url; NULL-text AND NULL-url pages key on
+    their timestamp — neither group may collapse to one survivor (r3
+    advice: concat('null:', url) is NULL when url is NULL, and
+    dropDuplicatesWithinWatermark treats NULL keys as duplicates)."""
+    import json as _json
+
+    from geostatssolvers_jl_spark.streaming.ingest import (
+        dedup_stream, run_available, stream_pages,
+    )
+
+    drop = tmp_path / "drop_null"
+    drop.mkdir()
+    rows = [
+        # 3 null-text pages with distinct urls
+        {"url": f"https://n.example.org/{i}",
+         "warc_ts": f"2024-01-01T00:0{i}:00.000Z", "text": None, "lang": "en"}
+        for i in range(3)
+    ] + [
+        # 3 fully-null rows at distinct timestamps
+        {"url": None, "warc_ts": f"2024-01-01T00:1{i}:00.000Z",
+         "text": None, "lang": "en"}
+        for i in range(3)
+    ]
+    (drop / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = run_available(
+        dedup_stream(stream_pages(spark, str(drop)), watermark="2 hours"),
+        str(tmp_path / "ckpt_null"),
+        mode="append",
+    )
+    assert len(out) == 6
+    keys = [r["text_md5"] for r in out]
+    assert len(set(keys)) == 6 and all(k is not None for k in keys)

@@ -273,3 +273,57 @@ def test_content_id_not_null_on_missing_fields(spark, tmp_path):
     ids = [r["data_id"] for r in rows]
     assert all(i is not None for i in ids)
     assert len(set(ids)) == 3
+
+
+def test_phrase_count_multiword(spark):
+    """Multi-word needles survive the space-doubling transform (r3 advice:
+    internal spaces in the text become double spaces, so an undoubled
+    'new york' needle could never match)."""
+    from geostatssolvers_jl_spark.webtext.textstats import phrase_count_expr
+
+    df = spark.createDataFrame(
+        [("new york is in new york state",),
+         ("york new is not newyork",),
+         ("new york new york new york",)],
+        "text string",
+    )
+    e = phrase_count_expr("text", "new york")
+    counts = [r[0] for r in df.selectExpr(f"{e} AS c").collect()]
+    assert counts == [2, 0, 3]
+    # single-word counting unchanged, including adjacent repeats
+    e1 = phrase_count_expr("text", "new")
+    assert [r[0] for r in df.selectExpr(f"{e1} AS c").collect()] == [2, 1, 3]
+
+
+def test_choose_planes_rule():
+    """planes ≈ log2(n / 64), clamped to [3, 24] — the retuning rule
+    validated at n=100k in tools/ann_stress.py, now a planner decision
+    instead of a stress-tool footnote."""
+    from geostatssolvers_jl_spark.planner import choose_planes
+
+    assert choose_planes(2_000) == 5          # the sf-scale tuned default
+    assert choose_planes(100_000) == 11       # the stress-proven retune
+    assert choose_planes(10_000_000) == 17
+    assert choose_planes(0) == 3              # degenerate floor
+    assert choose_planes(10**12) == 24        # probe-fanout ceiling
+
+
+def test_ann_topk_auto_planes(spark):
+    """The DataFrame wrapper auto-derives planes from the corpus count and
+    returns the same result as the explicit-plane SQL path."""
+    from geostatssolvers_jl_spark.planner import choose_planes
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        ann_topk, ann_topk_lsh_sql,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    p = choose_planes(n)
+    auto = ann_topk(spark, emb, k=3)
+    emb.createOrReplaceTempView("_emb_explicit")
+    explicit = spark.sql(
+        ann_topk_lsh_sql("spark", "_emb_explicit", k=3, n_planes=p)
+    )
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b and len(a) > 0
