@@ -1070,10 +1070,12 @@ def _kriging_pages_exactness_oracle() -> str:
 def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging over geocoded pages (the flagship pipeline).
 
-    Value anchors: `kriging_pages_exactness` checks THESE parameters
-    (k=8, range 2000, sill 1e4) via exact interpolation at the data
-    locations; `kriging_pages_k3`/`_k5` check the same solver path
-    hash-exact against SQL-Cramer oracles on the same pages."""
+    This entry is rows-only BY DESIGN (k=8 puts the Cramer oracle past
+    the 720-term cofactor ceiling); its value anchors are the twins:
+    `kriging_pages_exactness` checks THESE parameters (k=8, range 2000,
+    sill 1e4) via exact interpolation at the data locations, and
+    `kriging_pages_k3`/`_k5` check the same solver path hash-exact
+    against SQL-Cramer oracles on the same pages."""
     from geostatssolvers_jl_spark.operators.kriging import (
         KrigingModel, solve_kriging,
     )

@@ -110,10 +110,19 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     timings: dict[str, float] = {}
 
+    # min-of-N per query: single-sample walls on this shared VM swing up
+    # to 2x from hypervisor steal (r3: the same tiled entry measured 4.7 s
+    # and 9.7 s the same day); the minimum is the steal-free estimate of
+    # the query's actual cost and is the documented protocol in BASELINE.md
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     timed("kriging_pipeline", lambda: _pipeline(spark, sf_dir).count())
     qs = entry.queries()

@@ -100,3 +100,32 @@ def test_spark_submit_pyfiles_deployment():
         assert "SUBMIT_SMOKE rows=2592 non_null=2592" in out.stdout, (
             out.stdout[-2000:], out.stderr[-2000:],
         )
+
+
+def test_write_solution_table_v2_append(spark, tmp_path):
+    """The catalog sink exercises the REAL DataFrameWriterV2
+    create/append path (the API an Iceberg catalog implements) against
+    the built-in V2 session catalog: first write creates, later writes
+    append, results and partitioning readable back through the catalog."""
+    from geostatssolvers_jl_spark.sources.delimited import (
+        write_solution_table,
+    )
+
+    # unique per pytest run: a previous session's orphaned managed-table
+    # location (spark-warehouse/<name>) blocks create even after DROP
+    tbl = f"spark_catalog.default.sol_v2_{abs(hash(str(tmp_path))) % 10**8}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    a = spark.createDataFrame(
+        [(0, 1.5, 10), (1, 2.5, 10), (2, 3.5, 11)],
+        "cell_id long, z double, unit int",
+    )
+    write_solution_table(a, tbl, partition_by=["unit"], mode="append")
+    b = spark.createDataFrame([(3, 4.5, 12)], "cell_id long, z double, unit int")
+    write_solution_table(b, tbl, mode="append")
+    got = spark.table(tbl)
+    assert got.count() == 4
+    assert {r["unit"] for r in got.select("unit").distinct().collect()} == {10, 11, 12}
+    # overwrite = createOrReplace (full replace)
+    write_solution_table(b, tbl, mode="overwrite")
+    assert spark.table(tbl).count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
