@@ -65,6 +65,16 @@ def tiled_local_apply(
     'queries' when the estimation grid is the smaller side (see
     `knn_join_tiled_exact`)."""
     if len(data_coord_cols) != 2 or len(query_coord_cols) != 2:
+        # SUPPORTED 3-D strategy: broadcast.  The reference's domains are
+        # 1-D/2-D (CartesianGrid(100), (100,100) throughout its tests);
+        # the N-D broadcast path covers 3-D data up to its documented
+        # bound of ~2M conditioning rows (planner.choose_strategy's
+        # broadcast_limit ≈ 2e6 × (3 coords + values) × 8 B ≈ 100 MB per
+        # executor, well under executor memory).  A z-slab tiled ladder
+        # (slab over z with halo ≥ search radius, 2-D tiles within each
+        # slab) is the designed extension if a >2M-row 3-D corpus ever
+        # materializes; it is NOT implemented, and this guard makes that
+        # an explicit error instead of silently wrong neighbors.
         raise ValueError(
             "the tiled strategy tiles a 2-D (lon, lat) domain; "
             f"got {len(data_coord_cols)}-D coords — use the broadcast "
