@@ -1294,7 +1294,7 @@ def _cookie_oracle() -> str:
     return (
         f"SELECT real_id, cell_id, {_CC_F} AS f, "
         f"round(CASE WHEN {_CC_F} = 0 THEN {_CC_Z0} ELSE {_CC_Z1} END, 6) "
-        f"AS z FROM ({base}) _b"
+        f"+ 0.0 AS z FROM ({base}) _b"
     )
 
 
@@ -1381,11 +1381,11 @@ def q_fftgs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sim.groupBy("real_id")
         .agg(
-            F.round(F.avg("z"), 6).alias("mean_z"),
-            F.round(
+            (F.round(F.avg("z"), 6) + F.lit(0.0)).alias("mean_z"),
+            (F.round(
                 F.avg(F.col("z") * F.col("z"))
                 - F.avg("z") * F.avg("z"), 6,
-            ).alias("var_z"),
+            ) + F.lit(0.0)).alias("var_z"),
         )
     )
 
@@ -1444,7 +1444,7 @@ def q_lugs_aniso_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric=Anisotropic((20.0, 5.0)),
         )],
         seed=7,
-    )
+    ).persist()  # the invariant SQL scans this view 5x (2 joins + moments)
     sim.createOrReplaceTempView("_lugs_aniso")
     return spark.sql(f"""
         WITH cx AS (
@@ -1918,7 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "error_rate": (
             "SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) "
-            "AS error_rate, count(*) AS n FROM "
+            "+ 0.0 AS error_rate, count(*) AS n FROM "
             f"({_langid_body()}) p JOIN documents d ON p.doc_id = d.doc_id"
         ),
     }

@@ -114,7 +114,9 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     # to 2x from hypervisor steal (r3: the same tiled entry measured 4.7 s
     # and 9.7 s the same day); the minimum is the steal-free estimate of
     # the query's actual cost and is the documented protocol in BASELINE.md
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # floor at 1: reps=0 would skip every query and emit bare Infinity
+    # tokens (non-standard JSON) for all timings
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def timed(name, fn):
         best = float("inf")

@@ -318,6 +318,12 @@ def solve_sgs(
         raise ValueError(
             f"SGS supports Euclidean/Anisotropic metrics, got {params.metric}"
         )
+    if (isinstance(params.metric, Anisotropic)
+            and len(params.metric.radii) != grid.ndims):
+        raise ValueError(
+            f"metric has {len(params.metric.radii)} radii for a "
+            f"{grid.ndims}-D grid"
+        )
     data_coord_cols = data_coord_cols or ["x", "y"][: grid.ndims]
 
     init_vals: dict[int, float] = {}

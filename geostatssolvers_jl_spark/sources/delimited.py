@@ -110,8 +110,12 @@ def write_solution_table(
     catalog and is test-covered; ``writeTo(...).append()`` requires a V2
     catalog — the session catalog exposes parquet tables as v1 and Spark
     rejects V2 appends into them, so appends fall back to the equivalent
-    v1 ``saveAsTable(mode='append')`` with a logged notice.  On an
-    Iceberg catalog the V2 append executes directly."""
+    v1 ``insertInto`` (positional, partition-aware; columns aligned to
+    the table schema first) with a warnings-module notice.  On an Iceberg
+    catalog the V2 append executes directly.  The fallback triggers match
+    Spark's current error text ("v1 table" / "TABLE_OPERATION"); if a
+    future Spark rewords them the sink fails loudly instead of silently
+    switching paths — the correct failure direction for a write."""
     from pyspark.sql import functions as F
     from pyspark.errors import AnalysisException
 
@@ -138,6 +142,12 @@ def write_solution_table(
                 # session-catalog (v1) fallback; identical row semantics.
                 # insertInto is positional and partition-aware, so align
                 # columns to the table schema first
+                import warnings
+
+                warnings.warn(
+                    f"{table} is a v1 catalog table; appending via "
+                    "insertInto instead of DataFrameWriterV2"
+                )
                 cols = spark.table(table).columns
                 df.select(*cols).write.insertInto(table)
         else:

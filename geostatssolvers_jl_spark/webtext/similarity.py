@@ -13,6 +13,8 @@ key is the shuffle key; bucket skew is bounded by the number of planes.
 
 from __future__ import annotations
 
+import itertools
+
 N_PLANES = 8
 DIM = 64
 
@@ -275,15 +277,27 @@ def _auto_planes(emb_df, n_planes: int | None) -> int:
     return choose_planes(emb_df.count())
 
 
+_AUTO_VIEW_SEQ = itertools.count()
+
+
+def _register_emb(emb_df) -> str:
+    """Per-call unique view name: a shared fixed name is mutable state —
+    two concurrent callers would interleave createOrReplaceTempView and
+    spark.sql analysis, silently resolving the wrong corpus."""
+    name = f"_emb_auto_{next(_AUTO_VIEW_SEQ)}"
+    emb_df.createOrReplaceTempView(name)
+    return name
+
+
 def ann_topk(spark, emb_df, k: int = 3, n_planes: int | None = None,
              n_tables: int = 6, dim: int = DIM):
     """Composed multi-table bucketed ANN top-k over an embeddings
     DataFrame (vec_id, embedding array<float>).  ``n_planes=None`` →
     auto-tuned from the corpus count."""
     p = _auto_planes(emb_df, n_planes)
-    emb_df.createOrReplaceTempView("_emb_auto")
+    rel = _register_emb(emb_df)
     return spark.sql(
-        ann_topk_lsh_sql("spark", "_emb_auto", k=k, n_planes=p,
+        ann_topk_lsh_sql("spark", rel, k=k, n_planes=p,
                          n_tables=n_tables, dim=dim)
     )
 
@@ -293,8 +307,8 @@ def dedup_embedding(spark, emb_df, threshold: float = 0.35,
                     dim: int = DIM):
     """Embedding near-dup pairs through auto-tuned LSH buckets."""
     p = _auto_planes(emb_df, n_planes)
-    emb_df.createOrReplaceTempView("_emb_auto")
+    rel = _register_emb(emb_df)
     return spark.sql(
-        dedup_embedding_lsh_sql("spark", "_emb_auto", threshold=threshold,
+        dedup_embedding_lsh_sql("spark", rel, threshold=threshold,
                                 n_planes=p, n_tables=n_tables, dim=dim)
     )

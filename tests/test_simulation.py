@@ -509,3 +509,26 @@ def test_sgs_anisotropic_metric(spark):
             ),
             seed=3,
         ).collect()
+
+
+def test_sim_metric_validation(spark):
+    """All three grid simulators reject Haversine and mismatched radii at
+    plan time (review finding: LUGS silently built great-circle
+    covariances from planar grid coords)."""
+    from geostatssolvers_jl_spark.distances import Anisotropic, Haversine
+
+    with pytest.raises(ValueError, match="Euclidean/Anisotropic"):
+        solve_lugs(
+            spark, CartesianGrid((10, 10)), nreals=1,
+            variables=[LUGSVariable(metric=Haversine())],
+        )
+    with pytest.raises(ValueError, match="radii"):
+        solve_lugs(
+            spark, CartesianGrid((10,)), nreals=1,
+            variables=[LUGSVariable(metric=Anisotropic((20.0, 5.0)))],
+        )
+    with pytest.raises(ValueError, match="radii"):
+        solve_sgs(
+            spark, CartesianGrid((10,)), nreals=1,
+            params=SGSParams(metric=Anisotropic((20.0, 5.0))),
+        )
