@@ -158,3 +158,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pages_b")
         spark.sql("DROP TABLE IF EXISTS cellagg_b")
+
+
+def test_registry_window_all_oracle_anchored():
+    """The driver's correctness gate checks only the FIRST 50 registry
+    entries (observed r3: 72 registered, exactly 50 recorded, every
+    simulation anchor silently dropped).  Guard the invariant the r4
+    reorder restored: every entry in the window carries an oracle, and
+    one anchor per operator family sits inside it."""
+    import __spark_entry__ as entry
+
+    q = list(entry._raw_queries())
+    oracles = set(entry.oracle_sql())
+    window = q[:50]
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], f"oracle-less entries inside the window: {missing}"
+    # family anchors that must never drift past slot 50 again
+    for anchor in (
+        "sgs_conditioning", "fftgs_conditioning", "fftgs_moments",
+        "lugs_conditioning", "lugs_moments", "lugs_aniso_moments",
+        "sgs_moments", "spdegs_moments", "cookie_cutter",
+        "pointwise_accuracy", "change_support", "error_rate",
+        "events_hourly", "events_top_users", "kriging_fixture_global",
+        "lwr_fixture", "kriging_uk_local", "knn_join_tiled_salted",
+        "dedup_minhash_lsh", "ann_topk_lsh", "multimodal_invariants",
+    ):
+        assert anchor in window, f"{anchor} fell out of the driver window"
