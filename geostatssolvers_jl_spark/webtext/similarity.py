@@ -127,18 +127,28 @@ def _cos_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
     )
 
 
-def _probe_union(n_planes: int) -> str:
+def _probe_union(n_planes: int, dialect: str = "duck") -> str:
     """Probe buckets of a (vec_id, tbl, bucket) relation ``_bt``: each
     table's bucket itself plus its ``n_planes`` Hamming-1 neighbors
     (multiprobe).  Bit flip spelled as ``b + 2^p − 2·(b & 2^p)`` —
-    identical text in Spark SQL and DuckDB (no xor-operator split)."""
-    probes = ["SELECT vec_id, tbl, bucket AS probe FROM _bt"]
-    for p in range(n_planes):
-        m = 1 << p
-        probes.append(
-            f"SELECT vec_id, tbl, bucket + {m} - 2 * (bucket & {m}) "
-            f"AS probe FROM _bt"
+    identical text in Spark SQL and DuckDB (no xor-operator split).
+
+    Spark spelling is ONE scan + explode instead of an (n_planes+1)-way
+    UNION ALL — each union arm is its own scan/codegen stage over the
+    (cached) bucket table, pure task overhead (same change as
+    `minhash_bands_sql`; values identical, plan shape only)."""
+    flips = ["bucket"] + [
+        f"bucket + {1 << p} - 2 * (bucket & {1 << p})"
+        for p in range(n_planes)
+    ]
+    if dialect == "spark":
+        arr = ", ".join(flips)
+        return (
+            f"SELECT vec_id, tbl, explode(array({arr})) AS probe FROM _bt"
         )
+    probes = [
+        f"SELECT vec_id, tbl, {f} AS probe FROM _bt" for f in flips
+    ]
     return " UNION ALL ".join(probes)
 
 
@@ -161,7 +171,7 @@ def _lsh_candidates_cte(dialect: str, emb_rel: str, n_planes: int,
     else:
         head = "WITH "
         rel = bt_rel
-    probes = _probe_union(n_planes).replace("_bt", rel)
+    probes = _probe_union(n_planes, dialect).replace("_bt", rel)
     return (
         head
         + f"_probes AS ({probes}), "
