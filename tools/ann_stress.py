@@ -25,7 +25,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-P_RUN = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+if len(sys.argv) > 2:
+    P_RUN = int(sys.argv[2])
+else:
+    # default to the planner's own choice — the stress validates the
+    # engine's actual decision, not a hand-picked constant
+    from geostatssolvers_jl_spark.planner import choose_planes
+
+    P_RUN = choose_planes(N)
 DIM = 64
 N_TABLES = 6
 
