@@ -155,3 +155,28 @@ class Anisotropic:
 
 
 Distance = Euclidean | Haversine | Anisotropic
+
+
+def validate_planar_metric(
+    metric: "Distance | None", ndims: int, solver: str,
+) -> None:
+    """Shared plan-time guard for the grid simulators (LUGS/FFTGS/SGS):
+    grid simulation is planar, so only Euclidean/Anisotropic metrics are
+    meaningful — Haversine would silently read grid coords as lon/lat
+    degrees and build garbage covariances — and an Anisotropic radii
+    tuple must match the grid dimension or the executor-side scaling
+    fails with an opaque broadcast error.  One helper so the three
+    solvers cannot drift (they previously each re-implemented this with
+    divergent blacklist/whitelist logic)."""
+    if metric is None or isinstance(metric, Euclidean):
+        return
+    if isinstance(metric, Anisotropic):
+        if len(metric.radii) != ndims:
+            raise ValueError(
+                f"metric has {len(metric.radii)} radii for a "
+                f"{ndims}-D grid"
+            )
+        return
+    raise ValueError(
+        f"{solver} supports Euclidean/Anisotropic metrics, got {metric}"
+    )

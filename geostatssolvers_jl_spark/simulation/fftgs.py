@@ -28,25 +28,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..distances import Anisotropic, Distance, Euclidean
+from ..distances import (
+    Anisotropic, Distance, Euclidean, validate_planar_metric,
+)
 from ..grid import CartesianGrid
 from ..variogram import Variogram, require_stationary
 
 
 def _axis_scales(grid: CartesianGrid, metric: Distance | None) -> list[float]:
     """Per-axis 1/rᵢ scaling realizing the ellipsoid (MetricBall) metric;
-    identity for Euclidean.  Haversine is rejected — grid simulation is
-    planar (same restriction as the reference's CartesianGrid domains)."""
-    if metric is None or isinstance(metric, Euclidean):
-        return [1.0] * grid.ndims
+    identity for Euclidean (validation shared via
+    `distances.validate_planar_metric`)."""
+    validate_planar_metric(metric, grid.ndims, "FFTGS")
     if isinstance(metric, Anisotropic):
-        if len(metric.radii) != grid.ndims:
-            raise ValueError(
-                f"metric has {len(metric.radii)} radii for a "
-                f"{grid.ndims}-D grid"
-            )
         return [1.0 / r for r in metric.radii]
-    raise ValueError(f"FFTGS supports Euclidean/Anisotropic metrics, got {metric}")
+    return [1.0] * grid.ndims
 
 
 def _cov_image(

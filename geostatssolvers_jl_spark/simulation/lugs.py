@@ -102,20 +102,9 @@ def _preprocess_one(
     dlocs = np.array(sorted(z_by_cell), dtype=np.int64)
     slocs = np.setdiff1d(np.arange(n), dlocs)
     met = metric if metric is not None else Euclidean()
-    # grid simulation is planar — Haversine would silently read grid
-    # coords as lon/lat degrees and build a garbage covariance (FFTGS and
-    # SGS reject the same input at plan time; match them)
-    from ..distances import Anisotropic, Haversine
+    from ..distances import validate_planar_metric
 
-    if isinstance(met, Haversine):
-        raise ValueError(
-            f"LUGS supports Euclidean/Anisotropic metrics, got {met}"
-        )
-    if isinstance(met, Anisotropic) and len(met.radii) != pts.shape[1]:
-        raise ValueError(
-            f"metric has {len(met.radii)} radii for a "
-            f"{pts.shape[1]}-D grid"
-        )
+    validate_planar_metric(met, pts.shape[1], "LUGS")
     C22 = vg.cov(met.np(pts[slocs], pts[slocs]))
     if dlocs.size == 0:
         d2 = np.zeros(len(slocs))

@@ -34,7 +34,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..distances import Anisotropic, Distance, Euclidean
+from ..distances import (
+    Anisotropic, Distance, Euclidean, validate_planar_metric,
+)
 from ..grid import CartesianGrid
 from ..variogram import GaussianVariogram, Variogram, require_stationary
 from .lugs import _centroids
@@ -313,17 +315,8 @@ def solve_sgs(
     for intra-realization parallelism (None → single tile = exact)."""
     params = params or SGSParams()
     require_stationary(params.variogram, "SGS")
-    if not isinstance(params.metric, (Euclidean, Anisotropic)):
-        # fail at plan time, not inside an executor task
-        raise ValueError(
-            f"SGS supports Euclidean/Anisotropic metrics, got {params.metric}"
-        )
-    if (isinstance(params.metric, Anisotropic)
-            and len(params.metric.radii) != grid.ndims):
-        raise ValueError(
-            f"metric has {len(params.metric.radii)} radii for a "
-            f"{grid.ndims}-D grid"
-        )
+    # fail at plan time, not inside an executor task
+    validate_planar_metric(params.metric, grid.ndims, "SGS")
     data_coord_cols = data_coord_cols or ["x", "y"][: grid.ndims]
 
     init_vals: dict[int, float] = {}
@@ -350,8 +343,19 @@ def solve_sgs(
     if tiles is None:
         tiles = (1, 1)
     ntiles = tiles[0] * (tiles[1] if grid.ndims > 1 else 1)
+    if grid.ndims > 2 and ntiles > 1:
+        # the (tx, ty) block split below covers dims[0]*dims[1] cells
+        # only — on a 3-D grid it would silently simulate just the z=0
+        # slab.  The single-tile path is exact for any dimension (the
+        # dense kernel measures full-dim distances).
+        raise ValueError(
+            "SGS tiling splits a 1-D/2-D grid; use tiles=None "
+            f"(single tile) for a {grid.ndims}-D grid"
+        )
 
     def tile_cells(t: int) -> np.ndarray:
+        if ntiles == 1:
+            return np.arange(ncells)
         if grid.ndims == 1:
             n = grid.dims[0]
             step = -(-n // ntiles)

@@ -113,9 +113,13 @@ def dedup_stream(pages: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     # fall through to a timestamp key so they don't collapse either
     # (concat() is NULL if ANY argument is NULL, so each tier must be a
     # fully-non-null expression for the rows it covers)
+    # tier prefixes must be mutually unreachable: 'nulltext:'+url can
+    # never equal 'nullrow:'+ts (prefixes diverge at a fixed character),
+    # whereas 'null:'+url collided with 'nullrow:'+ts for a url starting
+    # with 'row:' — wrongly suppressing a distinct page
     fp = pages.selectExpr(
         "url", "warc_ts", "text",
-        "coalesce(md5(text), concat('null:', url), "
+        "coalesce(md5(text), concat('nulltext:', url), "
         "concat('nullrow:', cast(warc_ts AS string))) AS text_md5",
     )
     return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(

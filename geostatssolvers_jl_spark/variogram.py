@@ -63,22 +63,24 @@ class ExponentialVariogram(Variogram):
         return 1.0 - np.exp(-3.0 * h / self.range)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, init=False)
 class NuggetEffect(Variogram):
     """Pure nugget: γ(h) = n·1(h>0), C(h>0) = 0.  GeoStats.jl's
-    NuggetEffect(n) has total sill == nugget; the inherited sill=1.0
-    default would silently leave C(h>0) = 1−n (a correlated model), so
-    the sill is FORCED to the nugget here.  The nugget default is
-    overridden to 1.0 (matching GeoStats.jl's NuggetEffect()) — the
-    inherited 0.0 would make a bare NuggetEffect() fully degenerate
-    (sill = 0 ⇒ C ≡ 0 and zero regularization, every system singular)."""
+    NuggetEffect(n) has total sill == nugget, so sill is forced to the
+    nugget here, and the signature takes the nugget as the SOLE
+    (positional) parameter exactly like GeoStats.jl — the inherited
+    dataclass init would bind a positional `NuggetEffect(0.2)` to
+    `range` and silently build a unit-sill model (and its nugget=0.0
+    default is fully degenerate: sill = 0 ⇒ C ≡ 0, zero regularization,
+    every system singular)."""
 
-    nugget: float = 1.0
-
-    def __post_init__(self):
-        if self.nugget <= 0.0:
+    def __init__(self, nugget: float = 1.0):
+        if nugget <= 0.0:
             raise ValueError("NuggetEffect requires nugget > 0")
-        object.__setattr__(self, "sill", self.nugget)
+        object.__setattr__(self, "range", 1.0)
+        object.__setattr__(self, "sill", nugget)
+        object.__setattr__(self, "nugget", nugget)
+        object.__setattr__(self, "stationary", True)
 
     def _structure(self, h: np.ndarray) -> np.ndarray:
         return np.zeros_like(h)

@@ -290,13 +290,35 @@ def _auto_planes(emb_df, n_planes: int | None) -> int:
 _AUTO_VIEW_SEQ = itertools.count()
 
 
-def _register_emb(emb_df) -> str:
-    """Per-call unique view name: a shared fixed name is mutable state —
-    two concurrent callers would interleave createOrReplaceTempView and
-    spark.sql analysis, silently resolving the wrong corpus."""
-    name = f"_emb_auto_{next(_AUTO_VIEW_SEQ)}"
-    emb_df.createOrReplaceTempView(name)
-    return name
+def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
+    """Shared wrapper plumbing: per-call UNIQUE view names (a fixed shared
+    name is mutable state — concurrent callers would interleave
+    createOrReplaceTempView and spark.sql analysis and silently resolve
+    the wrong corpus), and a PERSISTED (vec_id, tbl, bucket) relation
+    passed as ``bt_rel`` so the n_tables×n_planes×dim bucket arithmetic
+    runs once, not once per probe arm and join side (Spark inlines CTEs —
+    the same trap the gate entries dodge via their materialized view).
+
+    Returns (emb_rel, bt_rel, n_planes, cleanup).  ``cleanup()`` drops
+    both temp views — safe right after ``spark.sql`` because analysis
+    resolves the views eagerly, and the persisted bucket plan is matched
+    by the cache manager independent of the view name.  The bucket
+    persist itself is evictable storage (tiny: n_vectors × n_tables
+    rows); long-lived services wanting explicit lifetime control should
+    build `bucket_tables_sql` themselves and call the *_sql builders."""
+    p = _auto_planes(emb_df, n_planes)
+    seq = next(_AUTO_VIEW_SEQ)
+    emb_rel = f"_emb_auto_{seq}"
+    bt_rel = f"_bt_auto_{seq}"
+    emb_df.createOrReplaceTempView(emb_rel)
+    bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
+    bt.persist().createOrReplaceTempView(bt_rel)
+
+    def cleanup():
+        spark.catalog.dropTempView(emb_rel)
+        spark.catalog.dropTempView(bt_rel)
+
+    return emb_rel, bt_rel, p, cleanup
 
 
 def ann_topk(spark, emb_df, k: int = 3, n_planes: int | None = None,
@@ -304,21 +326,28 @@ def ann_topk(spark, emb_df, k: int = 3, n_planes: int | None = None,
     """Composed multi-table bucketed ANN top-k over an embeddings
     DataFrame (vec_id, embedding array<float>).  ``n_planes=None`` →
     auto-tuned from the corpus count."""
-    p = _auto_planes(emb_df, n_planes)
-    rel = _register_emb(emb_df)
-    return spark.sql(
-        ann_topk_lsh_sql("spark", rel, k=k, n_planes=p,
-                         n_tables=n_tables, dim=dim)
+    emb_rel, bt_rel, p, cleanup = _prepare_auto(
+        spark, emb_df, n_planes, n_tables, dim
     )
+    out = spark.sql(
+        ann_topk_lsh_sql("spark", emb_rel, k=k, n_planes=p,
+                         n_tables=n_tables, dim=dim, bt_rel=bt_rel)
+    )
+    cleanup()
+    return out
 
 
 def dedup_embedding(spark, emb_df, threshold: float = 0.35,
                     n_planes: int | None = None, n_tables: int = 6,
                     dim: int = DIM):
     """Embedding near-dup pairs through auto-tuned LSH buckets."""
-    p = _auto_planes(emb_df, n_planes)
-    rel = _register_emb(emb_df)
-    return spark.sql(
-        dedup_embedding_lsh_sql("spark", rel, threshold=threshold,
-                                n_planes=p, n_tables=n_tables, dim=dim)
+    emb_rel, bt_rel, p, cleanup = _prepare_auto(
+        spark, emb_df, n_planes, n_tables, dim
     )
+    out = spark.sql(
+        dedup_embedding_lsh_sql("spark", emb_rel, threshold=threshold,
+                                n_planes=p, n_tables=n_tables, dim=dim,
+                                bt_rel=bt_rel)
+    )
+    cleanup()
+    return out

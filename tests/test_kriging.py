@@ -139,7 +139,13 @@ def test_nugget_effect_defaults_and_validation():
     n = NuggetEffect()
     assert n.nugget == 1.0 and n.sill == 1.0
     assert np.allclose(n.cov(np.array([0.0, 1.0, 5.0])), [1.0, 0.0, 0.0])
+    # GeoStats.jl parity: the POSITIONAL argument is the nugget (the
+    # inherited dataclass init bound it to `range`, silently building a
+    # unit-sill model — r4 review)
+    p = NuggetEffect(0.2)
+    assert p.nugget == 0.2 and p.sill == 0.2
+    assert np.allclose(p.cov(np.array([0.0, 3.0])), [0.2, 0.0])
     with pytest.raises(ValueError, match="nugget > 0"):
         NuggetEffect(nugget=0.0)
     with pytest.raises(ValueError, match="nugget > 0"):
-        NuggetEffect(nugget=-1.0)
+        NuggetEffect(-1.0)

@@ -532,3 +532,26 @@ def test_sim_metric_validation(spark):
             spark, CartesianGrid((10,)), nreals=1,
             params=SGSParams(metric=Anisotropic((20.0, 5.0))),
         )
+
+
+def test_sgs_3d_single_tile_covers_all_cells(spark):
+    """3-D SGS through the single-tile (exact) path simulates EVERY cell
+    (r4 review: the 2-D block split silently returned only the z=0 slab);
+    multi-tile 3-D is rejected at plan time."""
+    grid = CartesianGrid((4, 3, 5))
+    sol = solve_sgs(
+        spark, grid, nreals=2,
+        params=SGSParams(variogram=GaussianVariogram(range=2.0),
+                         maxneighbors=6),
+        seed=9,
+    )
+    rows = sol.collect()
+    assert len(rows) == 2 * 60
+    cells = {r["cell_id"] for r in rows if r["real_id"] == 0}
+    assert cells == set(range(60))
+    with pytest.raises(ValueError, match="single tile"):
+        solve_sgs(
+            spark, grid, nreals=1,
+            params=SGSParams(variogram=GaussianVariogram(range=2.0)),
+            tiles=(2, 2),
+        )

@@ -235,3 +235,32 @@ def test_streaming_dedup_null_rows_do_not_collapse(spark, tmp_path):
     assert len(out) == 6
     keys = [r["text_md5"] for r in out]
     assert len(set(keys)) == 6 and all(k is not None for k in keys)
+
+
+def test_streaming_dedup_key_tiers_cannot_collide(spark, tmp_path):
+    """A null-text page whose url starts with 'row:' must not share a
+    dedup key with a fully-null row at the matching timestamp (r4 review:
+    'null:' + 'row:X' == 'nullrow:' + 'X')."""
+    import json as _json
+
+    from geostatssolvers_jl_spark.streaming.ingest import (
+        dedup_stream, run_available, stream_pages,
+    )
+
+    drop = tmp_path / "drop_collide"
+    drop.mkdir()
+    ts = "2024-01-01 00:05:00"
+    rows = [
+        {"url": f"row:{ts}", "warc_ts": "2024-01-01T00:05:00.000Z",
+         "text": None, "lang": "en"},
+        {"url": None, "warc_ts": "2024-01-01T00:05:00.000Z",
+         "text": None, "lang": "en"},
+    ]
+    (drop / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = run_available(
+        dedup_stream(stream_pages(spark, str(drop)), watermark="2 hours"),
+        str(tmp_path / "ckpt_collide"),
+        mode="append",
+    )
+    assert len(out) == 2
+    assert len({r["text_md5"] for r in out}) == 2
