@@ -19,6 +19,7 @@ from geostatssolvers_jl_spark.grid import CartesianGrid
 from geostatssolvers_jl_spark.oracle import knn_pairs_sql
 from geostatssolvers_jl_spark.operators.idw import idw_agg_sql
 from geostatssolvers_jl_spark.sources import pages as pages_mod
+from geostatssolvers_jl_spark.webtext import urls as _urls
 from geostatssolvers_jl_spark.webtext.textstats import langid_sql
 
 # ---------------------------------------------------------------- shared
@@ -679,6 +680,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, {fingerprint_expr('text')} AS fp, md5(text) AS full_md5 "
         f"FROM documents"
     )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-url dedup groups (crawl
+    normalization: strip fragment, lowercase scheme/host, drop trailing
+    slash, remove utm_* params; min-id survivor).  The messy url is
+    synthesized deterministically in shared SQL — the corpus carries no
+    url column, so the OPERATOR is what both engines must agree on."""
+    from geostatssolvers_jl_spark.webtext.urls import url_canonical_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(url_canonical_sql("spark"))
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment (98/1/1) —
+    stable under re-runs, partitioning, and corpus growth, unlike
+    random() splits."""
+    from geostatssolvers_jl_spark.webtext.urls import split_assign_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(split_assign_sql("spark"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: documents sharing ≥5 distinct
+    3-gram shingles with a (deterministically derived) benchmark set.
+    Shingle-equi join — never doc×bench; the benchmark side broadcasts
+    at scale."""
+    from geostatssolvers_jl_spark.webtext.urls import contamination_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(contamination_sql("spark"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2381,6 +2415,9 @@ def _webtext_oracles() -> dict[str, str]:
             f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "
             f"md5(text) AS full_md5 FROM documents"
         ),
+        "url_canonical": _urls.url_canonical_sql("duck"),
+        "split_assign": _urls.split_assign_sql("duck"),
+        "contamination": _urls.contamination_sql("duck"),
     }
 
 
@@ -2469,6 +2506,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
         "fingerprint": q_fingerprint,
+        "url_canonical": q_url_canonical,
+        "split_assign": q_split_assign,
+        "contamination": q_contamination,
         "tile_parent": q_tile_parent,
         "kriging_pages_k3": q_kriging_pages_k3,
         "kriging_pages_k5": q_kriging_pages_k5,

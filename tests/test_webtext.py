@@ -327,3 +327,60 @@ def test_ann_topk_auto_planes(spark):
     a = sorted(map(tuple, auto.collect()))
     b = sorted(map(tuple, explicit.collect()))
     assert a == b and len(a) > 0
+
+
+def test_url_canonicalize_cases(spark):
+    """Unit cases for the canonicalization operator itself."""
+    from geostatssolvers_jl_spark.webtext.urls import canonicalize_url_expr
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/A/b/?utm_source=f&ref=k#frag",
+         "https://www.ex.com/A/b?ref=k"),
+        ("http://Host.io/path", "http://host.io/path"),
+        ("http://Host.io/", "http://host.io/"),        # root slash kept
+        ("http://HOST.io", "http://host.io"),
+        ("https://h.co/p?utm_a=1&utm_b=2", "https://h.co/p"),
+        ("https://h.co/CaseKept/Q?x=1&utm_z=9&y=2",
+         "https://h.co/CaseKept/Q?x=1&y=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.selectExpr(f"{canonicalize_url_expr('spark')} AS c").collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from geostatssolvers_jl_spark.webtext.urls import split_assign_sql
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    a = spark.sql(split_assign_sql("spark")).collect()
+    b = spark.sql(split_assign_sql("spark")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+    splits = {}
+    for r in a:
+        splits.setdefault(r["split"], 0)
+        splits[r["split"]] += 1
+        assert 0 <= r["bucket"] < 100
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits["train"] > 0.9 * len(a)   # ~98%
+
+
+def test_contamination_flags_benchmark_sources(spark):
+    """Every benchmark-source document must flag itself (it contains the
+    benchmark text by construction); non-source docs only flag on real
+    shingle overlap."""
+    from geostatssolvers_jl_spark.webtext.urls import contamination_sql
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    rows = spark.sql(contamination_sql("spark")).collect()
+    n_docs = spark.table("documents").count()
+    bench_ids = set(range(0, n_docs, 97))
+    self_flags = {(r["doc_id"], r["bench_id"]) for r in rows
+                  if r["doc_id"] == r["bench_id"]}
+    assert {(b, b) for b in bench_ids} <= self_flags
+    for r in rows:
+        assert r["n_shared"] >= 5
