@@ -20,7 +20,11 @@ from geostatssolvers_jl_spark.oracle import knn_pairs_sql
 from geostatssolvers_jl_spark.operators.idw import idw_agg_sql
 from geostatssolvers_jl_spark.sources import pages as pages_mod
 from geostatssolvers_jl_spark.webtext import urls as _urls
-from geostatssolvers_jl_spark.webtext.textstats import langid_sql
+from geostatssolvers_jl_spark.webtext.textstats import (
+    langid_sql,
+    redact_pii_sql as _redact_pii_sql,
+    repetition_ratio_sql as _repetition_ratio_sql,
+)
 
 # ---------------------------------------------------------------- shared
 
@@ -702,6 +706,26 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     return spark.sql(split_assign_sql("spark"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone token redaction + per-doc counts (the
+    redacted text compared via md5 so the oracle checks full content)."""
+    from geostatssolvers_jl_spark.webtext.textstats import redact_pii_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(redact_pii_sql("spark"))
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition score: most-common-2-gram frequency per
+    document."""
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        repetition_ratio_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(repetition_ratio_sql("spark"))
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2418,6 +2442,8 @@ def _webtext_oracles() -> dict[str, str]:
         "url_canonical": _urls.url_canonical_sql("duck"),
         "split_assign": _urls.split_assign_sql("duck"),
         "contamination": _urls.contamination_sql("duck"),
+        "redact_pii": _redact_pii_sql("duck"),
+        "repetition_ratio": _repetition_ratio_sql("duck"),
     }
 
 
@@ -2509,6 +2535,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "split_assign": q_split_assign,
         "contamination": q_contamination,
+        "redact_pii": q_redact_pii,
+        "repetition_ratio": q_repetition_ratio,
         "tile_parent": q_tile_parent,
         "kriging_pages_k3": q_kriging_pages_k3,
         "kriging_pages_k5": q_kriging_pages_k5,

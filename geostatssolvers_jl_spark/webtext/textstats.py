@@ -62,3 +62,68 @@ def langid_sql(docs_rel: str = "documents") -> str:
         f"SELECT doc_id, {best} AS pred_lang, s_en, s_de, s_fr, s_es "
         f"FROM (SELECT doc_id, {sc_cols} FROM {docs_rel}) _s"
     )
+
+
+def redact_pii_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """PII scrubbing (cleaning pass): token-level redaction of
+    email-shaped tokens ('%@%.%' → '<EMAIL>') and all-digit runs of ≥7
+    ('<PHONE>'), plus per-doc redaction counts.  Token arithmetic only —
+    regex dialects diverge between engines; LIKE + translate() do not.
+    PII is synthesized deterministically into the text (the corpus is
+    synthetic and carries none), shared VERBATIM by entry and oracle so
+    the OPERATOR is what both engines must agree on."""
+    pii = (
+        "(text || CASE WHEN doc_id % 11 = 0 "
+        "THEN ' contact bob' || CAST(doc_id % 50 AS {str}) "
+        "|| '@mail.example.com today' ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 0 "
+        "THEN ' call 555' || CAST(1000000 + doc_id AS {str}) || ' now' "
+        "ELSE '' END)"
+    ).format(str="STRING" if dialect == "spark" else "VARCHAR")
+    is_email = "t LIKE '%@%.%'"
+    is_phone = (
+        "(length(t) >= 7 AND t <> '' AND "
+        "translate(t, '0123456789', '') = '')"
+    )
+    tok = (
+        f"CASE WHEN {is_email} THEN '<EMAIL>' "
+        f"WHEN {is_phone} THEN '<PHONE>' ELSE t END"
+    )
+    flag = f"CASE WHEN {is_email} OR {is_phone} THEN 1 ELSE 0 END"
+    if dialect == "spark":
+        red = f"array_join(transform(split(raw, ' '), t -> {tok}), ' ')"
+        cnt = (f"aggregate(transform(split(raw, ' '), t -> {flag}), 0, "
+               f"(a, x) -> a + x)")
+    else:
+        red = (f"array_to_string(list_transform(string_split(raw, ' '), "
+               f"t -> {tok}), ' ')")
+        cnt = (f"CAST(list_sum(list_transform(string_split(raw, ' '), "
+               f"t -> {flag})) AS INTEGER)")
+    return (
+        f"SELECT doc_id, md5({red}) AS redacted_md5, {cnt} AS n_redacted "
+        f"FROM (SELECT doc_id, {pii} AS raw FROM {docs_rel}) _p"
+    )
+
+
+def repetition_ratio_sql(dialect: str, docs_rel: str = "documents",
+                         k: int = 2, round_to: int = 6) -> str:
+    """Gopher-style repetition score: frequency of the most common
+    ``k``-gram over all ``k``-grams of the document — boilerplate and
+    generated spam score high, natural text low.  Shingle explode →
+    per-(doc, gram) counts → max/sum per doc; the shuffle key is
+    (doc_id, gram) so the plan scales with corpus size, never gram
+    vocabulary."""
+    from .dedup import shingles_duck, shingles_spark
+
+    sh = (shingles_spark if dialect == "spark" else shingles_duck)("text", k)
+    if dialect == "spark":
+        ex = f"SELECT doc_id, explode({sh}) AS g FROM {docs_rel}"
+    else:
+        ex = f"SELECT doc_id, unnest({sh}) AS g FROM {docs_rel}"
+    return (
+        f"SELECT doc_id, "
+        f"round(CAST(max(c) AS DOUBLE) / sum(c), {round_to}) + 0.0 "
+        f"AS rep_ratio, CAST(sum(c) AS BIGINT) AS n_grams "
+        f"FROM (SELECT doc_id, g, count(*) AS c FROM ({ex}) _e "
+        f"GROUP BY doc_id, g) _c GROUP BY doc_id"
+    )
