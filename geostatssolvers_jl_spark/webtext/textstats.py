@@ -120,10 +120,19 @@ def repetition_ratio_sql(dialect: str, docs_rel: str = "documents",
         ex = f"SELECT doc_id, explode({sh}) AS g FROM {docs_rel}"
     else:
         ex = f"SELECT doc_id, unnest({sh}) AS g FROM {docs_rel}"
-    return (
+    # LEFT JOIN from the corpus: a document with < k tokens has no
+    # shingles and would otherwise vanish from the output entirely —
+    # downstream joins that assume one-row-per-document would silently
+    # neither pass nor fail it.  Short docs emit (NULL ratio, 0 grams).
+    agg = (
         f"SELECT doc_id, "
         f"round(CAST(max(c) AS DOUBLE) / sum(c), {round_to}) + 0.0 "
         f"AS rep_ratio, CAST(sum(c) AS BIGINT) AS n_grams "
         f"FROM (SELECT doc_id, g, count(*) AS c FROM ({ex}) _e "
         f"GROUP BY doc_id, g) _c GROUP BY doc_id"
+    )
+    return (
+        f"SELECT d.doc_id, _a.rep_ratio AS rep_ratio, "
+        f"CAST(coalesce(_a.n_grams, 0) AS BIGINT) AS n_grams "
+        f"FROM {docs_rel} d LEFT JOIN ({agg}) _a ON d.doc_id = _a.doc_id"
     )

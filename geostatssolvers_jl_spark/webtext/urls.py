@@ -45,12 +45,12 @@ def canonicalize_url_expr(dialect: str, u: str = "url") -> str:
     if dialect == "spark":
         fq = (
             f"array_join(filter(split({q}, '&'), "
-            f"p -> p NOT LIKE 'utm_%'), '&')"
+            f"p -> p NOT LIKE 'utm!_%' ESCAPE '!'), '&')"
         )
     else:
         fq = (
             f"array_to_string(list_filter(string_split({q}, '&'), "
-            f"p -> p NOT LIKE 'utm_%'), '&')"
+            f"p -> p NOT LIKE 'utm!_%' ESCAPE '!'), '&')"
         )
     return (
         f"(CASE WHEN {fq} <> '' THEN {b3} || '?' || {fq} ELSE {b3} END)"
@@ -61,9 +61,10 @@ def synthesize_url_expr() -> str:
     """Deterministic messy url per document — mixed-case host, optional
     trailing slash, tracking params, fragment — shared VERBATIM by the
     entry and the oracle so `url_canonical` tests the OPERATOR, not the
-    data (the corpus carries no url column).  Moduli chosen so distinct
-    doc_ids collide post-canonicalization (host %2 × path %100 → doc_ids
-    ≡ mod 200 dedup together)."""
+    data (the corpus carries no url column).  Every url-shaping modulus
+    (host %2, slash %2, params %5 via... all divide 100) is determined by
+    doc_id % 100, so docs ≡ mod 100 canonicalize to ONE group — 500 docs
+    → 100 groups of 5 at sf0.01 (verified)."""
     return (
         "('HTTPS://WWW.Example' || CAST(doc_id % 2 AS STRING) || '.COM/p' "
         "|| CAST(doc_id % 100 AS STRING) "
@@ -91,10 +92,10 @@ def url_canonical_sql(dialect: str, docs_rel: str = "documents") -> str:
     if dialect == "duck":
         url = url.replace("AS STRING", "AS VARCHAR")
     if dialect == "spark":
-        fq = "array_join(filter(split(q, '&'), p -> p NOT LIKE 'utm_%'), '&')"
+        fq = "array_join(filter(split(q, '&'), p -> p NOT LIKE 'utm!_%' ESCAPE '!'), '&')"
     else:
         fq = ("array_to_string(list_filter(string_split(q, '&'), "
-              "p -> p NOT LIKE 'utm_%'), '&')")
+              "p -> p NOT LIKE 'utm!_%' ESCAPE '!'), '&')")
     # INTEGER position columns between layers, not string intermediates:
     # Catalyst's project-collapse would re-substitute a duplicated string
     # expression at every use site (the naive nested form compiled for
