@@ -476,3 +476,35 @@ def test_url_canonical_utm_escape(spark):
     got = [r[0] for r in
            df.selectExpr(f"{canonicalize_url_expr('spark')} AS c").collect()]
     assert got == ["https://h.co/p?utma=1&x=2", "https://h.co/p?x=2"]
+
+
+def test_url_canonical_idempotent(spark):
+    """canon(canon(u)) == canon(u) over randomized url shapes — the
+    defining property of a normalization pass (a second crawl of an
+    already-canonical url must land in the same dedup group)."""
+    from hypothesis import given, settings, strategies as st
+
+    from geostatssolvers_jl_spark.webtext.urls import canonicalize_url_expr
+
+    host = st.sampled_from(["WWW.Ex.COM", "host.io", "A.B.ORG"])
+    path = st.sampled_from(["", "/P/q", "/x", "/x/"])
+    query = st.sampled_from(
+        ["", "?utm_a=1", "?a=1&utm_b=2&c=3", "?utma=x", "?utm_a=1&utm_b=2"]
+    )
+    frag = st.sampled_from(["", "#f", "#utm_x"])
+
+    collected = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(host, path, query, frag)
+    def gen(h, p, q, f):
+        collected.append(f"https://{h}{p}{q}{f}")
+
+    gen()
+    df = spark.createDataFrame([(u,) for u in set(collected)], "url string")
+    c1 = canonicalize_url_expr("spark", "url")
+    once = df.selectExpr(f"{c1} AS url")
+    twice = once.selectExpr(f"{c1} AS url")
+    a = sorted(r[0] for r in once.collect())
+    b = sorted(r[0] for r in twice.collect())
+    assert a == b
