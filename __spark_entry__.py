@@ -73,16 +73,30 @@ def _pages_xyz() -> str:
 
 
 _SHIPPED: set[str] = set()
+_SHIP_LOCK = __import__("threading").Lock()
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
     """Make the engine importable on executor workers even when the
     SparkSession was created by an external driver (no PYTHONPATH /
-    --py-files): ship the package zip via addPyFile once per context."""
+    --py-files): ship the package zip via addPyFile once per context.
+
+    Lock-guarded: concurrent first calls (the gate runs query arms in
+    parallel) would otherwise both miss the check and interleave writes
+    into the same per-PID zip — a corrupt archive ships silently (the
+    except below swallows nothing at write time; executors fail later
+    with opaque BadZipFile imports)."""
     sc = spark.sparkContext
     key = sc.applicationId  # id(sc) can be REUSED after a context is GC'd
     if key in _SHIPPED:
         return
+    with _SHIP_LOCK:
+        if key in _SHIPPED:
+            return
+        _ensure_shipped_locked(sc, key)
+
+
+def _ensure_shipped_locked(sc, key: str) -> None:
     try:
         import tempfile
         import zipfile
@@ -239,6 +253,56 @@ def q_idw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(idw_agg_sql(f"({pairs}) _p", minneighbors=1, round_to=6))
 
 
+def _pip_inside_sql() -> str:
+    """Half-plane conjunction for the convex quad — ONE source for the
+    entry and the oracle (an inline copy of shared SQL diverged once
+    already; see q_langid's history)."""
+    verts = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
+    conds = []
+    for i in range(len(verts)):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % len(verts)]
+        conds.append(
+            f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
+        )
+    return " AND ".join(conds)
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
+    "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+)
+TOKEN_COUNT_SQL = (
+    "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "
+    "AS n_tokens, length(text) AS n_bytes FROM documents"
+)
+EVENTS_TOP_USERS_SQL = (
+    "SELECT event_type, user_id, n_events, rank FROM ("
+    "  SELECT event_type, user_id, n_events, row_number() OVER ("
+    "    PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rank"
+    "  FROM (SELECT event_type, user_id, count(*) AS n_events "
+    "        FROM events GROUP BY event_type, user_id) _c"
+    ") _r WHERE rank <= 3"
+)
+ERROR_RATE_TMPL = (
+    "SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) "
+    "+ 0.0 AS error_rate, count(*) AS n FROM "
+    "({pred}) p JOIN documents d ON p.doc_id = d.doc_id"
+)
+
+
+def _text_quality_sql() -> str:
+    toks = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    the = "(length(text) - length(replace(text, ' the ', ''))) / 5"
+    return (
+        f"SELECT doc_id, "
+        f"round(CAST(length(text) AS DOUBLE) / {toks}, 6) + 0.0 AS avg_tok_len, "
+        f"round(CAST({the} AS DOUBLE) / {toks}, 6) + 0.0 AS stopword_ratio, "
+        f"CASE WHEN {toks} >= 50 AND length(text) >= 200 THEN 1 ELSE 0 END "
+        f"AS quality_ok FROM documents"
+    )
+
+
 def q_nearest_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 nearest-1 snap: page → containing world-grid cell via inverse-grid
     arithmetic (no join), dedup to conditioning cells (fft.jl:131-133)."""
@@ -253,51 +317,28 @@ def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon domain membership (north-rule addition): convex
     polygon via half-plane tests, fully declarative."""
     _register(spark, sf_dir, ("documents",))
-    # convex quad (lon,lat): (-60,-40) (60,-50) (80,30) (-40,45)
-    verts = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
-    conds = []
-    for i in range(len(verts)):
-        x1, y1 = verts[i]
-        x2, y2 = verts[(i + 1) % len(verts)]
-        conds.append(
-            f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
-        )
-    inside = " AND ".join(conds)
     return spark.sql(
-        f"SELECT data_id, url FROM {_geo_pages_rel()} _p WHERE {inside}"
+        f"SELECT data_id, url FROM {_geo_pages_rel()} _p "
+        f"WHERE {_pip_inside_sql()}"
     )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents: survivor = min doc_id per text hash."""
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(
-        "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
-        "count(*) AS dup_count FROM documents GROUP BY md5(text)"
-    )
+    return spark.sql(DEDUP_EXACT_SQL)
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting via delimiter arithmetic (identical both engines)."""
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(
-        "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "
-        "AS n_tokens, length(text) AS n_bytes FROM documents"
-    )
+    return spark.sql(TOKEN_COUNT_SQL)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: word-length / stopword-ratio heuristics."""
     _register(spark, sf_dir, ("documents",))
-    toks = "(length(text) - length(replace(text, ' ', '')) + 1)"
-    the = "(length(text) - length(replace(text, ' the ', ''))) / 5"
-    return spark.sql(
-        f"SELECT doc_id, "
-        f"round(CAST(length(text) AS DOUBLE) / {toks}, 6) + 0.0 AS avg_tok_len, "
-        f"round(CAST({the} AS DOUBLE) / {toks}, 6) + 0.0 AS stopword_ratio, "
-        f"CASE WHEN {toks} >= 50 AND length(text) >= 200 THEN 1 ELSE 0 END "
-        f"AS quality_ok FROM documents"
-    )
+    return spark.sql(_text_quality_sql())
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,8 +346,6 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME `textstats.langid_sql` both sides of `error_rate` use (one
     source for markers + counting; an inline copy here silently diverged
     once already)."""
-    from geostatssolvers_jl_spark.webtext.textstats import langid_sql
-
     _register(spark, sf_dir, ("documents",))
     return spark.sql(langid_sql("documents"))
 
@@ -495,10 +534,17 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup over the events table (batch form of the
     streaming tile rollup): per-hour, per-type counts + value sums."""
     _register(spark, sf_dir, ("events",))
+    # epoch arithmetic, not date_trunc: date_trunc('hour') truncates in
+    # the SESSION timezone, so a half-hour-offset zone (externally created
+    # sessions run the host default) would shift every bucket 1800 s off
+    # the oracle's UTC truncation; floor(epoch/3600) is timezone-free
     return spark.sql(
-        "SELECT unix_timestamp(date_trunc('hour', ts)) AS hour_epoch, "
+        "SELECT CAST(floor(unix_timestamp(ts) / 3600) * 3600 AS BIGINT) "
+        "AS hour_epoch, "
         "event_type, count(*) AS n_events, round(sum(value), 6) + 0.0 AS total_value "
-        "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        "FROM events "
+        "GROUP BY CAST(floor(unix_timestamp(ts) / 3600) * 3600 AS BIGINT), "
+        "event_type"
     )
 
 
@@ -506,27 +552,14 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-style top-k per group on events: top-3 users by event count per
     event_type (window function + rank filter)."""
     _register(spark, sf_dir, ("events",))
-    return spark.sql(
-        "SELECT event_type, user_id, n_events, rank FROM ("
-        "  SELECT event_type, user_id, n_events, row_number() OVER ("
-        "    PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rank"
-        "  FROM (SELECT event_type, user_id, count(*) AS n_events "
-        "        FROM events GROUP BY event_type, user_id) _c"
-        ") _r WHERE rank <= 3"
-    )
+    return spark.sql(EVENTS_TOP_USERS_SQL)
 
 
 def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 classification error rate (pointwise.jl:35-36) of the langid
     heuristic against the documents' true lang — declarative agg."""
     _register(spark, sf_dir, ("documents",))
-    from geostatssolvers_jl_spark.webtext.textstats import langid_sql
-
-    pred = langid_sql("documents")
-    return spark.sql(
-        f"SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) + 0.0 AS error_rate, "
-        f"count(*) AS n FROM ({pred}) p JOIN documents d ON p.doc_id = d.doc_id"
-    )
+    return spark.sql(ERROR_RATE_TMPL.format(pred=langid_sql("documents")))
 
 
 # ------------------------------------------------------------ webtext ops
@@ -540,30 +573,60 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAT_CACHE: dict = {}
+_MAT_LOCK = __import__("threading").Lock()
 
 
 def _materialize(spark: SparkSession, sql: str, view: str) -> str:
     """Cache + force-materialize a relation under a temp view; unpersist
     the previous incarnation (repeated entry calls would otherwise pile up
-    stale InMemoryRelations).  Keyed on (applicationId, view, sql): an
-    IDENTICAL request reuses the live cache — the 128-hash signature is
-    requested by three entries per gate run and was rebuilt each time."""
+    stale InMemoryRelations).  Keyed on (applicationId, view); the cached
+    SESSION is checked by identity — temp views are session-scoped, so a
+    hit recorded by session A must rebuild for session B (B's catalog
+    cannot resolve A's view).  Lock-guarded: the gate runs arms
+    concurrently and an unsynchronized check-then-act leaks an extra
+    InMemoryRelation per race.  Keys from OTHER applications are purged
+    on insert (stopped contexts otherwise pin DataFrames forever)."""
     key = (spark.sparkContext.applicationId, view)
-    old = _MAT_CACHE.get(key)
-    if old is not None and old[0] == sql:
+    with _MAT_LOCK:
+        old = _MAT_CACHE.get(key)
+        if old is not None and old[0] == sql and old[2] is spark:
+            return view
+        if old is not None:
+            try:
+                old[1].unpersist()
+            except Exception:
+                pass
+            _MAT_CACHE.pop(key, None)
+        for k in [k for k in _MAT_CACHE if k[0] != key[0]]:
+            _MAT_CACHE.pop(k, None)
+        df = spark.sql(sql)
+        df.cache()
+        df.count()  # materialize NOW, inside the lock
+        df.createOrReplaceTempView(view)
+        _MAT_CACHE[key] = (sql, df, spark)
         return view
-    if old is not None:
-        try:
-            old[1].unpersist()
-        except Exception:
-            pass
-        _MAT_CACHE.pop(key, None)
-    df = spark.sql(sql)
-    df.cache()
-    df.count()  # materialize NOW: lazy caches race across concurrent arms
-    df.createOrReplaceTempView(view)
-    _MAT_CACHE[key] = (sql, df)
-    return view
+
+
+def _materialize_df(spark: SparkSession, name: str, builder) -> DataFrame:
+    """DataFrame-flavored `_materialize` (no temp view): one persisted
+    incarnation per (application, name, session), rebuilt — and the old
+    one unpersisted — when the session changes; repeated entry calls
+    reuse it instead of stacking InMemoryRelations."""
+    key = (spark.sparkContext.applicationId, f"_df:{name}")
+    with _MAT_LOCK:
+        old = _MAT_CACHE.get(key)
+        if old is not None and old[0] == name and old[2] is spark:
+            return old[1]
+        if old is not None:
+            try:
+                old[1].unpersist()
+            except Exception:
+                pass
+            _MAT_CACHE.pop(key, None)
+        df = builder().persist()
+        df.count()
+        _MAT_CACHE[key] = (name, df, spark)
+        return df
 
 
 def _mat_sig(spark: SparkSession) -> str:
@@ -982,12 +1045,6 @@ def q_kriging_edk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _krig5_df(spark: SparkSession):
-    return spark.createDataFrame(
-        KRIG5_PTS, "data_id long, x double, y double, z double"
-    )
-
-
 def q_kriging_local_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 LOCAL Ordinary Kriging (k=3) — value-checked against a pure-SQL
     Cramer's-rule solve of the per-cell OK system (krig.jl:205-228)."""
@@ -997,7 +1054,7 @@ def q_kriging_local_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.variogram import GaussianVariogram
 
     sol = solve_kriging(
-        _krig5_df(spark), FIX_GRID.spark_df(spark),
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
         model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
         maxneighbors=3, strategy="local-broadcast",
     )
@@ -1017,7 +1074,7 @@ def q_kriging_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.variogram import GaussianVariogram
 
     sol = solve_kriging(
-        _krig5_df(spark), FIX_GRID.spark_df(spark),
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
         model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
         maxneighbors=3, strategy="local-tiled", tile_res=4,
     )
@@ -1495,14 +1552,16 @@ def q_lugs_aniso_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.variogram import GaussianVariogram
 
     nx = 40
-    sim = solve_lugs(
+    # one persisted incarnation per session (the invariant SQL scans the
+    # view 5x, and repeated gate runs must not stack InMemoryRelations)
+    sim = _materialize_df(spark, "lugs_aniso_sim", lambda: solve_lugs(
         spark, CartesianGrid((nx, nx)), nreals=3,
         variables=[LUGSVariable(
             variogram=GaussianVariogram(range=1.0),
             metric=Anisotropic((20.0, 5.0)),
         )],
         seed=7,
-    ).persist()  # the invariant SQL scans this view 5x (2 joins + moments)
+    ))
     sim.createOrReplaceTempView("_lugs_aniso")
     return spark.sql(f"""
         WITH cx AS (
@@ -1783,21 +1842,9 @@ def oracle_sql() -> dict[str, str]:
         f"({world})", _pages_xyz(), HAV, k=5,
     )
 
-    # polygon + snap replicas of the Spark-side text
-    verts = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
-    conds = []
-    for i in range(len(verts)):
-        x1, y1 = verts[i]
-        x2, y2 = verts[(i + 1) % len(verts)]
-        conds.append(
-            f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
-        )
-    inside = " AND ".join(conds)
+    # polygon + snap: the SAME shared builders the entries call
+    inside = _pip_inside_sql()
     snap = WORLD_GRID.snap_cell_expr(("lon", "lat"))
-
-    toks = "(length(text) - length(replace(text, ' ', '')) + 1)"
-    the = "(length(text) - length(replace(text, ' the ', ''))) / 5"
-
 
     # DuckDB-native cosine (independent formulation — list comprehension)
     # bound derived from the list itself — a regenerated fixture at a
@@ -1911,21 +1958,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_polygon": (
             f"SELECT data_id, url FROM {geo_pages} _p WHERE {inside}"
         ),
-        "dedup_exact": (
-            "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
-            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
-        ),
-        "token_count": (
-            "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "
-            "AS n_tokens, length(text) AS n_bytes FROM documents"
-        ),
-        "text_quality": (
-            f"SELECT doc_id, "
-            f"round(CAST(length(text) AS DOUBLE) / {toks}, 6) + 0.0 AS avg_tok_len, "
-            f"round(CAST({the} AS DOUBLE) / {toks}, 6) + 0.0 AS stopword_ratio, "
-            f"CASE WHEN {toks} >= 50 AND length(text) >= 200 THEN 1 ELSE 0 END "
-            f"AS quality_ok FROM documents"
-        ),
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "token_count": TOKEN_COUNT_SQL,
+        "text_quality": _text_quality_sql(),
         "langid": langid_sql("documents"),
         "ann_cosine": ann,
         "units_affine": (
@@ -1948,9 +1983,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT range AS vid FROM range(441))"
         ),
         "events_hourly": (
-            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+            "AS hour_epoch, "
             "event_type, count(*) AS n_events, round(sum(value), 6) + 0.0 AS total_value "
-            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+            "FROM events "
+            "GROUP BY CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT), "
+            "event_type"
         ),
         "kriging_fixture_global": _kriging_global_oracle(),
         "lwr_fixture": _lwr_fixture_oracle(),
@@ -1966,25 +2004,12 @@ def oracle_sql() -> dict[str, str]:
             CartesianGrid((100,)), _LUGS_VALUES, 3, ("x",)
         ),
         "cookie_cutter": _cookie_oracle(),
-        "events_top_users": (
-            "SELECT event_type, user_id, n_events, rank FROM ("
-            "  SELECT event_type, user_id, n_events, row_number() OVER ("
-            "    PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rank"
-            "  FROM (SELECT event_type, user_id, count(*) AS n_events "
-            "        FROM events GROUP BY event_type, user_id) _c"
-            ") _r WHERE rank <= 3"
-        ),
-        "error_rate": (
-            "SELECT round(avg(CAST(p.pred_lang <> d.lang AS DOUBLE)), 6) "
-            "+ 0.0 AS error_rate, count(*) AS n FROM "
-            f"({_langid_body()}) p JOIN documents d ON p.doc_id = d.doc_id"
-        ),
+        "events_top_users": EVENTS_TOP_USERS_SQL,
+        "error_rate": ERROR_RATE_TMPL.format(pred=_langid_body()),
     }
 
 
 def _langid_body() -> str:
-    from geostatssolvers_jl_spark.webtext.textstats import langid_sql
-
     return langid_sql("documents")
 
 

@@ -54,8 +54,11 @@ def idw_agg_sql(pairs: str, var: str = "z", exponent: float = 1.0,
         f"WHEN min(dist) = 0.0 THEN 0.0 ELSE min(dist) END"
     )
     if round_to is not None:
-        mu = f"round({mu}, {round_to})"
-        sigma = f"round({sigma}, {round_to})"
+        # + 0.0 maps -0.0 to +0.0 (a no-op otherwise) so a sign-changing
+        # variable cannot hash-diverge from a Spark twin that normalizes
+        # (the gate's -0.0 contract; see __spark_entry__)
+        mu = f"round({mu}, {round_to}) + 0.0"
+        sigma = f"round({sigma}, {round_to}) + 0.0"
     return (
         f"SELECT {qid}, {mu} AS {var}, {sigma} AS {var}_distance "
         f"FROM {pairs} GROUP BY {qid}"

@@ -184,3 +184,22 @@ def test_registry_window_all_oracle_anchored():
         "dedup_minhash_lsh", "ann_topk_lsh", "multimodal_invariants",
     ):
         assert anchor in window, f"{anchor} fell out of the driver window"
+
+
+def test_events_hourly_timezone_invariant(spark):
+    """The hourly rollup must not depend on spark.sql.session.timeZone —
+    externally created sessions run the host default, and a half-hour-
+    offset zone shifted every date_trunc bucket 1800 s off the oracle's
+    UTC truncation (r4 review; fixed via epoch arithmetic)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = sorted(map(tuple, entry.q_events_hourly(spark, sf).collect()))
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        ist = sorted(map(tuple, entry.q_events_hourly(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert utc == ist and len(utc) > 0
