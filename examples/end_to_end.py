@@ -1,0 +1,133 @@
+"""End-to-end pipeline walkthrough — the path a GeoStatsSolvers.jl user
+takes through this engine, at web scale.
+
+    python examples/end_to_end.py [sf_dir]       (default sf0.01)
+
+Stages (each maps to a reference concept or a north-rule addition):
+  1. ingest + clean      — canonical-url dedup, exact text dedup, PII
+                           redaction, quality/repetition filters
+  2. split               — deterministic train/val/test assignment
+  3. georeference        — geocode pages, H3-style tile assignment
+                           (the reference's `georef` + domain)
+  4. estimate            — local Ordinary Kriging over a world grid
+                           (the reference's `solve(EstimationProblem,
+                           Kriging(...))`), strategy auto-planned
+  5. simulate            — a small conditional SGS ensemble (the
+                           reference's `SimulationProblem`)
+  6. sink                — partitioned parquet + lineage manifest,
+                           resumable (north-rule checkpoint contract)
+
+Run output: one line per stage with row counts / timings.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    from geostatssolvers_jl_spark.distances import Haversine
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+    from geostatssolvers_jl_spark.operators.kriging import (
+        KrigingModel, solve_kriging,
+    )
+    from geostatssolvers_jl_spark.session import get_spark
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams, solve_sgs,
+    )
+    from geostatssolvers_jl_spark.sources import pages as P
+    from geostatssolvers_jl_spark.sources.delimited import write_solution
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        redact_pii_sql, repetition_ratio_sql,
+    )
+    from geostatssolvers_jl_spark.webtext.urls import (
+        split_assign_sql, url_canonical_sql,
+    )
+
+    t_all = time.time()
+    spark = get_spark("end-to-end", master="local[8]")
+
+    def stage(name, t0, **kv):
+        kvs = " ".join(f"{k}={v}" for k, v in kv.items())
+        print(f"[{name:<10}] {time.time() - t0:6.2f}s  {kvs}", flush=True)
+
+    # ---- 1. ingest + clean ------------------------------------------
+    t0 = time.time()
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    canon = spark.sql(url_canonical_sql("spark"))
+    n_groups = canon.count()
+    survivors = canon.selectExpr("keep_doc AS doc_id")
+    red = spark.sql(redact_pii_sql("spark"))
+    rep = spark.sql(repetition_ratio_sql("spark"))
+    clean = (
+        spark.table("documents")
+        .join(survivors, "doc_id", "semi")                 # url dedup
+        .join(red.select("doc_id", "n_redacted"), "doc_id")
+        .join(rep.select("doc_id", "rep_ratio"), "doc_id")
+        .filter("rep_ratio IS NULL OR rep_ratio < 0.9")    # spam filter
+    )
+    n_clean = clean.count()
+    stage("clean", t0, url_groups=n_groups, kept=n_clean)
+
+    # ---- 2. split ----------------------------------------------------
+    t0 = time.time()
+    clean.createOrReplaceTempView("documents")  # downstream reads the view
+    split = spark.sql(split_assign_sql("spark"))
+    n_train = split.filter("split = 'train'").count()
+    stage("split", t0, train=n_train, total=n_clean)
+
+    # ---- 3. georeference (of the CLEANED set) -----------------------
+    t0 = time.time()
+    pg = P.geocode(P.load_pages(spark, SF), res=6)
+    pagesdf = pg.selectExpr(
+        "doc_id AS data_id", "lon", "lat",
+        "CAST(length(text) AS DOUBLE) AS z", "cell",
+    ).join(clean.selectExpr("doc_id AS data_id"), "data_id", "semi")
+    n_pages = pagesdf.count()
+    stage("georef", t0, pages=n_pages)
+
+    # ---- 4. estimate -------------------------------------------------
+    t0 = time.time()
+    grid = CartesianGrid.from_extent((-180.0, -90.0), (180.0, 90.0), (90, 45))
+    sol = solve_kriging(
+        pagesdf, grid.spark_df(spark),
+        model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=1e4)),
+        data_coord_cols=["lon", "lat"], maxneighbors=8,
+        metric=Haversine(6371.0),
+    )
+    n_cells = sol.count()
+    stage("krige", t0, cells=n_cells)
+
+    # ---- 5. simulate -------------------------------------------------
+    t0 = time.time()
+    sim = solve_sgs(
+        spark, CartesianGrid((40, 40)), nreals=4,
+        params=SGSParams(variogram=GaussianVariogram(range=5.0),
+                         maxneighbors=8),
+        seed=1,
+    )
+    n_sim = sim.count()
+    stage("simulate", t0, rows=n_sim, reals=4)
+
+    # ---- 6. sink -----------------------------------------------------
+    t0 = time.time()
+    out = Path(tempfile.mkdtemp(prefix="geostats_demo_")) / "solution"
+    write_solution(sol, str(out), partition_by=None)
+    n_back = spark.read.parquet(str(out)).count()
+    stage("sink", t0, rows=n_back, path=out)
+
+    print(f"TOTAL {time.time() - t_all:.1f}s  OK")
+
+
+if __name__ == "__main__":
+    main()
