@@ -132,6 +132,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "idw_pages", "knn_join", "knn_join_tiled", "idw_pages_tiled",
         "tile_assign", "dedup_exact", "token_count", "langid",
         "ann_cosine", "ann_topk_lsh", "dedup_minhash_lsh", "pip_polygon",
+        "url_canonical", "split_assign", "redact_pii", "repetition_ratio",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages
