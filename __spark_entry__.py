@@ -749,6 +749,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pairs (A~B, B~C ⇒ one cluster, one survivor, even when A~C
+    never surfaced as a candidate).  Spark side: iterative min-label
+    propagation (no recursive CTE in Spark SQL — the fixpoint loop IS the
+    operator); oracle: DuckDB recursive-CTE transitive closure — a
+    different algorithm reaching the same fixpoint."""
+    from geostatssolvers_jl_spark.webtext.components import (
+        connected_components,
+    )
+    from geostatssolvers_jl_spark.webtext.dedup import dedup_verified_sql
+
+    _register(spark, sf_dir, ("documents",))
+    pairs = spark.sql(dedup_verified_sql("spark", sig_rel=_mat_sig(spark)))
+    return connected_components(pairs).selectExpr(
+        "node AS doc_id", "component"
+    )
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-url dedup groups (crawl
     normalization: strip fragment, lowercase scheme/host, drop trailing
@@ -2009,6 +2028,19 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _components_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.components import (
+        components_oracle_sql,
+    )
+    from geostatssolvers_jl_spark.webtext.dedup import dedup_verified_sql
+
+    return (
+        components_oracle_sql(dedup_verified_sql("duck"))
+        .replace("SELECT node, min(other) AS component",
+                 "SELECT node AS doc_id, min(other) AS component")
+    )
+
+
 def _langid_body() -> str:
     return langid_sql("documents")
 
@@ -2464,6 +2496,7 @@ def _webtext_oracles() -> dict[str, str]:
             f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "
             f"md5(text) AS full_md5 FROM documents"
         ),
+        "dedup_components": _components_oracle(),
         "url_canonical": _urls.url_canonical_sql("duck"),
         "split_assign": _urls.split_assign_sql("duck"),
         "contamination": _urls.contamination_sql("duck"),
@@ -2557,6 +2590,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
         "fingerprint": q_fingerprint,
+        "dedup_components": q_dedup_components,
         "url_canonical": q_url_canonical,
         "split_assign": q_split_assign,
         "contamination": q_contamination,

@@ -508,3 +508,34 @@ def test_url_canonical_idempotent(spark):
     a = sorted(r[0] for r in once.collect())
     b = sorted(r[0] for r in twice.collect())
     assert a == b
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3 + pair (10,11) + triangle (20,21,22) with a redundant
+    edge — labels are the component minima, isolated from each other."""
+    from geostatssolvers_jl_spark.webtext.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs multiple sweeps (diameter 11) and exercises
+    the localCheckpoint lineage cut."""
+    from geostatssolvers_jl_spark.webtext.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
