@@ -60,7 +60,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("component").alias("nmin"))
             )
-            new = (
+            prop = (
                 labels.join(neigh, "node", "left")
                 .select(
                     "node",
@@ -68,6 +68,21 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                         F.col("component"),
                         F.coalesce(F.col("nmin"), F.col("component")),
                     ).alias("component"),
+                )
+            )
+            # pointer jumping: component ← component[component].  Labels
+            # are node ids inside the component, so the composition is
+            # well-defined and stays inside the component; with it, a
+            # path's distance-to-min halves per sweep — O(log diameter)
+            # sweeps instead of O(diameter) (a 100-link chain converges
+            # in ~9 sweeps, not 101).
+            jump = prop.selectExpr("node AS jn", "component AS jc")
+            new = (
+                prop.join(jump, prop.component == F.col("jn"), "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("jc"), F.col("component"))
+                    .alias("component"),
                 )
             )
             if (sweep + 1) % checkpoint_every == 0:
