@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b", max_sweeps: int = 30,
-                         checkpoint_every: int = 4) -> DataFrame:
+                         checkpoint_every: int = 1) -> DataFrame:
     """(node, component) for every node in ``pairs`` — component = min
     node id of the connected component.  Deterministic (pure min over
     ids).  Raises if the fixpoint is not reached within ``max_sweeps``
