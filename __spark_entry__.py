@@ -873,13 +873,34 @@ def _multimodal_invariants_oracle() -> str:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode plumbing (FakeCodec stub; rows-only check —
-    the decode itself is a documented stub, the Spark plumbing is real)."""
+    """Binary-column decode plumbing, VALUE-checked: the entry runs the
+    real mapInPandas decode (FakeCodec), whose output geometry is a
+    documented pure function of the payload digest (width/height = 4 +
+    md5-byte % 13, n_bytes = payload length) — the oracle recomputes that
+    contract in SQL from the same bytes (html = CAST(text AS BINARY), so
+    md5(payload) = md5(text)).  The thumb_md5 column stays OUT of the
+    gate projection: the pixel content is PCG64 output, not
+    SQL-expressible (the honest stub boundary)."""
     from geostatssolvers_jl_spark.sources.pages import load_pages
     from geostatssolvers_jl_spark.webtext.multimodal import decode_images
 
     pg = load_pages(spark, sf_dir)
-    return decode_images(pg, binary_col="html", id_col="url")
+    return decode_images(pg, binary_col="html", id_col="url").select(
+        "url", "width", "height", "n_bytes"
+    )
+
+
+def _multimodal_decode_oracle() -> str:
+    from geostatssolvers_jl_spark.sources.pages import pages_sql
+
+    hx = "('0x' || substr(md5(text), {a}, 2))::INT"
+    return (
+        f"SELECT url, "
+        f"CAST(4 + {hx.format(a=1)} % 13 AS INT) AS width, "
+        f"CAST(4 + {hx.format(a=3)} % 13 AS INT) AS height, "
+        f"CAST(strlen(text) AS BIGINT) AS n_bytes "
+        f"FROM ({pages_sql('documents')}) _p WHERE text IS NOT NULL"
+    )
 
 
 # ------------------------------------------------ non-SQL-expressible ops
@@ -2497,6 +2518,7 @@ def _webtext_oracles() -> dict[str, str]:
             f"md5(text) AS full_md5 FROM documents"
         ),
         "dedup_components": _components_oracle(),
+        "multimodal_decode": _multimodal_decode_oracle(),
         "url_canonical": _urls.url_canonical_sql("duck"),
         "split_assign": _urls.split_assign_sql("duck"),
         "contamination": _urls.contamination_sql("duck"),
