@@ -94,6 +94,16 @@ def commit_units(
             .save(f"{base}/{stage}")
         )
         wall = time.time() - t0
+        # schema sidecar (driver-side, tiny): an all-empty stage writes
+        # ZERO parquet part files under partitionBy, so a later read
+        # cannot infer the schema — the sidecar makes the empty stage
+        # readable instead of wedging every subsequent resume
+        import json as _json
+        import os as _os
+
+        _os.makedirs(f"{base}/{stage}", exist_ok=True)
+        with open(f"{base}/{stage}/_engine_schema.json", "w") as fh:
+            fh.write(_json.dumps(df.schema.jsonValue()))
         # lineage rows for THIS batch only — never rescan previously-
         # committed units (at 10^12-row scale a full rescan per batch is
         # the bottleneck)
@@ -138,4 +148,21 @@ def run_stage_resumable(
     if todo.limit(1).count() > 0:
         out = compute(todo)
         commit_units(out, base, stage, unit_col, units=todo)
-    return spark.read.format(FORMAT).load(f"{base}/{stage}")
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.format(FORMAT).load(f"{base}/{stage}")
+    except AnalysisException:
+        # a stage whose every unit legitimately produced 0 rows has
+        # manifest entries but no data files — return a typed empty
+        # frame from the schema sidecar instead of wedging every resume
+        import json as _json
+        from pathlib import Path
+
+        from pyspark.sql.types import StructType
+
+        sidecar = Path(f"{base}/{stage}/_engine_schema.json")
+        if sidecar.exists():
+            schema = StructType.fromJson(_json.loads(sidecar.read_text()))
+            return spark.createDataFrame([], schema)
+        raise

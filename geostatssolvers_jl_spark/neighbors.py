@@ -404,6 +404,33 @@ def _block_guard_sql(res: int, ring: int, metric: Distance) -> str:
     return "least(" + ", ".join(terms) + ")"
 
 
+def _wrap_lon(df: DataFrame, lon: str, metric: "Distance") -> DataFrame:
+    """Spherical-metric longitude normalization into [-180, 180).
+
+    0–360-convention (or otherwise out-of-range) longitudes would be
+    CLAMPED into an edge cell by the tile encode, and the certification
+    proof assumes a point's assigned cell contains its true position —
+    a query near the antimeridian could then certify while missing its
+    genuine nearest neighbor (haversine distances are periodic, the cell
+    grid is not).  Row-CONDITIONAL rewrite: in-range rows keep their
+    EXACT original bits ((lon+180)-180 is not an identity in floating
+    point — absorption near 0), so existing in-range corpora are
+    bit-unchanged; only out-of-range rows wrap.  Planar metrics skip the
+    wrap entirely — UTM-magnitude coordinates are legitimate there and
+    certification handles them via the world-boundary edge rules."""
+    if not isinstance(metric, Haversine):
+        return df
+    w = (f"(((({lon}) + 180.0) - floor((({lon}) + 180.0) / 360.0) "
+         f"* 360.0) - 180.0)")
+    return df.withColumn(
+        lon,
+        F.expr(
+            f"CASE WHEN ({lon}) >= -180.0 AND ({lon}) < 180.0 "
+            f"THEN ({lon}) ELSE {w} END"
+        ),
+    )
+
+
 def knn_join_tiled(
     queries: DataFrame,
     data: DataFrame,
@@ -444,6 +471,8 @@ def knn_join_tiled(
     from pyspark.sql import Window
 
     metric = metric or Haversine()
+    queries = _wrap_lon(queries, lon, metric)
+    data = _wrap_lon(data, lon, metric)
     cexpr = tiling.cell_expr(lon, lat, res)
 
     q = queries.withColumn("_qcell", F.expr(cexpr)).select(
@@ -597,6 +626,8 @@ def _bounded_terminal(
     degrade to the full pairing — exact either way."""
     from pyspark.sql import Window
 
+    pending = _wrap_lon(pending, lon, metric)
+    data = _wrap_lon(data, lon, metric)
     n = tiling.nside(res)
     q = pending.join(
         bounds, query_id, "left"

@@ -43,6 +43,9 @@ from ..neighbors import knn_join_tiled_exact
 #        dist (B,k) +inf-padded, valid (B,k)) -> pd.DataFrame
 ArrayKernel = Callable[..., pd.DataFrame]
 
+# one live final-pairs cache per application (see tiled_local_apply)
+_LAST_PAIRS: dict = {}
+
 
 def tiled_local_apply(
     grid_df: DataFrame,
@@ -58,12 +61,16 @@ def tiled_local_apply(
     res: int = 6,
     id_col: str = "cell_id",
     salt: int = 0,
-    first_replicate: str = "data",
+    first_replicate: str = "auto",
 ) -> DataFrame:
     """Search + gather + solve for a data side too big to broadcast.
     ``first_replicate``: which side the bulk tiled pass replicates ×9 —
     'queries' when the estimation grid is the smaller side (see
-    `knn_join_tiled_exact`)."""
+    `knn_join_tiled_exact`).  'auto' (default) compares the two row
+    counts and replicates the smaller side — two column-pruned count
+    scans, trivially amortized against the join they shape (the engine's
+    own headline shape is a small estimation grid vs a 10¹²-page data
+    side, where replicating the data side ×9 is exactly wrong)."""
     if len(data_coord_cols) != 2 or len(query_coord_cols) != 2:
         # SUPPORTED 3-D strategy: broadcast.  The reference's domains are
         # 1-D/2-D (CartesianGrid(100), (100,100) throughout its tests);
@@ -96,10 +103,30 @@ def tiled_local_apply(
         f"{data_coord_cols[0]} AS lon",
         f"{data_coord_cols[1]} AS lat",
     )
+    if first_replicate == "auto":
+        first_replicate = (
+            "queries" if qsel.count() <= dsel.count() else "data"
+        )
     pairs = knn_join_tiled_exact(
         qsel, dsel, k, res, metric=metric, salt=salt,
         first_replicate=first_replicate,
     )
+    # the ladder returns its final pairs CACHED (callers re-scan them in
+    # the attribute join + gather below); bound the pinned storage to ONE
+    # live pairs relation per session — repeated tiled solves otherwise
+    # accumulate a CacheManager entry each (the handle never reached the
+    # caller, so the documented caller-side unpersist was unreachable).
+    # cache() keeps lineage, so unpersisting the PREVIOUS solve's pairs
+    # stays correct even if its result is still lazily held — it would
+    # recompute, not fail.
+    app = qsel.sparkSession.sparkContext.applicationId
+    prev = _LAST_PAIRS.get(app)
+    if prev is not None and prev is not pairs:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _LAST_PAIRS[app] = pairs
     if radius is not None:
         # KBallSearch semantics: the ≤k nearest within the ball
         pairs = pairs.filter(F.col("dist") <= radius)
@@ -191,6 +218,7 @@ def kriging_tiled(
     id_col: str,
     res: int = 6,
     salt: int = 0,
+    first_replicate: str = "auto",
 ) -> DataFrame:
     from .kriging import solve_systems
 
@@ -208,6 +236,7 @@ def kriging_tiled(
         grid_df, data_df.filter(f"{var} IS NOT NULL"),
         query_coord_cols, data_coord_cols, [var], k, kernel, schema,
         metric=metric, radius=radius, res=res, id_col=id_col, salt=salt,
+        first_replicate=first_replicate,
     )
 
 
@@ -225,6 +254,7 @@ def idw_tiled(
     id_col: str,
     res: int = 6,
     salt: int = 0,
+    first_replicate: str = "auto",
 ) -> DataFrame:
     """Tiled IDW: gathered-array form of `idw.idw_kernel` (same math/order)."""
 
@@ -253,6 +283,7 @@ def idw_tiled(
         grid_df, data_df.filter(f"{var} IS NOT NULL"),
         query_coord_cols, data_coord_cols, [var], k, kernel, schema,
         metric=metric, radius=radius, res=res, id_col=id_col, salt=salt,
+        first_replicate=first_replicate,
     )
 
 
@@ -269,6 +300,7 @@ def idw_compositional_tiled(
     id_col: str,
     res: int = 6,
     salt: int = 0,
+    first_replicate: str = "auto",
 ) -> DataFrame:
     """Tiled compositional IDW: the composition array column is expanded
     into D part columns + (D−1) ilr coordinate columns (computed with the
@@ -332,6 +364,7 @@ def idw_compositional_tiled(
         grid_df, expanded, query_coord_cols, data_coord_cols,
         ycols + ccols, k, kernel, schema,
         metric=metric, radius=None, res=res, id_col=id_col, salt=salt,
+        first_replicate=first_replicate,
     )
 
 
@@ -349,6 +382,7 @@ def lwr_tiled(
     id_col: str,
     res: int = 6,
     salt: int = 0,
+    first_replicate: str = "auto",
 ) -> DataFrame:
     """Tiled LWR: gathered-array form of `lwr.lwr_kernel` (same math)."""
 
@@ -383,4 +417,5 @@ def lwr_tiled(
         grid_df, data_df.filter(f"{var} IS NOT NULL"),
         query_coord_cols, data_coord_cols, [var], k, kernel, schema,
         metric=metric, radius=radius, res=res, id_col=id_col, salt=salt,
+        first_replicate=first_replicate,
     )

@@ -40,7 +40,13 @@ def salt_hot_keys(
         key,
         F.ceil(F.col("_cnt") / threshold).cast("int").alias("_n_salt"),
     )
-    out = df.join(F.broadcast(hot), key, "left")
+    # NULL-safe equality: groupBy counts the NULL-key group (e.g. 10⁶
+    # failed-geocode rows with cell=NULL), but a plain `key` join can't
+    # match NULL==NULL — the hottest group would silently keep salt 0,
+    # the exact giant-task problem this function exists to fix
+    out = df.join(
+        F.broadcast(hot), df[key].eqNullSafe(hot[key]), "left"
+    ).drop(hot[key])
     return out.withColumn(
         "salt",
         F.when(

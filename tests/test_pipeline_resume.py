@@ -67,3 +67,25 @@ def test_pipeline_true_partial_resume(spark, tmp_path):
     assert len(got) == GRID.ncells
     # deterministic engine ⇒ resumed result identical to from-scratch
     assert all(abs(got[c] - want[c]) < 1e-9 for c in want)
+
+
+def test_resume_all_empty_stage_returns_typed_empty(spark, tmp_path):
+    """A stage whose every unit legitimately produces zero rows must stay
+    resumable (r4 review: zero part files -> schema inference failed on
+    the final read and every subsequent resume crashed)."""
+    from geostatssolvers_jl_spark.lineage import run_stage_resumable
+
+    units = spark.createDataFrame([(1,), (2,)], "unit long")
+
+    def compute(todo):
+        return spark.createDataFrame(
+            [], "unit long, z double"
+        )
+
+    base = str(tmp_path / "empty_stage")
+    out = run_stage_resumable(spark, base, "s1", units, compute)
+    assert out.count() == 0
+    assert "z" in out.columns
+    # resume with nothing pending: still readable, still empty
+    out2 = run_stage_resumable(spark, base, "s1", units, compute)
+    assert out2.count() == 0

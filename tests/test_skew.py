@@ -34,3 +34,17 @@ def test_two_stage_count_correct(spark):
     out = {r["cell"]: r["n_rows"] for r in
            two_stage_count(df, "cell", threshold=1000).collect()}
     assert out == {0: 10000, 1: 10000, 2: 10000}
+
+
+def test_salt_hot_null_key(spark):
+    """A hot NULL key (failed geocodes) must be salted too (r4 review:
+    the null-unsafe join left every NULL-cell row at salt 0 — the exact
+    giant-task problem the function exists to fix)."""
+    df = spark.range(30000).selectExpr(
+        "CASE WHEN id < 25000 THEN NULL ELSE 100 + id % 50 END AS cell",
+        "id AS row_id",
+    )
+    salted = salt_hot_keys(df, "cell", threshold=5000, hash_cols=["row_id"])
+    nulls = salted.filter("cell IS NULL")
+    n_salts = nulls.select("salt").distinct().count()
+    assert n_salts == 5  # 25k / 5k

@@ -217,3 +217,38 @@ def test_tiled_exact_anisotropic_metric(spark, points):
                           id_col="cell_id").collect()
         want = sorted((r["cell_id"], r["rank"], r["data_id"]) for r in exact)
         assert got == want, radii
+
+
+def test_tiled_wraps_0_360_longitudes(spark):
+    """0–360-convention data through the tiled join must return the SAME
+    neighbors as the brute kNN (r4 review: out-of-range lons were CLAMPED
+    into an edge cell, so antimeridian queries certified while missing
+    their true nearest neighbor)."""
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+
+    rows = []
+    rng = np.random.default_rng(9)
+    for i in range(300):
+        lon = float(rng.uniform(0.0, 360.0))     # 0–360 convention
+        rows.append((i, lon, float(rng.uniform(-30.0, 30.0))))
+    d = spark.createDataFrame(rows, "data_id long, lon double, lat double")
+    # queries in the standard convention, some right at the antimeridian
+    q = spark.createDataFrame(
+        [(0, -179.5, 0.0), (1, 179.5, 5.0), (2, 0.5, -10.0), (3, -90.0, 20.0)],
+        "cell_id long, lon double, lat double",
+    )
+    out = knn_join_tiled_exact(q, d, k=3, res=4, metric=Haversine(6371.0))
+    got = {(r["cell_id"], r["rank"]): (r["data_id"], round(r["dist"], 6))
+           for r in out.collect()}
+    # brute force via the broadcast search (haversine is periodic, so the
+    # raw 0-360 lons give the true neighbors)
+    from geostatssolvers_jl_spark.neighbors import search
+
+    dd = collect_points(d, ["lon", "lat"], [], id_col="data_id")
+    qq = collect_points(q, ["lon", "lat"], [], id_col="cell_id")
+    idx, dist, _ = search(dd, qq.coords, 3, Haversine(6371.0), None)
+    for qi in range(4):
+        for r in range(3):
+            did, dv = got[(qi, r + 1)]
+            assert did == dd.ids[idx[qi, r]], (qi, r, got)
+            assert dv == pytest.approx(dist[qi, r], abs=1e-6)
