@@ -1117,6 +1117,7 @@ def q_kriging_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
         model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
         maxneighbors=3, strategy="local-tiled", tile_res=4,
+        tiled_first_replicate="data",
     )
     return sol.selectExpr(
         "cell_id", "round(z, 6) + 0.0 AS z", "round(z_variance, 6) + 0.0 AS z_variance"
@@ -1136,6 +1137,7 @@ def q_idw_pages_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagesdf, WORLD_GRID.spark_df(spark), var="z",
         data_coord_cols=["lon", "lat"], maxneighbors=5,
         metric=Haversine(6371.0), strategy="local-tiled", tile_res=4,
+        tiled_first_replicate="data",
     )
     return sol.selectExpr(
         "cell_id", "round(z, 6) + 0.0 AS z", "round(z_distance, 6) + 0.0 AS z_distance"
@@ -1155,6 +1157,7 @@ def q_lwr_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sol = solve_lwr(
         data, FIX_GRID.spark_df(spark), maxneighbors=3,
         strategy="local-tiled", tile_res=4,
+        tiled_first_replicate="data",
     )
     return sol.selectExpr(
         "cell_id", "round(z, 6) + 0.0 AS z", "round(z_variance, 6) + 0.0 AS z_variance"
@@ -1348,6 +1351,7 @@ def q_kriging_pages_exactness_tiled(
         data_coord_cols=["lon", "lat"], query_coord_cols=["cx", "cy"],
         maxneighbors=8, metric=Haversine(6371.0),
         strategy="local-tiled", tile_res=4,
+        tiled_first_replicate="data",
     )
     return sol.selectExpr(
         "cell_id", "round(z, 1) + 0.0 AS z", "round(z_variance, 4) + 0.0 AS z_variance"

@@ -156,6 +156,7 @@ def solve_idw_compositional(
     strategy: str = "auto",
     tile_res: int | None = None,
     broadcast_limit: int = 2_000_000,
+    tiled_first_replicate: str = "auto",
 ) -> DataFrame:
     """IDW over composition-valued columns (reference:
     ``test/estimation/idw.jl:47-65``): spatial neighbor search + weighted
@@ -189,6 +190,7 @@ def solve_idw_compositional(
                 data, grid_df, var, data_coord_cols, query_coord_cols,
                 maxneighbors, minneighbors, exponent, metric, id_col,
                 res=(tile_res if tile_res is not None else 6),
+                first_replicate=tiled_first_replicate,
             )
     # collect_points gives the canonical id-sorted order, so kNN ties
     # break deterministically AND identically to the tiled path's
@@ -252,6 +254,7 @@ def solve_idw(
     strategy: str = "auto",
     tile_res: int | None = None,
     broadcast_limit: int = 2_000_000,
+    tiled_first_replicate: str = "auto",
 ) -> DataFrame:
     """IDW solve. ``grid_df`` must carry ``id_col`` and the query
     coordinate columns (e.g. cx, cy from `CartesianGrid.spark_df`).
@@ -281,6 +284,7 @@ def solve_idw(
                 data, grid_df, var, data_coord_cols, query_coord_cols,
                 maxneighbors, minneighbors, exponent, metric, radius,
                 id_col, res=(tile_res if tile_res is not None else 6),
+                first_replicate=tiled_first_replicate,
             )
     if isinstance(data, DataFrame):
         data = collect_points(

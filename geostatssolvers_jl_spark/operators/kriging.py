@@ -312,6 +312,7 @@ def solve_kriging(
     strategy: str = "auto",
     tile_res: int | None = None,
     broadcast_limit: int = 2_000_000,
+    tiled_first_replicate: str = "auto",
 ) -> DataFrame:
     """Returns (id_col, var, var_variance) over the grid/query DataFrame.
 
@@ -346,6 +347,7 @@ def solve_kriging(
                 data, grid_df, var, model, data_coord_cols,
                 query_coord_cols, maxneighbors, minneighbors, metric,
                 radius, id_col, res=(tile_res if tile_res is not None else 6),
+                first_replicate=tiled_first_replicate,
             )
     if isinstance(data, DataFrame):
         data = collect_points(

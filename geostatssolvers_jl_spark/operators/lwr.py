@@ -124,6 +124,7 @@ def solve_lwr(
     strategy: str = "auto",
     tile_res: int | None = None,
     broadcast_limit: int = 2_000_000,
+    tiled_first_replicate: str = "auto",
 ) -> DataFrame:
     """``strategy`` as in `solve_kriging`: 'auto' routes a DataFrame data
     side above ``broadcast_limit`` through the distributed tiled join."""
@@ -148,6 +149,7 @@ def solve_lwr(
                 data, grid_df, var, data_coord_cols, query_coord_cols,
                 maxneighbors, minneighbors, weightfun, metric, radius,
                 id_col, res=(tile_res if tile_res is not None else 6),
+                first_replicate=tiled_first_replicate,
             )
     if isinstance(data, DataFrame):
         data = collect_points(
