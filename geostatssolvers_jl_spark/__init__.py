@@ -6,7 +6,7 @@ distributed DataFrame operators — see SURVEY.md for the blueprint.
 """
 
 from .grid import CartesianGrid
-from .distances import Euclidean, Haversine
+from .distances import Anisotropic, Euclidean, Haversine
 from .variogram import (
     ExponentialVariogram,
     GaussianVariogram,
@@ -17,6 +17,7 @@ from .variogram import (
 
 __all__ = [
     "CartesianGrid",
+    "Anisotropic",
     "Euclidean",
     "Haversine",
     "GaussianVariogram",
