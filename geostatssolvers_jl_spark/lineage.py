@@ -35,6 +35,49 @@ def _manifest_path(base: str) -> str:
     return f"{base}/_lineage_manifest"
 
 
+def _sidecar_write(spark: SparkSession, path: str, payload: str) -> None:
+    """Write a tiny driver-side sidecar file through the Hadoop
+    FileSystem API, so it lands next to the Spark-written data even when
+    ``base`` is a non-local URI (hdfs://, s3a://) — a driver-local
+    ``open()`` would silently write into a bogus local directory and the
+    all-empty-stage resume fallback would never find it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark: SparkSession, path: str) -> str | None:
+    """Read a sidecar written by `_sidecar_write`; None if absent.
+    Goes through the Hadoop FileSystem API (not ``spark.read.text`` —
+    file sources IGNORE ``_``-prefixed files, and the underscore prefix
+    is deliberate so the stage's parquet read skips the sidecar), so any
+    URI the writer could reach is readable — no driver-local I/O.  One
+    py4j round-trip per line; the sidecar is one JSON line."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return "\n".join(lines)
+    finally:
+        reader.close()
+
+
 def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
@@ -99,11 +142,12 @@ def commit_units(
         # cannot infer the schema — the sidecar makes the empty stage
         # readable instead of wedging every subsequent resume
         import json as _json
-        import os as _os
 
-        _os.makedirs(f"{base}/{stage}", exist_ok=True)
-        with open(f"{base}/{stage}/_engine_schema.json", "w") as fh:
-            fh.write(_json.dumps(df.schema.jsonValue()))
+        _sidecar_write(
+            df.sparkSession,
+            f"{base}/{stage}/_engine_schema.json",
+            _json.dumps(df.schema.jsonValue()),
+        )
         # lineage rows for THIS batch only — never rescan previously-
         # committed units (at 10^12-row scale a full rescan per batch is
         # the bottleneck)
@@ -157,12 +201,11 @@ def run_stage_resumable(
         # manifest entries but no data files — return a typed empty
         # frame from the schema sidecar instead of wedging every resume
         import json as _json
-        from pathlib import Path
 
         from pyspark.sql.types import StructType
 
-        sidecar = Path(f"{base}/{stage}/_engine_schema.json")
-        if sidecar.exists():
-            schema = StructType.fromJson(_json.loads(sidecar.read_text()))
+        txt = _sidecar_read(spark, f"{base}/{stage}/_engine_schema.json")
+        if txt is not None:
+            schema = StructType.fromJson(_json.loads(txt))
             return spark.createDataFrame([], schema)
         raise

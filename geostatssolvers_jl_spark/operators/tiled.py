@@ -43,8 +43,12 @@ from ..neighbors import knn_join_tiled_exact
 #        dist (B,k) +inf-padded, valid (B,k)) -> pd.DataFrame
 ArrayKernel = Callable[..., pd.DataFrame]
 
-# one live final-pairs cache per application (see tiled_local_apply)
+# one live final-pairs cache per application (see tiled_local_apply);
+# entries are (owning SparkSession, pairs DataFrame, semanticHash) and
+# every get/evict/store runs under _PAIRS_LOCK — the gate executes arms
+# concurrently, so the sequence must be atomic
 _LAST_PAIRS: dict = {}
+_PAIRS_LOCK = __import__("threading").Lock()
 
 
 def tiled_local_apply(
@@ -119,31 +123,39 @@ def tiled_local_apply(
     # cache() keeps lineage, so unpersisting the PREVIOUS solve's pairs
     # stays correct even if its result is still lazily held — it would
     # recompute, not fail.
-    app = qsel.sparkSession.sparkContext.applicationId
-    prev = _LAST_PAIRS.get(app)
-    if prev is not None:
-        prev_df, prev_sem = prev
-        try:
-            sem = pairs._jdf.queryExecution().analyzed().semanticHash()
-        except Exception:
-            sem = None
-        if sem is not None and sem == prev_sem:
-            # identical solve repeated (bench reps, retried stages): the
-            # CacheManager already holds these exact pairs — evicting
-            # them would force a full ladder re-execution for nothing
-            pairs = prev_df
+    # the gate runs arms concurrently, so the check/evict/store sequence
+    # must be atomic: interleaved threads could unpersist a pairs
+    # relation another in-flight solve depends on (correct via lineage
+    # but forces a full ladder re-execution) or overwrite an entry
+    # without unpersisting it (stranding a pinned InMemoryRelation —
+    # exactly the growth this cache bounds).  Keyed by the owning
+    # SparkSession too: applicationId is shared across sessions of one
+    # context, and a semanticHash hit must never hand back a DataFrame
+    # built in a different session.
+    sess = qsel.sparkSession
+    app = sess.sparkContext.applicationId
+    try:
+        sem = pairs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        sem = None
+    with _PAIRS_LOCK:
+        prev = _LAST_PAIRS.get(app)
+        if prev is not None:
+            prev_sess, prev_df, prev_sem = prev
+            if (sem is not None and sem == prev_sem
+                    and prev_sess is sess):
+                # identical solve repeated (bench reps, retried stages):
+                # the CacheManager already holds these exact pairs —
+                # evicting them would force a full ladder re-execution
+                pairs = prev_df
+            else:
+                try:
+                    prev_df.unpersist()
+                except Exception:
+                    pass
+                _LAST_PAIRS[app] = (sess, pairs, sem)
         else:
-            try:
-                prev_df.unpersist()
-            except Exception:
-                pass
-            _LAST_PAIRS[app] = (pairs, sem)
-    else:
-        try:
-            sem = pairs._jdf.queryExecution().analyzed().semanticHash()
-        except Exception:
-            sem = None
-        _LAST_PAIRS[app] = (pairs, sem)
+            _LAST_PAIRS[app] = (sess, pairs, sem)
     if radius is not None:
         # KBallSearch semantics: the ≤k nearest within the ball
         pairs = pairs.filter(F.col("dist") <= radius)

@@ -113,11 +113,24 @@ def write_solution_table(
     v1 ``insertInto`` (positional, partition-aware; columns aligned to
     the table schema first) with a warnings-module notice.  On an Iceberg
     catalog the V2 append executes directly.  The fallback triggers match
-    Spark's current error text ("v1 table" / "TABLE_OPERATION"); if a
-    future Spark rewords them the sink fails loudly instead of silently
-    switching paths — the correct failure direction for a write."""
+    Spark's STRUCTURED error class first (``getErrorClass()`` — stable
+    across message rewording) and only fall back to the current error
+    text ("v1 table" / "TABLE_OPERATION"); if a future Spark changes
+    both, the sink fails loudly instead of silently switching paths —
+    the correct failure direction for a write."""
     from pyspark.sql import functions as F
     from pyspark.errors import AnalysisException
+
+    def _is_v1_rejection(e, needle: str) -> bool:
+        # structured error class beats message-substring matching: the
+        # class survives message rewording across Spark minors
+        try:
+            ec = e.getErrorClass() or ""
+        except Exception:
+            ec = ""
+        if "TABLE_OPERATION" in ec or "UNSUPPORTED_FEATURE" in ec:
+            return True
+        return needle in str(e)
 
     spark = df.sparkSession
     wt = df.writeTo(table).using(provider)
@@ -127,7 +140,7 @@ def write_solution_table(
         try:
             wt.createOrReplace()
         except AnalysisException as e:
-            if "TABLE_OPERATION" not in str(e):
+            if not _is_v1_rejection(e, "TABLE_OPERATION"):
                 raise
             # v1 session catalog: no REPLACE TABLE AS SELECT — drop+create
             spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -137,7 +150,7 @@ def write_solution_table(
             try:
                 df.writeTo(table).append()
             except AnalysisException as e:
-                if "v1 table" not in str(e):
+                if not _is_v1_rejection(e, "v1 table"):
                     raise
                 # session-catalog (v1) fallback; identical row semantics.
                 # insertInto is positional and partition-aware, so align

@@ -34,7 +34,24 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     """(node, component) for every node in ``pairs`` — component = min
     node id of the connected component.  Deterministic (pure min over
     ids).  Raises if the fixpoint is not reached within ``max_sweeps``
-    (diameter-bound; near-dup graphs converge in a handful)."""
+    (diameter-bound; near-dup clusters converge in a handful).
+
+    Result lifetime: the returned DataFrame is localCheckpointed (or
+    persisted) — callers that are done with it should ``.unpersist()``
+    it, or write it to storage; in a long-lived session the checkpoint
+    blocks are unreplicated, so after an executor loss the result must
+    be recomputed by re-running the operator (its lineage was cut by
+    design).  Durable pipelines should land the labels via
+    `lineage.commit_units` / a table write immediately.
+
+    ``checkpoint_every=1`` is a measured default, not an oversight: the
+    sweep body references the previous iteration three times, so without
+    a per-sweep plan cut the logical plan QUADRUPLES per sweep and
+    Catalyst re-analysis dominates within two sweeps (9.5 s of driver
+    plan-build on a 25-pair toy graph).  ``persist`` caches data, not
+    the plan, so "persist intermediates, checkpoint every few sweeps"
+    does not help here.  Raise ``checkpoint_every`` only if driver
+    memory for checkpoint blocks is the binding constraint."""
     # the union references `pairs` twice — persist so an expensive
     # upstream (the composed MinHash dedup) computes once, not twice
     pairs = pairs.persist()

@@ -289,6 +289,15 @@ def _auto_planes(emb_df, n_planes: int | None) -> int:
 
 _AUTO_VIEW_SEQ = itertools.count()
 
+# one live auto-wrapper bucket persist per application: repeated
+# ann_topk/dedup_embedding calls otherwise accumulate a pinned
+# InMemoryRelation each (the handle never reached the caller), degrading
+# other caches under storage pressure.  Entries are (owning
+# SparkSession, persisted bucket DataFrame); atomic under the lock
+# because the gate runs arms concurrently.
+_LAST_BUCKETS: dict = {}
+_BUCKETS_LOCK = __import__("threading").Lock()
+
 
 def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
     """Shared wrapper plumbing: per-call UNIQUE view names (a fixed shared
@@ -313,6 +322,20 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
     emb_df.createOrReplaceTempView(emb_rel)
     bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
     bt.persist().createOrReplaceTempView(bt_rel)
+    # evict the PREVIOUS call's persisted bucket table (unpersist keeps
+    # lineage, so a caller still lazily holding the prior result would
+    # recompute, not fail) — bounds the wrapper to one live persist per
+    # application instead of one per call
+    app = spark.sparkContext.applicationId
+    with _BUCKETS_LOCK:
+        prev = _LAST_BUCKETS.get(app)
+        if prev is not None:
+            _, prev_bt = prev
+            try:
+                prev_bt.unpersist()
+            except Exception:
+                pass
+        _LAST_BUCKETS[app] = (spark, bt)
 
     def cleanup():
         spark.catalog.dropTempView(emb_rel)
