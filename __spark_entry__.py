@@ -2574,13 +2574,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_pages_tiled": q_idw_pages_tiled,
         "idw_radius": q_idw_radius,
         "kriging_local_fixture": q_kriging_local_fixture,
-        "kriging_tiled_fixture": q_kriging_tiled_fixture,
         "kriging_fixture_global": q_kriging_fixture_global,
         "kriging_uk_local": q_kriging_uk_local,
-        "kriging_sk_local": q_kriging_sk_local,
-        "kriging_edk_local": q_kriging_edk_local,
-        "kriging_spherical_local": q_kriging_spherical_local,
-        "kriging_pages_exactness": q_kriging_pages_exactness,
+        # r5 window rotation (VERDICT r4 item 2): every registry entry
+        # gets driver-green at least once across rounds.  Rotated IN this
+        # round: kriging_pages_exactness_tiled (replacing the broadcast-
+        # strategy exactness twin AND the tiled-fixture slot — same
+        # invariant families, tiled strategy) + the four r4 webtext ops
+        # below; rotated OUT (redundant variants, each family keeps an
+        # in-window anchor): kriging_tiled_fixture, kriging_sk_local,
+        # kriging_edk_local, kriging_spherical_local,
+        # kriging_pages_exactness.
+        "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "lwr_custom_weight": q_lwr_custom_weight,
         "lwr_fixture": q_lwr_fixture,
@@ -2613,13 +2618,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
         "multimodal_invariants": q_multimodal_invariants,
-        # ==== slot 51+: parameter variants & rows-only (past the driver
-        # window; still green under tools/check_oracle.py) ====
-        "fingerprint": q_fingerprint,
         "dedup_components": q_dedup_components,
         "url_canonical": q_url_canonical,
         "split_assign": q_split_assign,
         "contamination": q_contamination,
+        # ==== slot 51+: parameter variants & rows-only (past the driver
+        # window; still green under tools/check_oracle.py) ====
+        "fingerprint": q_fingerprint,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "tile_parent": q_tile_parent,
@@ -2628,7 +2633,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_uk_global": q_kriging_uk_global,
         "kriging_edk_global": q_kriging_edk_global,
         "kriging_exponential_local": q_kriging_exponential_local,
-        "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
+        "kriging_tiled_fixture": q_kriging_tiled_fixture,
+        "kriging_sk_local": q_kriging_sk_local,
+        "kriging_edk_local": q_kriging_edk_local,
+        "kriging_spherical_local": q_kriging_spherical_local,
+        "kriging_pages_exactness": q_kriging_pages_exactness,
         "idw_compositional": q_idw_compositional,
         "idw_power": q_idw_power,
         "idw_anisotropic": q_idw_anisotropic,

@@ -158,27 +158,6 @@ def _tile_field(
     return Zi.ravel(order="F"), ids.ravel(order="F")
 
 
-def _residual_matrix(zu_rows, dcell_ids: np.ndarray, zdat: np.ndarray,
-                     nreals: int, var: str) -> np.ndarray:
-    """(nreals, ndata) residual scatter zdat − z_unconditional in canonical
-    (sorted dcell_ids) order — one vectorized fancy-index assignment; at
-    nreals=1000 × 10⁴ data cells a per-row Python loop here would be 10⁷
-    driver iterations.  Tile interiors partition the grid, so each
-    (real, cell) appears exactly once; the membership assert below keeps
-    the old dict-lookup loop's fail-loudly contract (searchsorted would
-    otherwise silently scatter an unknown cell id into a neighbor's
-    slot)."""
-    rid = zu_rows["real_id"].to_numpy(np.int64)
-    cells = zu_rows["cell_id"].to_numpy(np.int64)
-    pidx = np.searchsorted(dcell_ids, cells)
-    pidx = np.minimum(pidx, len(dcell_ids) - 1)
-    if not np.array_equal(dcell_ids[pidx], cells):
-        raise ValueError("unconditional rows contain non-data cell ids")
-    R = np.zeros((nreals, len(dcell_ids)))
-    R[rid, pidx] = zdat[pidx] - zu_rows[var].to_numpy(np.float64)
-    return R
-
-
 def solve_fftgs(
     spark: SparkSession,
     grid: CartesianGrid,
@@ -352,11 +331,15 @@ def _solve_fftgs_tiled(
     metric: Distance | None = None,
 ) -> DataFrame:
     """Tiled-halo FFTGS.  Unconditional: one job over (real × tile) units.
-    Conditional: pass A evaluates zᵤ at the (few) data-bearing tiles to
-    get per-real residuals (small — collected and re-broadcast), pass B
-    simulates every (real × tile) and applies the residual-kriging
-    correction in-task.  Two jobs total, RNG streams (seed, real, tile)
-    identical in both passes, no driver-side per-realization loop."""
+    Conditional: pass A evaluates zᵤ at the data-bearing tiles, residuals
+    stay a DISTRIBUTED (real_id, cell_id, resid) relation gathered into
+    one canonical-order vector per realization and shuffle-joined to the
+    (real × tile) units; pass B simulates every unit and applies the
+    residual-kriging correction in-task.  One logical pipeline, RNG
+    streams (seed, real, tile) identical in both passes, no driver-side
+    per-realization loop and no driver-sized residual matrix (the
+    reference factorizes the same conditioning data in one process,
+    ``fft.jl:106-134`` — the engine distributes it instead)."""
     tiles = _tile_layout(grid, tile_dims, variogram, metric)
     schema = f"real_id long, cell_id long, {var} double"
     nunits = nreals * len(tiles)
@@ -428,17 +411,57 @@ def _solve_fftgs_tiled(
                     var: z[m_],
                 })
 
-    zu_rows = (
+    # ---- residuals as a DISTRIBUTED (real_id, cell_id, resid) relation --
+    # The former design collected every (real, data cell) unconditional
+    # value to the driver and broadcast a dense nreals × ndata residual
+    # matrix — the engine's last driver-sized artifact, and the first
+    # thing to break at dense conditioning × large ensembles.  Now the
+    # residuals never touch the driver: pass A's output joins the (small,
+    # broadcast) conditioning values, residuals are gathered into ONE
+    # canonical-order vector per realization (sort_array on
+    # struct(cell_id, resid) — the same sorted-dcell order the matrix
+    # rows used), and each (real × tile) unit receives exactly its
+    # real's vector through an ordinary shuffle join.  Executor-side
+    # arithmetic is unchanged (resid = zdat − zᵤ in IEEE double either
+    # way), so results are bit-identical to the broadcast-matrix form.
+    zu_df = (
         spark.range(nreals * len(data_tiles),
                     numPartitions=min(nreals * len(data_tiles), 64))
         .mapInPandas(gen_at_data, schema=schema)
-        .toPandas()
     )
-    R = _residual_matrix(zu_rows, dcell_ids, zdat, nreals, var)
+    resid_df = (
+        zu_df.join(Fn.broadcast(dcells), "cell_id")
+        .select(
+            "real_id", "cell_id",
+            (Fn.col("zdat") - Fn.col(var)).alias("resid"),
+        )
+    )
+    per_real = (
+        resid_df.groupBy("real_id")
+        .agg(Fn.sort_array(
+            Fn.collect_list(Fn.struct("cell_id", "resid"))
+        ).alias("_rs"))
+        .select(
+            "real_id",
+            Fn.expr("transform(_rs, s -> s.cell_id)").alias("rs_cells"),
+            Fn.expr("transform(_rs, s -> s.resid)").alias("rs_resid"),
+        )
+    )
+    units_df = (
+        units.select(
+            Fn.expr(f"id DIV {len(tiles)}").alias("real_id"),
+            Fn.expr(f"id % {len(tiles)}").alias("ti"),
+        )
+        .join(per_real, "real_id")
+        # the join hashes on real_id, which would funnel ALL of a real's
+        # tiles into one task — re-spread the (real × tile) units so the
+        # per-tile FFT work keeps its parallelism
+        .repartition(min(nunits, 64), "real_id", "ti")
+    )
     model = KrigingModel(variogram=variogram, mean=0.0)
     met_cond = metric if metric is not None else Euclidean()
     bc_cond = spark.sparkContext.broadcast(
-        (dcell_ids, zdat, dcoords, R, model, maxneighbors, krig_radius,
+        (dcell_ids, zdat, dcoords, model, maxneighbors, krig_radius,
          met_cond)
     )
 
@@ -449,18 +472,28 @@ def _solve_fftgs_tiled(
         )
 
         g_, tl_, vg_, mu_, sd_, _met_unused = bc.value
-        ids_d, zd, Xd, R_, mdl, kmax, rad, met = bc_cond.value
+        ids_d, zd, Xd, mdl, kmax, rad, met = bc_cond.value
         nd = len(ids_d)
         pd_data = PointData(coords=Xd, values={}, ids=ids_d)
         fit0 = None
         cache: dict = {}
         for pdf in batches:
-            for unit in pdf["id"].tolist():
-                real_id, ti = int(unit) // len(tl_), int(unit) % len(tl_)
+            for row in pdf.itertuples(index=False):
+                real_id, ti = int(row.real_id), int(row.ti)
                 z, ids = _tile_field(
                     g_, tl_[ti], vg_, mu_, sd_, real_id, cache, met
                 )
-                resid = R_[real_id]
+                cells = np.asarray(row.rs_cells, dtype=np.int64)
+                resid = np.asarray(row.rs_resid, dtype=np.float64)
+                # fail-loudly contract of the former _residual_matrix:
+                # the per-real vector must cover EXACTLY the conditioning
+                # cells, in canonical order (a missing or stray cell
+                # would silently misalign the kriging right-hand side)
+                if not np.array_equal(cells, ids_d):
+                    raise ValueError(
+                        "per-real residual vector does not match the "
+                        "conditioning cell set"
+                    )
                 q = g_.centroids_np(ids)
                 if kmax is None:
                     if fit0 is None:
@@ -489,4 +522,4 @@ def _solve_fftgs_tiled(
                     var: z,
                 })
 
-    return units.mapInPandas(gen_cond, schema=schema)
+    return units_df.mapInPandas(gen_cond, schema=schema)

