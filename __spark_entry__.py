@@ -350,6 +350,22 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(langid_sql("documents"))
 
 
+def q_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID: character-trigram Naive Bayes
+    (`webtext/langmodel.py`) — train + score in one portable pipeline,
+    log-probs quantized to integer micro-units so per-doc scores are
+    order-independent BIGINT sums; the oracle runs the IDENTICAL SQL on
+    DuckDB (same counts, same ln quantization, same argmax tie-break).
+    Realism evidence (held-out accuracy on a corpus whose text actually
+    varies by language) lives in
+    tests/test_webtext.py::test_langid_model_accuracy — this entry
+    anchors cross-engine exactness of the full train+score computation."""
+    from geostatssolvers_jl_spark.webtext.langmodel import langid_model
+
+    _register(spark, sf_dir, ("documents",))
+    return langid_model(spark, spark.table("documents"))
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     _register(spark, sf_dir, ("embeddings",))
@@ -737,6 +753,12 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("embeddings",))
     return spark.sql(bucket_sql("spark"))
+
+
+def _langid_model_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.langmodel import langid_model_sql
+
+    return langid_model_sql("duckdb", "documents")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2006,6 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": TOKEN_COUNT_SQL,
         "text_quality": _text_quality_sql(),
         "langid": langid_sql("documents"),
+        "langid_model": _langid_model_oracle(),
         "ann_cosine": ann,
         "units_affine": (
             "SELECT cell_id, round(z, 6) + 0.0 AS temp_k FROM ("
@@ -2625,6 +2648,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
         "fingerprint": q_fingerprint,
+        "langid_model": q_langid_model,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "tile_parent": q_tile_parent,

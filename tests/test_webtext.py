@@ -539,3 +539,78 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def _synth_multilang_corpus(n_per_lang: int = 150, seed: int = 3):
+    """Deterministic corpus whose text ACTUALLY varies by language —
+    distinct per-language character distributions with overlapping
+    alphabets (the testdata corpus's lang label is text-independent, so
+    classifier realism must be shown here)."""
+    import numpy as np
+
+    alphabets = {
+        "aa": list("etaoinshr dlcmf"),
+        "bb": list("eanitdrsu äöüßg"),
+        "cc": list("eaionstrl éàèçp"),
+        "dd": list("aeonslrdt ñíóúb"),
+    }
+    rng = np.random.default_rng(seed)
+    rows = []
+    doc_id = 0
+    for lang, chars in alphabets.items():
+        chars = [c for c in chars if c != " "]
+        for _ in range(n_per_lang):
+            words = []
+            for _w in range(int(rng.integers(20, 40))):
+                wl = int(rng.integers(3, 9))
+                words.append("".join(
+                    chars[i] for i in rng.integers(0, len(chars), wl)
+                ))
+            rows.append((doc_id, " ".join(words), lang))
+            doc_id += 1
+    return rows
+
+
+def test_langid_model_accuracy(spark):
+    """The trained trigram NB classifier (webtext/langmodel.py) must beat
+    a stated held-out accuracy bound on a corpus with real per-language
+    character signal — the realism evidence the exactness gate entry
+    (`langid_model`) cannot provide, since the testdata lang label is
+    text-independent.  Statistical-bound style mirrors the reference's
+    learning test (test/learning/pointwise.jl:35-36)."""
+    from geostatssolvers_jl_spark.webtext.langmodel import langid_model
+
+    rows = _synth_multilang_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # deterministic 80/20 split on doc_id (stratified by construction:
+    # ids are interleaved per lang in blocks, modulo split cuts evenly)
+    train = df.filter("doc_id % 5 <> 0")
+    test = df.filter("doc_id % 5 = 0")
+    pred = langid_model(spark, train, test)
+    joined = pred.join(df.select("doc_id", "lang"), "doc_id")
+    n = joined.count()
+    good = joined.filter("pred_lang = lang").count()
+    assert n == 120
+    acc = good / n
+    assert acc >= 0.95, f"held-out accuracy {acc:.3f} < 0.95"
+
+
+def test_langid_model_coverage_and_determinism(spark):
+    """One output row per scored document — including sub-3-char docs
+    (no trigrams: scored by prior, argmax tie-break 'smallest lang') —
+    and identical output on a rerun."""
+    from geostatssolvers_jl_spark.webtext.langmodel import langid_model
+
+    df = spark.createDataFrame(
+        [(0, "hello there friend", "en"), (1, "ab", "en"),
+         (2, "", "de"), (3, "der die das und der", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = langid_model(spark, df).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]
+    out2 = langid_model(spark, df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # priors are equal (2 en, 2 de) → the no-trigram docs tie-break to
+    # the lexicographically smallest language
+    by = {r["doc_id"]: r["pred_lang"] for r in out}
+    assert by[1] == "de" and by[2] == "de"
