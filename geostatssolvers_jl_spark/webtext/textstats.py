@@ -66,30 +66,55 @@ def langid_sql(docs_rel: str = "documents") -> str:
 
 def redact_pii_sql(dialect: str, docs_rel: str = "documents") -> str:
     """PII scrubbing (cleaning pass): token-level redaction of
-    email-shaped tokens ('%@%.%' → '<EMAIL>') and all-digit runs of ≥7
-    ('<PHONE>'), plus per-doc redaction counts.  Token arithmetic only —
-    regex dialects diverge between engines; LIKE + translate() do not.
-    PII is synthesized deterministically into the text (the corpus is
-    synthetic and carries none), shared VERBATIM by entry and oracle so
-    the OPERATOR is what both engines must agree on."""
+    email-shaped tokens ('%@%.%' → '<EMAIL>'), SSN-shaped tokens
+    (digit-shape exactly '###-##-####' → '<SSN>'), IPv4-shaped tokens
+    (digits+dots only, 3 dots, no empty octet, octets ≤ 3 digits →
+    '<IP>'), and all-digit runs of ≥7 ('<PHONE>'), plus per-doc
+    redaction counts.  Token arithmetic only — regex dialects diverge
+    between engines; LIKE + translate() do not (the digit SHAPE comes
+    from ``translate(t, '0123456789', '##########')``, so a date
+    '2024-01-01' → '####-##-##' never matches the SSN shape and a
+    version '1.2.3' fails the three-dot test).  PII is synthesized
+    deterministically into the text (the corpus is synthetic and carries
+    none), shared VERBATIM by entry and oracle so the OPERATOR is what
+    both engines must agree on."""
     pii = (
         "(text || CASE WHEN doc_id % 11 = 0 "
         "THEN ' contact bob' || CAST(doc_id % 50 AS {str}) "
         "|| '@mail.example.com today' ELSE '' END "
         "|| CASE WHEN doc_id % 13 = 0 "
         "THEN ' call 555' || CAST(1000000 + doc_id AS {str}) || ' now' "
-        "ELSE '' END)"
+        "ELSE '' END "
+        "|| CASE WHEN doc_id % 17 = 0 "
+        "THEN ' ssn 078-05-' || CAST(1000 + doc_id % 9000 AS {str}) "
+        "|| ' leaked' ELSE '' END "
+        "|| CASE WHEN doc_id % 19 = 0 "
+        "THEN ' host 10.' || CAST(doc_id % 256 AS {str}) || '.0.' "
+        "|| CAST(doc_id % 250 AS {str}) || ' up' ELSE '' END)"
     ).format(str="STRING" if dialect == "spark" else "VARCHAR")
+    shape = "translate(t, '0123456789', '##########')"
     is_email = "t LIKE '%@%.%'"
+    is_ssn = f"{shape} = '###-##-####'"
+    is_ipv4 = (
+        "(translate(t, '0123456789', '') = '...' "
+        "AND t NOT LIKE '.%' AND t NOT LIKE '%.' "
+        "AND t NOT LIKE '%..%' "
+        f"AND {shape} NOT LIKE '%####%')"
+    )
     is_phone = (
         "(length(t) >= 7 AND t <> '' AND "
         "translate(t, '0123456789', '') = '')"
     )
     tok = (
         f"CASE WHEN {is_email} THEN '<EMAIL>' "
+        f"WHEN {is_ssn} THEN '<SSN>' "
+        f"WHEN {is_ipv4} THEN '<IP>' "
         f"WHEN {is_phone} THEN '<PHONE>' ELSE t END"
     )
-    flag = f"CASE WHEN {is_email} OR {is_phone} THEN 1 ELSE 0 END"
+    flag = (
+        f"CASE WHEN {is_email} OR {is_ssn} OR {is_ipv4} OR {is_phone} "
+        f"THEN 1 ELSE 0 END"
+    )
     if dialect == "spark":
         red = f"array_join(transform(split(raw, ' '), t -> {tok}), ' ')"
         cnt = (f"aggregate(transform(split(raw, ' '), t -> {flag}), 0, "

@@ -420,6 +420,60 @@ def test_redact_pii_tokens(spark):
     assert r["redacted_md5"] == manual
 
 
+def test_redact_pii_ssn_ipv4_shapes(spark):
+    """SSN-shaped and IPv4-shaped tokens redact; near-miss shapes
+    (dates, versions, 4-digit octets, dotted ranges) survive.  Shape
+    matching is translate-based (regex-free, dialect-portable)."""
+    from geostatssolvers_jl_spark.webtext.textstats import redact_pii_sql
+
+    text = (
+        "ssn 078-05-1120 ip 192.168.0.1 date 2024-01-01 ver 1.2.3 "
+        "quad 1.2.3.4.5 big 1234.5.6.7 edge .1.2.3 range 10..20.30.40 ok"
+    )
+    df = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_pii_docs2")
+    r = spark.sql(redact_pii_sql("spark", "_pii_docs2")).collect()[0]
+    assert r["n_redacted"] == 2  # only the SSN and the IPv4
+    manual = spark.sql(
+        "SELECT md5('ssn <SSN> ip <IP> date 2024-01-01 ver 1.2.3 "
+        "quad 1.2.3.4.5 big 1234.5.6.7 edge .1.2.3 range 10..20.30.40 ok'"
+        ") AS m"
+    ).collect()[0]["m"]
+    assert r["redacted_md5"] == manual
+
+
+def test_redact_pii_injected_patterns_all_classes(spark):
+    """The deterministic synthetic-PII injections (the gate's shared
+    fixture arm) must each be caught by their class: pick doc_ids
+    hitting each modulus and verify the per-doc count."""
+    import duckdb as _dd
+
+    from geostatssolvers_jl_spark.webtext.textstats import redact_pii_sql
+
+    # 11 → email, 13 → phone, 17 → ssn, 19 → ip (and 0 hits all four)
+    ids = [0, 11, 13, 17, 19, 23]
+    df = spark.createDataFrame(
+        [(i, "plain text only") for i in ids], "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_pii_docs3")
+    got = {r["doc_id"]: r["n_redacted"]
+           for r in spark.sql(redact_pii_sql("spark", "_pii_docs3")).collect()}
+    assert got == {0: 4, 11: 1, 13: 1, 17: 1, 19: 1, 23: 0}
+    # oracle twin agrees verbatim
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW _pii_docs3 AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, 'plain text only')" for i in ids)
+        + ") _t(doc_id, text)"
+    )
+    duck = {int(r[0]): int(r[2]) for r in con.sql(
+        redact_pii_sql("duckdb", "_pii_docs3")
+    ).fetchall()}
+    assert duck == got
+
+
 def test_repetition_ratio_bounds(spark):
     from geostatssolvers_jl_spark.webtext.textstats import (
         repetition_ratio_sql,
