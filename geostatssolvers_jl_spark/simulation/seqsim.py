@@ -392,3 +392,51 @@ def solve_sgs(
     return spark.range(nreals * ntiles, numPartitions=min(nreals * ntiles, 64)).mapInPandas(
         gen, schema=f"real_id long, cell_id long, {var} double"
     )
+
+
+def seam_semivariance(sol: DataFrame, side: int, step: int,
+                      var: str = "z") -> dict:
+    """Boundary-error diagnostic for the tiled approximation: lag-1
+    semivariance γ = ½·E[(z_a − z_b)²] over adjacent cell pairs on a
+    ``side × side`` grid, split into pairs straddling a tile boundary
+    (``seam``, tile edge every ``step`` cells) vs pairs that do not
+    (``interior``), both axes pooled.  On an exact (single-tile) run
+    seam positions are ordinary pairs → ratio ≈ 1; on a tiled run the
+    seam/interior ratio measures the documented tile-independence
+    approximation, bounded above by sill/γ(1) (fully independent tiles)
+    and approaching 1 as conditioning density reaches the variogram
+    range.  Returns {'seam': γ_seam, 'interior': γ_interior,
+    'ratio': γ_seam/γ_interior, 'n_seam': ..., 'n_interior': ...}.
+
+    Two self-joins on cell arithmetic — scales as the simulation output
+    (equi-join on (real_id, cell_id±1), AQE-splittable), no collect."""
+    spark = sol.sparkSession
+    name = f"_seam_sol_{abs(hash((side, step))) % 10**8}"
+    sol.createOrReplaceTempView(name)
+    bcols = ", ".join(str(c) for c in range(step - 1, side - 1, step))
+    q = f"""
+    WITH px AS (
+      SELECT a.{var} AS z1, b.{var} AS z2,
+             CASE WHEN (a.cell_id % {side}) IN ({bcols})
+                  THEN 1 ELSE 0 END AS seam
+      FROM {name} a JOIN {name} b
+        ON b.real_id = a.real_id AND b.cell_id = a.cell_id + 1
+       AND (a.cell_id % {side}) < {side - 1}
+    ), py AS (
+      SELECT a.{var} AS z1, b.{var} AS z2,
+             CASE WHEN ((a.cell_id DIV {side}) % {side}) IN ({bcols})
+                  THEN 1 ELSE 0 END AS seam
+      FROM {name} a JOIN {name} b
+        ON b.real_id = a.real_id AND b.cell_id = a.cell_id + {side}
+    ), allp AS (SELECT * FROM px UNION ALL SELECT * FROM py)
+    SELECT seam, 0.5 * avg((z1 - z2) * (z1 - z2)) AS gamma,
+           count(*) AS n
+    FROM allp GROUP BY seam
+    """
+    rows = {int(r["seam"]): r for r in spark.sql(q).collect()}
+    spark.catalog.dropTempView(name)
+    sg, ig = float(rows[1]["gamma"]), float(rows[0]["gamma"])
+    return {
+        "seam": sg, "interior": ig, "ratio": sg / ig,
+        "n_seam": int(rows[1]["n"]), "n_interior": int(rows[0]["n"]),
+    }

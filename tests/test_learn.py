@@ -105,3 +105,71 @@ def test_pointwise_learn_fit_row_cap(spark):
     assert Recording.n_fit is not None and Recording.n_fit <= 160
     # a ~100-row sample of a cleanly separable rule still learns it
     assert rows[0] == 0 and rows[1] == 0 and rows[2] == 1 and rows[3] == 1
+
+
+def test_fit_tree_spark_matches_driver_fit(spark):
+    """The distributed histogram fit (`fit_tree_spark`) must reproduce
+    the driver fit decision-for-decision on a cap-exceeding corpus:
+    identical tree array, identical predictions — src/learning/
+    pointwise.jl:39 fits the whole source, and this is the path that
+    honours it above fit_row_cap without a driver collect."""
+    import numpy as np
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.operators.learn import (
+        DecisionTreeClassifier, fit_tree_spark, pointwise_learn,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    X = rng.normal(0, 1, (n, 3))
+    y = ((X[:, 0] + 0.5 * X[:, 1] ** 2 - X[:, 2] > 0.2).astype(int)
+         + (X[:, 1] > 1.0).astype(int))
+    pdf = pd.DataFrame(
+        {"f0": X[:, 0], "f1": X[:, 1], "f2": X[:, 2], "lab": y}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    driver = DecisionTreeClassifier().fit(X, y)
+    dist = fit_tree_spark(df, ["f0", "f1", "f2"], "lab")
+    assert np.array_equal(driver.classes_, dist.classes_)
+    assert driver._tree == dist._tree
+    Xq = rng.normal(0, 1, (2000, 3))
+    assert np.array_equal(driver.predict(Xq), dist.predict(Xq))
+
+    # end-to-end through pointwise_learn with a cap the corpus exceeds:
+    # the distributed strategy must NOT sample (exact fit), and the
+    # predictions must equal the driver fit's
+    target = spark.createDataFrame(
+        pd.DataFrame({"f0": Xq[:, 0], "f1": Xq[:, 1], "f2": Xq[:, 2]})
+    )
+    out = pointwise_learn(
+        df, target, ["f0", "f1", "f2"], "lab",
+        fit_row_cap=100, fit_strategy="distributed",
+    ).toPandas()
+    got = out.sort_values(["f0", "f1", "f2"]).lab.to_numpy()
+    idx = np.lexsort((Xq[:, 2], Xq[:, 1], Xq[:, 0]))
+    want = driver.predict(Xq)[idx]
+    assert np.array_equal(got, want)
+
+
+def test_fit_tree_spark_rejects_pluggable_models(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.operators.learn import pointwise_learn
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"f0": [0.0, 1.0], "lab": [0, 1]})
+    )
+
+    class Custom:
+        def fit(self, X, y):
+            return self
+
+        def predict(self, X):
+            return [0] * len(X)
+
+    with _pt.raises(ValueError, match="distributed"):
+        pointwise_learn(df, df, ["f0"], "lab", model=Custom(),
+                        fit_strategy="distributed")

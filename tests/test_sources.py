@@ -129,3 +129,70 @@ def test_write_solution_table_v2_append(spark, tmp_path):
     write_solution_table(b, tbl, mode="overwrite")
     assert spark.table(tbl).count() == 1
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_iceberg_catalog_roundtrip_or_recorded_proof(spark, tmp_path):
+    """North-rule closure for the Iceberg claim: if an Iceberg Spark
+    runtime jar is available, run a REAL catalog create → V2 append →
+    snapshot-read round-trip; otherwise skip with the recorded proof
+    that this sandbox cannot ship the jar (no jar anywhere on the
+    filesystem, no network to fetch one — verified 2026-08-17:
+    `find / -name '*iceberg*.jar'` empty, Maven Central DNS resolution
+    fails).  The moment a jar lands in pyspark/jars or SPARK_CLASSPATH,
+    this test stops skipping and the V2 append path gets live
+    coverage."""
+    import glob
+    import os
+
+    from pyspark import SparkContext
+
+    jar_dirs = []
+    try:
+        import pyspark
+
+        jar_dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:
+        pass
+    jar_dirs += os.environ.get("SPARK_CLASSPATH", "").split(os.pathsep)
+    jars = [
+        j for d in jar_dirs if d
+        for j in glob.glob(os.path.join(d, "*iceberg*spark*.jar"))
+    ]
+    if not jars:
+        pytest.skip(
+            "no Iceberg Spark runtime jar on the classpath and no "
+            "network to fetch one (environment limit, not a code gap — "
+            "see SURVEY §8)"
+        )
+    # a live SparkSession cannot re-register a catalog implementation —
+    # build a dedicated session for the round-trip
+    spark.stop()
+    SparkContext._active_spark_context = None
+    from pyspark.sql import SparkSession
+
+    wh = str(tmp_path / "iceberg_wh")
+    s2 = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.catalog.ice",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.ice.type", "hadoop")
+        .config("spark.sql.catalog.ice.warehouse", wh)
+        .getOrCreate()
+    )
+    try:
+        from geostatssolvers_jl_spark.sources.delimited import (
+            write_solution_table,
+        )
+
+        df = s2.createDataFrame(
+            [(0, 1.5, 10), (1, 2.5, 11)], "cell_id long, z double, unit int"
+        )
+        write_solution_table(df, "ice.db.sol", partition_by=["unit"],
+                             mode="append", provider="iceberg")
+        write_solution_table(df, "ice.db.sol", mode="append",
+                             provider="iceberg")
+        assert s2.table("ice.db.sol").count() == 4
+        snaps = s2.sql("SELECT * FROM ice.db.sol.snapshots").count()
+        assert snaps >= 2  # one per commit — the Iceberg lineage contract
+    finally:
+        s2.stop()
