@@ -151,11 +151,16 @@ def fit_tree_spark(
 
     spark = source.sparkSession
     nf = len(features)
-    df = source.select(
+    # keep the persisted handle: `df` is rebound every level (routing
+    # column + localCheckpoint), so unpersisting the rebound frame in
+    # the finally block would be a no-op on a derived plan and leak the
+    # pinned base relation
+    base = source.select(
         *[F.col(c).cast("double").alias(f"_f{i}")
           for i, c in enumerate(features)],
         F.col(label).alias("_y"),
     ).withColumn("_node", F.lit(0)).persist()
+    df = base
     try:
         classes = np.unique(
             np.array([r["_y"] for r in df.select("_y").distinct().collect()])
@@ -358,7 +363,7 @@ def fit_tree_spark(
         model._tree = tree
         return model
     finally:
-        df.unpersist()
+        base.unpersist()
 
 
 def pointwise_learn(

@@ -179,4 +179,8 @@ def langid_model(spark, train_df: DataFrame,
                 pass
         _LAST_TGT[app] = (spark, tgt)
     out = spark.sql(langid_model_sql("spark", trel, srel, tgt_rel=tgt_rel))
+    # spark.sql resolves views eagerly at analysis, so dropping them now
+    # is safe and keeps the catalog from accumulating one trio per call
+    for v in (trel, srel, tgt_rel):
+        spark.catalog.dropTempView(v)
     return out
