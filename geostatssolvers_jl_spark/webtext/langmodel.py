@@ -48,34 +48,35 @@ from pyspark.sql import DataFrame
 _VIEW_SEQ = itertools.count()
 
 
-def trigrams_spark(text: str = "text") -> str:
-    # CASE guard mirrors dedup.shingles_spark: sequence(1, 0) is the
-    # DESCENDING [1, 0] in Spark, and substring over it would fabricate
-    # trigrams for sub-3-char docs
-    return (
-        f"CASE WHEN length({text}) >= 3 THEN "
-        f"transform(sequence(1, length({text}) - 2), "
-        f"i -> substring({text}, i, 3)) "
-        f"ELSE array() END"
-    )
+def trigram_select(dialect: str, rel: str, cols: str,
+                   text: str = "text") -> str:
+    """One-row-per-trigram-occurrence SELECT: ``(cols..., tg)``.
 
-
-def trigrams_duck(text: str = "text") -> str:
-    return (
-        f"list_transform(generate_series(1, greatest(0, length({text}) - 2)), "
-        f"i -> {text}[i:i+2])"
-    )
-
-
-def _explode(dialect: str, list_expr: str, alias: str) -> str:
+    Spark dialect explodes POSITIONS (an int array) and applies one
+    ``substring`` after the explode — measured 10× faster than exploding
+    a transformed string array (4.3 s → 0.4 s on 1.5M trigrams at
+    sf0.1; the array-of-strings form materializes a boxed 300-element
+    array per document before the generator runs).  The CASE guard
+    mirrors dedup.shingles_spark: Spark's ``sequence(1, 0)`` is the
+    DESCENDING [1, 0], which would fabricate trigrams for sub-3-char
+    docs.  DuckDB keeps the list_transform/unnest spelling (identical
+    values; DuckDB's lists are cheap and its oracle runs once)."""
     if dialect == "spark":
-        return f"explode({list_expr}) AS {alias}"
-    return f"unnest({list_expr}) AS {alias}"
+        return (
+            f"SELECT {cols}, substring({text}, pos, 3) AS tg FROM {rel} "
+            f"LATERAL VIEW explode(CASE WHEN length({text}) >= 3 THEN "
+            f"sequence(1, length({text}) - 2) ELSE array() END) _t AS pos"
+        )
+    return (
+        f"SELECT {cols}, unnest(list_transform("
+        f"generate_series(1, greatest(0, length({text}) - 2)), "
+        f"i -> {text}[i:i+2])) AS tg FROM {rel}"
+    )
 
 
 def langid_model_sql(dialect: str, train_rel: str = "documents",
                      score_rel: str | None = None,
-                     tgt_rel: str | None = None) -> str:
+                     cnt_rel: str | None = None) -> str:
     """One self-contained query: train on ``train_rel`` (doc_id, text,
     lang), score every ``score_rel`` document (defaults to the training
     corpus, the exactness-gate shape) → (doc_id, pred_lang, score_micro).
@@ -86,26 +87,42 @@ def langid_model_sql(dialect: str, train_rel: str = "documents",
     alone.  A language whose every training doc is sub-3-char has no
     trigram statistics and drops out of the candidate set.
 
-    ``tgt_rel``: optional pre-materialized (lang, tg) trigram-occurrence
-    relation — the training explode feeds FOUR aggregations and Spark
-    re-inlines CTEs, so the `langid_model` wrapper persists it once and
-    passes the view name here (values identical either way; the DuckDB
-    oracle keeps the inline CTE, which DuckDB evaluates once)."""
+    Scoring algebra: a document's score under language *l* is
+    ``prior_l + n_tg·lp0_l + Σ_matched (lp(l,t) − lp0_l)`` — identical
+    (in exact BIGINT arithmetic) to summing ``coalesce(lp, lp0)`` over
+    every trigram, but expressed with EQUI-joins only: the naive
+    per-occurrence CROSS JOIN against the language list invited Catalyst
+    to broadcast the multi-million-row exploded side (measured 19 s at
+    sf0.1 vs 2 s for this form; the only remaining cross join is
+    score-docs × languages, which is |docs| × |langs| rows).
+
+    ``cnt_rel``: optional pre-computed ``(lang, tg, c)`` trigram-count
+    relation.  The count table is the model's natural materialization
+    point — BOUNDED at |langs| × |vocab| rows however large the corpus —
+    and everything upstream derives from it, so the `langid_model`
+    wrapper computes it in ONE explode scan and re-registers it as a
+    LOCAL relation (persisted temp views are a trap here: Spark
+    re-inlines CTEs, and ``dropTempView`` UNCACHES dependent plans, so
+    a view-backed persist silently evicted the moment the wrapper
+    cleaned up its views — measured as the full explode re-running five
+    times inside one scoring query).  Values are identical either way;
+    the DuckDB oracle keeps the inline CTEs, which DuckDB evaluates
+    once."""
     score_rel = score_rel or train_rel
-    tg = (trigrams_spark if dialect == "spark" else trigrams_duck)("text")
-    tgt_src = (
-        f"SELECT lang, tg FROM {tgt_rel}" if tgt_rel else
-        f"SELECT lang, {_explode(dialect, tg, 'tg')} FROM {train_rel}"
+    cnt_src = (
+        f"SELECT lang, tg, c FROM {cnt_rel}" if cnt_rel else
+        f"SELECT lang, tg, count(*) AS c FROM "
+        f"({trigram_select(dialect, train_rel, 'lang')}) _t "
+        f"GROUP BY lang, tg"
     )
+    tgs_src = trigram_select(dialect, score_rel, "doc_id")
     return f"""
-WITH _tgt AS (
-  {tgt_src}
+WITH _cnt AS (
+  {cnt_src}
 ), _tot AS (
-  SELECT lang, count(*) AS n FROM _tgt GROUP BY lang
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM _cnt GROUP BY lang
 ), _voc AS (
-  SELECT count(DISTINCT tg) AS v FROM _tgt
-), _cnt AS (
-  SELECT lang, tg, count(*) AS c FROM _tgt GROUP BY lang, tg
+  SELECT count(DISTINCT tg) AS v FROM _cnt
 ), _model AS (
   SELECT c.lang, c.tg,
          CAST(round(ln((c.c + 1.0) / (t.n + v.v)) * 1000000) AS BIGINT)
@@ -122,20 +139,26 @@ WITH _tgt AS (
   CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS td
               FROM {train_rel}) td
 ), _tgs AS (
-  SELECT doc_id, {_explode(dialect, tg, 'tg')} FROM {score_rel}
-), _scores AS (
-  SELECT g.doc_id, f.lang,
-         f.pr + CAST(coalesce(sum(coalesce(m.lp, f.lp0)), 0) AS BIGINT)
-           AS score_micro
-  FROM _tgs g
-  CROSS JOIN _floor f
-  LEFT JOIN _model m ON m.lang = f.lang AND m.tg = g.tg
-  GROUP BY g.doc_id, f.lang, f.pr
+  {tgs_src}
+), _madj AS (
+  SELECT m.lang, m.tg, m.lp - f.lp0 AS dlp
+  FROM _model m JOIN _floor f ON m.lang = f.lang
+), _doc_n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ntg
+  FROM _tgs GROUP BY doc_id
+), _match AS (
+  SELECT /*+ BROADCAST(a) */
+         g.doc_id, a.lang, CAST(sum(a.dlp) AS BIGINT) AS msum
+  FROM _tgs g JOIN _madj a ON a.tg = g.tg
+  GROUP BY g.doc_id, a.lang
 ), _full AS (
-  SELECT d.doc_id, f.lang, coalesce(s.score_micro, f.pr) AS score_micro
+  SELECT d.doc_id, f.lang,
+         f.pr + coalesce(n.ntg, CAST(0 AS BIGINT)) * f.lp0
+              + coalesce(m.msum, CAST(0 AS BIGINT)) AS score_micro
   FROM (SELECT doc_id FROM {score_rel}) d
   CROSS JOIN _floor f
-  LEFT JOIN _scores s ON s.doc_id = d.doc_id AND s.lang = f.lang
+  LEFT JOIN _doc_n n ON n.doc_id = d.doc_id
+  LEFT JOIN _match m ON m.doc_id = d.doc_id AND m.lang = f.lang
 ), _ranked AS (
   SELECT doc_id, lang, score_micro,
          ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -145,42 +168,29 @@ WITH _tgt AS (
 SELECT doc_id, lang AS pred_lang, score_micro FROM _ranked WHERE rk = 1"""
 
 
-# one live trigram persist per application (same bounded-cache pattern
-# as similarity._LAST_BUCKETS); entries (SparkSession, DataFrame)
-_LAST_TGT: dict = {}
-_TGT_LOCK = __import__("threading").Lock()
-
-
 def langid_model(spark, train_df: DataFrame,
                  score_df: DataFrame | None = None) -> DataFrame:
     """Library wrapper: train on ``train_df`` (doc_id, text, lang), score
-    ``score_df`` (defaults to the training corpus).  Materializes the
-    exploded training-trigram relation once (persisted temp view) — it
-    feeds four aggregations and Spark re-inlines CTEs — bounded to one
-    live persist per application."""
+    ``score_df`` (defaults to the training corpus).  Computes the
+    bounded (lang, tg, c) count table in one explode scan, lands it as a
+    LOCAL relation (the model's natural materialization point — no
+    persist, no view-dependency, nothing for dropTempView to uncache),
+    then runs the scoring query against it."""
     seq = next(_VIEW_SEQ)
     trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
-    tgt_rel = f"_lm_tgt_{seq}"
+    crel = f"_lm_cnt_{seq}"
     train_df.createOrReplaceTempView(trel)
     (score_df if score_df is not None else train_df) \
         .createOrReplaceTempView(srel)
-    tgt = spark.sql(
-        f"SELECT lang, {_explode('spark', trigrams_spark('text'), 'tg')} "
-        f"FROM {trel}"
+    cnt = spark.sql(
+        f"SELECT lang, tg, count(*) AS c FROM "
+        f"({trigram_select('spark', trel, 'lang')}) _t GROUP BY lang, tg"
     )
-    tgt.persist().createOrReplaceTempView(tgt_rel)
-    app = spark.sparkContext.applicationId
-    with _TGT_LOCK:
-        prev = _LAST_TGT.get(app)
-        if prev is not None:
-            try:
-                prev[1].unpersist()
-            except Exception:
-                pass
-        _LAST_TGT[app] = (spark, tgt)
-    out = spark.sql(langid_model_sql("spark", trel, srel, tgt_rel=tgt_rel))
+    local = spark.createDataFrame(cnt.collect(), "lang string, tg string, c bigint")
+    local.createOrReplaceTempView(crel)
+    out = spark.sql(langid_model_sql("spark", trel, srel, cnt_rel=crel))
     # spark.sql resolves views eagerly at analysis, so dropping them now
-    # is safe and keeps the catalog from accumulating one trio per call
-    for v in (trel, srel, tgt_rel):
+    # is safe (nothing is persisted, so nothing gets uncached)
+    for v in (trel, srel, crel):
         spark.catalog.dropTempView(v)
     return out

@@ -320,21 +320,24 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
     emb_rel = f"_emb_auto_{seq}"
     bt_rel = f"_bt_auto_{seq}"
     emb_df.createOrReplaceTempView(emb_rel)
-    bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
-    bt.persist().createOrReplaceTempView(bt_rel)
-    # evict the PREVIOUS call's persisted bucket table (unpersist keeps
-    # lineage, so a caller still lazily holding the prior result would
-    # recompute, not fail) — bounds the wrapper to one live persist per
-    # application instead of one per call
+    # evict the PREVIOUS call's persisted bucket table BEFORE persisting
+    # the new one: a repeated call over the same corpus yields the
+    # identical analyzed plan, CacheManager dedupes persist() by plan,
+    # and an unpersist-after would evict the shared entry and leave the
+    # new relation silently uncached.  (unpersist keeps lineage, so a
+    # caller still lazily holding the prior result recomputes, not
+    # fails.)  Bounds the wrapper to one live persist per application.
     app = spark.sparkContext.applicationId
     with _BUCKETS_LOCK:
-        prev = _LAST_BUCKETS.get(app)
-        if prev is not None:
-            _, prev_bt = prev
-            try:
-                prev_bt.unpersist()
-            except Exception:
-                pass
+        prev = _LAST_BUCKETS.pop(app, None)
+    if prev is not None:
+        try:
+            prev[1].unpersist()
+        except Exception:
+            pass
+    bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
+    bt.persist().createOrReplaceTempView(bt_rel)
+    with _BUCKETS_LOCK:
         _LAST_BUCKETS[app] = (spark, bt)
 
     def cleanup():
