@@ -309,12 +309,17 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
     the same trap the gate entries dodge via their materialized view).
 
     Returns (emb_rel, bt_rel, n_planes, cleanup).  ``cleanup()`` drops
-    both temp views — safe right after ``spark.sql`` because analysis
-    resolves the views eagerly, and the persisted bucket plan is matched
-    by the cache manager independent of the view name.  The bucket
-    persist itself is evictable storage (tiny: n_vectors × n_tables
-    rows); long-lived services wanting explicit lifetime control should
-    build `bucket_tables_sql` themselves and call the *_sql builders."""
+    ONLY the source view (``emb_rel``) — safe right after ``spark.sql``
+    because analysis resolves views eagerly, and dropping a view a
+    persisted frame was built FROM leaves the cache alone.  The
+    ``bt_rel`` view is NOT dropped there: ``dropTempView`` UNCACHES a
+    view registered over a persisted DataFrame (measured — the bucket
+    persist silently evaporated before execution), so the bucket view
+    lives until the NEXT wrapper call evicts the persist and drops it
+    together.  The bucket persist itself is evictable storage (tiny:
+    n_vectors × n_tables rows); long-lived services wanting explicit
+    lifetime control should build `bucket_tables_sql` themselves and
+    call the *_sql builders."""
     p = _auto_planes(emb_df, n_planes)
     seq = next(_AUTO_VIEW_SEQ)
     emb_rel = f"_emb_auto_{seq}"
@@ -331,18 +336,23 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
     with _BUCKETS_LOCK:
         prev = _LAST_BUCKETS.pop(app, None)
     if prev is not None:
+        prev_spark, prev_bt, prev_view = prev
         try:
-            prev[1].unpersist()
+            prev_bt.unpersist()
+        except Exception:
+            pass
+        try:
+            if prev_spark is spark:
+                spark.catalog.dropTempView(prev_view)
         except Exception:
             pass
     bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
     bt.persist().createOrReplaceTempView(bt_rel)
     with _BUCKETS_LOCK:
-        _LAST_BUCKETS[app] = (spark, bt)
+        _LAST_BUCKETS[app] = (spark, bt, bt_rel)
 
     def cleanup():
         spark.catalog.dropTempView(emb_rel)
-        spark.catalog.dropTempView(bt_rel)
 
     return emb_rel, bt_rel, p, cleanup
 
