@@ -162,6 +162,18 @@ def fit_tree_spark(
     ).withColumn("_node", F.lit(0)).persist()
     df = base
     try:
+        # fail loud on NULL features: SQL NULL ordering (NULLS FIRST in
+        # the candidate window) has no counterpart in the driver fit's
+        # NaN semantics, so a NULL would silently break the
+        # identical-tree contract — and float(None) crashes later with
+        # an opaque TypeError anyway.  The 'sample' strategy inherits
+        # pandas' NULL→NaN coercion; this path refuses instead.
+        null_pred = " OR ".join(f"_f{i} IS NULL" for i in range(nf))
+        if df.filter(null_pred).limit(1).count() > 0:
+            raise ValueError(
+                "fit_strategy='distributed' requires non-NULL feature "
+                "values; filter or impute them first"
+            )
         classes = np.unique(
             np.array([r["_y"] for r in df.select("_y").distinct().collect()])
         )

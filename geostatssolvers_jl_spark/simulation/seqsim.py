@@ -411,9 +411,15 @@ def seam_semivariance(sol: DataFrame, side: int, step: int,
     Two self-joins on cell arithmetic — scales as the simulation output
     (equi-join on (real_id, cell_id±1), AQE-splittable), no collect."""
     spark = sol.sparkSession
+    bvals = list(range(step - 1, side - 1, step))
+    if not bvals:
+        raise ValueError(
+            f"step={step} >= side={side} leaves no tile boundaries — "
+            "seam semivariance is undefined for a single-tile layout"
+        )
     name = f"_seam_sol_{abs(hash((side, step))) % 10**8}"
     sol.createOrReplaceTempView(name)
-    bcols = ", ".join(str(c) for c in range(step - 1, side - 1, step))
+    bcols = ", ".join(str(c) for c in bvals)
     q = f"""
     WITH px AS (
       SELECT a.{var} AS z1, b.{var} AS z2,
@@ -433,10 +439,18 @@ def seam_semivariance(sol: DataFrame, side: int, step: int,
            count(*) AS n
     FROM allp GROUP BY seam
     """
-    rows = {int(r["seam"]): r for r in spark.sql(q).collect()}
-    spark.catalog.dropTempView(name)
+    try:
+        rows = {int(r["seam"]): r for r in spark.sql(q).collect()}
+    finally:
+        spark.catalog.dropTempView(name)
+    if 0 not in rows or 1 not in rows:
+        raise ValueError(
+            "no adjacent-pair data for seam or interior — is the "
+            "simulation empty or the (side, step) layout wrong?"
+        )
     sg, ig = float(rows[1]["gamma"]), float(rows[0]["gamma"])
     return {
-        "seam": sg, "interior": ig, "ratio": sg / ig,
+        "seam": sg, "interior": ig,
+        "ratio": sg / ig if ig != 0.0 else float("inf"),
         "n_seam": int(rows[1]["n"]), "n_interior": int(rows[0]["n"]),
     }

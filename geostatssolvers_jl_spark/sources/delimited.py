@@ -123,12 +123,16 @@ def write_solution_table(
 
     def _is_v1_rejection(e, needle: str) -> bool:
         # structured error class beats message-substring matching: the
-        # class survives message rewording across Spark minors
+        # class survives message rewording across Spark minors.  Match
+        # ONLY the TABLE_OPERATION subclass — a bare UNSUPPORTED_FEATURE
+        # match would route unrelated rejections (e.g. an unsupported
+        # partition spec) into the drop+create fallback and destroy the
+        # existing table where a re-raise would have left it intact
         try:
             ec = e.getErrorClass() or ""
         except Exception:
             ec = ""
-        if "TABLE_OPERATION" in ec or "UNSUPPORTED_FEATURE" in ec:
+        if "TABLE_OPERATION" in ec:
             return True
         return needle in str(e)
 

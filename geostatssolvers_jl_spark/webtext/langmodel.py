@@ -14,7 +14,13 @@ computation and the gate compares hash-exactly:
   (``CAST(round(ln(p) * 1e6) AS BIGINT)``) so per-document scores are
   BIGINT sums — order-independent, no floating accumulation to diverge
   between engines (one ``ln`` per distinct (lang, trigram), not per
-  occurrence);
+  occurrence).  Residual caveat: the quantization removes ACCUMULATION
+  divergence, not per-``ln`` libm divergence — if Java's ``Math.log``
+  and the platform libm round a particular input to adjacent doubles
+  AND ``ln(p)·1e6`` sits within that ulp of a half-integer, one lp
+  differs by 1 micro-unit.  For a fixed corpus this is deterministic
+  (the gate either passes forever or fails immediately, never flakes),
+  and no such point exists in the shipped corpus;
 * DuckDB's ``sum(BIGINT) → HUGEINT`` is cast back to BIGINT on both
   sides (schema parity);
 * argmax tie-breaks deterministically: highest score, then
@@ -186,7 +192,17 @@ def langid_model(spark, train_df: DataFrame,
         f"SELECT lang, tg, count(*) AS c FROM "
         f"({trigram_select('spark', trel, 'lang')}) _t GROUP BY lang, tg"
     )
-    local = spark.createDataFrame(cnt.collect(), "lang string, tg string, c bigint")
+    rows = cnt.collect()
+    if not rows:
+        # an empty model would make the scoring cross-join emit ZERO
+        # rows — silently violating the one-row-per-scored-document
+        # contract.  A corpus where no document has 3 characters cannot
+        # train a trigram model; say so.
+        raise ValueError(
+            "training corpus yields no trigrams (every document is "
+            "shorter than 3 characters) — cannot train langid_model"
+        )
+    local = spark.createDataFrame(rows, "lang string, tg string, c bigint")
     local.createOrReplaceTempView(crel)
     out = spark.sql(langid_model_sql("spark", trel, srel, cnt_rel=crel))
     # spark.sql resolves views eagerly at analysis, so dropping them now

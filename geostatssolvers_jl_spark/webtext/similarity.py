@@ -332,23 +332,30 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
     # new relation silently uncached.  (unpersist keeps lineage, so a
     # caller still lazily holding the prior result recomputes, not
     # fails.)  Bounds the wrapper to one live persist per application.
+    # the WHOLE evict → persist → store sequence runs under the lock
+    # (like the tiled pairs cache): releasing it between pop and store
+    # lets two concurrent arms both pop, both persist, and the second
+    # store strand the first persist — the exact leak this cache bounds.
+    # Cross-SESSION note: entries are keyed by applicationId (the cache
+    # manager is context-wide), so an eviction from a different session
+    # of the same context unpersists the data but cannot drop the other
+    # session's view — that leak is bounded by the number of sessions.
     app = spark.sparkContext.applicationId
     with _BUCKETS_LOCK:
         prev = _LAST_BUCKETS.pop(app, None)
-    if prev is not None:
-        prev_spark, prev_bt, prev_view = prev
-        try:
-            prev_bt.unpersist()
-        except Exception:
-            pass
-        try:
-            if prev_spark is spark:
-                spark.catalog.dropTempView(prev_view)
-        except Exception:
-            pass
-    bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
-    bt.persist().createOrReplaceTempView(bt_rel)
-    with _BUCKETS_LOCK:
+        if prev is not None:
+            prev_spark, prev_bt, prev_view = prev
+            try:
+                prev_bt.unpersist()
+            except Exception:
+                pass
+            try:
+                if prev_spark is spark:
+                    spark.catalog.dropTempView(prev_view)
+            except Exception:
+                pass
+        bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
+        bt.persist().createOrReplaceTempView(bt_rel)
         _LAST_BUCKETS[app] = (spark, bt, bt_rel)
 
     def cleanup():

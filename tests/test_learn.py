@@ -173,3 +173,18 @@ def test_fit_tree_spark_rejects_pluggable_models(spark):
     with _pt.raises(ValueError, match="distributed"):
         pointwise_learn(df, df, ["f0"], "lab", model=Custom(),
                         fit_strategy="distributed")
+
+
+def test_fit_tree_spark_rejects_null_features(spark):
+    """NULL features have no driver-fit NaN counterpart in SQL ordering —
+    the distributed fit must refuse loudly (review finding r5)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.operators.learn import fit_tree_spark
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (None, 1), (0.5, 0), (0.9, 1)], "f0 double, lab int"
+    )
+    with _pt.raises(ValueError, match="non-NULL"):
+        fit_tree_spark(df, ["f0"], "lab")

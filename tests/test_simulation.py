@@ -620,3 +620,18 @@ def test_sgs_tiled_seam_semivariance_bounds(spark):
     # and the seam IS worse than interior — the approximation is real
     # and this metric detects it (a no-op metric would sit at ~1)
     assert m_sparse["ratio"] > 2.0
+
+
+def test_seam_semivariance_single_tile_raises(spark):
+    """step >= side (single tile per axis) has no seams — the metric
+    must refuse instead of emitting a malformed IN () query (review
+    finding r5)."""
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        seam_semivariance,
+    )
+
+    sol = spark.createDataFrame(
+        [(0, 0, 1.0)], "real_id long, cell_id long, z double"
+    )
+    with pytest.raises(ValueError, match="no tile boundaries"):
+        seam_semivariance(sol, side=16, step=16)

@@ -139,12 +139,14 @@ def test_iceberg_catalog_roundtrip_or_recorded_proof(spark, tmp_path):
     filesystem, no network to fetch one — verified 2026-08-17:
     `find / -name '*iceberg*.jar'` empty, Maven Central DNS resolution
     fails).  The moment a jar lands in pyspark/jars or SPARK_CLASSPATH,
-    this test stops skipping and the V2 append path gets live
-    coverage."""
+    this test stops skipping and the V2 append path gets live coverage.
+    The live path runs in a SUBPROCESS: an Iceberg catalog must be
+    registered at session build time, and stopping/rebuilding the
+    session-scoped fixture in-process would poison every later test."""
     import glob
     import os
-
-    from pyspark import SparkContext
+    import subprocess
+    import sys
 
     jar_dirs = []
     try:
@@ -164,35 +166,35 @@ def test_iceberg_catalog_roundtrip_or_recorded_proof(spark, tmp_path):
             "network to fetch one (environment limit, not a code gap — "
             "see SURVEY §8)"
         )
-    # a live SparkSession cannot re-register a catalog implementation —
-    # build a dedicated session for the round-trip
-    spark.stop()
-    SparkContext._active_spark_context = None
-    from pyspark.sql import SparkSession
+    script = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from pyspark.sql import SparkSession
+from geostatssolvers_jl_spark.sources.delimited import write_solution_table
 
-    wh = str(tmp_path / "iceberg_wh")
-    s2 = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.catalog.ice",
-                "org.apache.iceberg.spark.SparkCatalog")
-        .config("spark.sql.catalog.ice.type", "hadoop")
-        .config("spark.sql.catalog.ice.warehouse", wh)
-        .getOrCreate()
+wh = {repr(str(tmp_path / 'iceberg_wh'))}
+s2 = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.ice.type", "hadoop")
+    .config("spark.sql.catalog.ice.warehouse", wh)
+    .getOrCreate()
+)
+df = s2.createDataFrame(
+    [(0, 1.5, 10), (1, 2.5, 11)], "cell_id long, z double, unit int"
+)
+write_solution_table(df, "ice.db.sol", partition_by=["unit"],
+                     mode="append", provider="iceberg")
+write_solution_table(df, "ice.db.sol", mode="append", provider="iceberg")
+assert s2.table("ice.db.sol").count() == 4
+snaps = s2.sql("SELECT * FROM ice.db.sol.snapshots").count()
+assert snaps >= 2  # one per commit — the Iceberg lineage contract
+s2.stop()
+print("ICEBERG_ROUNDTRIP_OK")
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
     )
-    try:
-        from geostatssolvers_jl_spark.sources.delimited import (
-            write_solution_table,
-        )
-
-        df = s2.createDataFrame(
-            [(0, 1.5, 10), (1, 2.5, 11)], "cell_id long, z double, unit int"
-        )
-        write_solution_table(df, "ice.db.sol", partition_by=["unit"],
-                             mode="append", provider="iceberg")
-        write_solution_table(df, "ice.db.sol", mode="append",
-                             provider="iceberg")
-        assert s2.table("ice.db.sol").count() == 4
-        snaps = s2.sql("SELECT * FROM ice.db.sol.snapshots").count()
-        assert snaps >= 2  # one per commit — the Iceberg lineage contract
-    finally:
-        s2.stop()
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ICEBERG_ROUNDTRIP_OK" in res.stdout

@@ -668,3 +668,16 @@ def test_langid_model_coverage_and_determinism(spark):
     # the lexicographically smallest language
     by = {r["doc_id"]: r["pred_lang"] for r in out}
     assert by[1] == "de" and by[2] == "de"
+
+
+def test_langid_model_empty_training_corpus_raises(spark):
+    """An all-sub-3-char training corpus cannot train a trigram model —
+    the wrapper must refuse instead of silently emitting zero rows for
+    every scored document (review finding r5)."""
+    from geostatssolvers_jl_spark.webtext.langmodel import langid_model
+
+    df = spark.createDataFrame(
+        [(0, "ab", "en"), (1, "x", "de")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="no trigrams"):
+        langid_model(spark, df)
