@@ -79,6 +79,14 @@ def main() -> None:
     n_clean = clean.count()
     stage("clean", t0, url_groups=n_groups, kept=n_clean)
 
+    # ---- 1b. language ID (trained trigram NB over the cleaned set) --
+    t0 = time.time()
+    from geostatssolvers_jl_spark.webtext.langmodel import langid_model
+
+    pred = langid_model(spark, clean)
+    n_langs = pred.select("pred_lang").distinct().count()
+    stage("langid", t0, docs=n_clean, langs=n_langs)
+
     # ---- 2. split ----------------------------------------------------
     t0 = time.time()
     clean.createOrReplaceTempView("documents")  # downstream reads the view
@@ -125,6 +133,24 @@ def main() -> None:
     write_solution(sol, str(out), partition_by=None)
     n_back = spark.read.parquet(str(out)).count()
     stage("sink", t0, rows=n_back, path=out)
+
+    # ---- 7. learn (distributed exact fit over the split) ------------
+    t0 = time.time()
+    from geostatssolvers_jl_spark.operators.learn import pointwise_learn
+
+    lsrc = clean.join(split.select("doc_id", "split"), "doc_id").selectExpr(
+        "CAST(length(text) AS DOUBLE) AS f_len",
+        "CAST(n_chars AS DOUBLE) AS f_chars",
+        "CAST(lang = 'en' AS INT) AS lab",
+        "split",
+    )
+    pred2 = pointwise_learn(
+        lsrc.filter("split = 'train'").select("f_len", "f_chars", "lab"),
+        lsrc.filter("split <> 'train'").select("f_len", "f_chars"),
+        ["f_len", "f_chars"], "lab", fit_strategy="distributed",
+    )
+    n_scored = pred2.count()
+    stage("learn", t0, scored=n_scored, fit="distributed-exact")
 
     print(f"TOTAL {time.time() - t_all:.1f}s  OK")
 
