@@ -564,6 +564,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the events table — the
+    batch twin of `streaming/sessions.sessionize_stream`.  Integer-
+    microsecond arithmetic end to end (unix_micros / epoch_us), so the
+    oracle compares value-exactly with no timezone or float-timestamp
+    hazards; one shuffle key (user_id) through both windows and the
+    final aggregation."""
+    from geostatssolvers_jl_spark.streaming.sessions import sessionize_sql
+
+    _register(spark, sf_dir, ("events",))
+    return spark.sql(sessionize_sql("spark", "events"))
+
+
 def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-style top-k per group on events: top-3 users by event count per
     event_type (window function + rank filter)."""
@@ -753,6 +766,12 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("embeddings",))
     return spark.sql(bucket_sql("spark"))
+
+
+def _events_sessions_oracle() -> str:
+    from geostatssolvers_jl_spark.streaming.sessions import sessionize_sql
+
+    return sessionize_sql("duckdb", "events")
 
 
 def _langid_model_oracle() -> str:
@@ -2072,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cookie_cutter": _cookie_oracle(),
         "events_top_users": EVENTS_TOP_USERS_SQL,
+        "events_sessions": _events_sessions_oracle(),
         "error_rate": ERROR_RATE_TMPL.format(pred=_langid_body()),
     }
 
@@ -2649,6 +2669,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; still green under tools/check_oracle.py) ====
         "fingerprint": q_fingerprint,
         "langid_model": q_langid_model,
+        "events_sessions": q_events_sessions,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "tile_parent": q_tile_parent,

@@ -264,3 +264,84 @@ def test_streaming_dedup_key_tiers_cannot_collide(spark, tmp_path):
     )
     assert len(out) == 2
     assert len({r["text_md5"] for r in out}) == 2
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """`sessionize_stream` (applyInPandasWithState, vectorized segment
+    fold) must emit exactly the batch `sessionize_sql` sessions minus
+    each user's final (still-open) one — including sessions that SPAN
+    the two file drops (state carries the open session across triggers
+    through the checkpoint)."""
+    import json as _json
+
+    from geostatssolvers_jl_spark.streaming.sessions import (
+        sessionize_sql, sessionize_stream,
+    )
+
+    drop = tmp_path / "events_drop"
+    drop.mkdir()
+    ck = str(tmp_path / "sess_ckpt")
+    base = 1_700_000_000  # epoch seconds
+    # user 1: three sessions (gaps 2000 s); user 2: one long session
+    # spanning both drops; user 3: single event (stays open, never emits)
+    def ev(uid, off, val):
+        from datetime import datetime, timezone
+
+        ts = datetime.fromtimestamp(base + off, tz=timezone.utc)
+        return {"user_id": uid,
+                "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+                "value": val}
+
+    batch1 = ([ev(1, 0, 1.0), ev(1, 60, 2.0), ev(1, 2500, 3.0)]
+              + [ev(2, 0, 5.0), ev(2, 900, 5.0)])
+    batch2 = ([ev(1, 2600, 4.0), ev(1, 6000, 9.0)]
+              + [ev(2, 1800, 5.0)] + [ev(3, 0, 7.0)])
+    (drop / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch1))
+
+    schema = "user_id long, ts timestamp, value double"
+    collected = []
+
+    def run():
+        stream = sessionize_stream(
+            spark.readStream.schema(schema).json(str(drop)), gap_s=1800
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    (drop / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch2))
+    run()
+
+    got = sorted(
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"],
+         round(r["total_value"], 6))
+        for r in collected
+    )
+    # batch reference over ALL events
+    allrows = [(i, r["user_id"], r["ts"].replace("Z", "+00:00"),
+                r["value"]) for i, r in enumerate(batch1 + batch2)]
+    bdf = spark.createDataFrame(
+        [(i, u, t, v) for i, u, t, v in allrows],
+        "event_id long, user_id long, ts_s string, value double",
+    ).selectExpr("event_id", "user_id",
+                 "to_timestamp(ts_s) AS ts", "value")
+    bdf.createOrReplaceTempView("_sess_events")
+    batch = spark.sql(sessionize_sql("spark", "_sess_events")).collect()
+    # drop each user's LAST session (still open in the stream)
+    last_no = {}
+    for r in batch:
+        last_no[r["user_id"]] = max(
+            last_no.get(r["user_id"], 0), r["session_no"])
+    want = sorted(
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"],
+         round(r["total_value"], 6))
+        for r in batch if r["session_no"] != last_no[r["user_id"]]
+    )
+    assert got == want and len(got) == 2  # user1 closed 2 sessions
