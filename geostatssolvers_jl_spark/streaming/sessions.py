@@ -119,10 +119,15 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             start_us = last_us = None
             n_ev, tot = 0, 0.0
         closed = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("ts")
+        # the iterator delivers the group's rows in ARROW CHUNKS with no
+        # cross-chunk ordering guarantee — sorting per chunk would build
+        # sessions out of order whenever a trigger carries more than one
+        # batch for a user.  Concatenate first, sort ONCE (per-trigger
+        # per-user data; bounded by the trigger, not the stream).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values("ts")
             # pandas timestamps are int64 NANOseconds → micros
             us = pdf["ts"].astype("int64").to_numpy() // 1_000
             vals = pdf["value"].to_numpy(np.float64)
