@@ -345,3 +345,60 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
         for r in batch if r["session_no"] != last_no[r["user_id"]]
     )
     assert got == want and len(got) == 2  # user1 closed 2 sessions
+
+
+def test_streaming_sessionization_multi_chunk_ordering(spark, tmp_path):
+    """Arrow delivers a group's rows in chunks with no cross-chunk order
+    guarantee — with maxRecordsPerBatch forced tiny, sessions spanning
+    chunk boundaries must still come out time-ordered (regression for
+    the concat-before-sort fix)."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from geostatssolvers_jl_spark.streaming.sessions import (
+        sessionize_sql, sessionize_stream,
+    )
+
+    drop = tmp_path / "mc_drop"
+    drop.mkdir()
+    ck = str(tmp_path / "mc_ckpt")
+    base = 1_700_000_000
+    # one user, 30 events in 3 sessions of 10 (gaps 5000 s); written in
+    # REVERSED order so any chunk-local sort sees descending time
+    evs = []
+    for sess in range(3):
+        for i in range(10):
+            off = sess * 5000 + i * 10
+            ts = datetime.fromtimestamp(base + off, tz=timezone.utc)
+            evs.append({
+                "user_id": 1,
+                "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+                "value": 1.0,
+            })
+    evs.reverse()
+    (drop / "b1.json").write_text("\n".join(_json.dumps(r) for r in evs))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    collected = []
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        schema = "user_id long, ts timestamp, value double"
+        stream = sessionize_stream(
+            spark.readStream.schema(schema).json(str(drop)), gap_s=1800
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    # sessions 1 and 2 closed (10 events each, total 10.0); session 3
+    # stays open in state
+    got = sorted((r["n_events"], round(r["total_value"], 6))
+                 for r in collected)
+    assert got == [(10, 10.0), (10, 10.0)], collected
