@@ -253,19 +253,24 @@ def q_idw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(idw_agg_sql(f"({pairs}) _p", minneighbors=1, round_to=6))
 
 
+_PIP_VERTS = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
+
+# three disjoint convex zones for the zonal-stats entry (rough world
+# thirds, CCW)
+_ZONES = [
+    (1, [(-180.0, -90.0), (-60.0, -90.0), (-60.0, 90.0), (-180.0, 90.0)]),
+    (2, [(-60.0, -90.0), (60.0, -90.0), (60.0, 90.0), (-60.0, 90.0)]),
+    (3, [(60.0, -90.0), (180.0, -90.0), (180.0, 90.0), (60.0, 90.0)]),
+]
+
+
 def _pip_inside_sql() -> str:
-    """Half-plane conjunction for the convex quad — ONE source for the
-    entry and the oracle (an inline copy of shared SQL diverged once
-    already; see q_langid's history)."""
-    verts = [(-60.0, -40.0), (60.0, -50.0), (80.0, 30.0), (-40.0, 45.0)]
-    conds = []
-    for i in range(len(verts)):
-        x1, y1 = verts[i]
-        x2, y2 = verts[(i + 1) % len(verts)]
-        conds.append(
-            f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
-        )
-    return " AND ".join(conds)
+    """Half-plane conjunction for the convex quad — ONE engine source
+    (`zones.convex_pip_expr`) for the entry and the oracle (an inline
+    copy of shared SQL diverged once already; see q_langid's history)."""
+    from geostatssolvers_jl_spark.zones import convex_pip_expr
+
+    return convex_pip_expr(_PIP_VERTS)
 
 
 DEDUP_EXACT_SQL = (
@@ -320,6 +325,34 @@ def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT data_id, url FROM {_geo_pages_rel()} _p "
         f"WHERE {_pip_inside_sql()}"
+    )
+
+
+def _zonal_cells_sql(grid_rel: str) -> str:
+    """Raster for the zonal entry: the idw_pages solution joined back to
+    its cell centroids — the raster→vector composition (solve, then
+    aggregate by polygon zones)."""
+    idw = idw_agg_sql(
+        f"({knn_pairs_sql(grid_rel, _pages_xyz(), HAV, k=5)}) _p",
+        round_to=6,
+    )
+    return (
+        f"(SELECT g.cx AS cx, g.cy AS cy, s.z AS z "
+        f"FROM ({idw}) s JOIN {grid_rel} g ON s.cell_id = g.cell_id)"
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector (north-rule term): zonal statistics of the IDW
+    solution raster over three convex polygon zones — pure-arithmetic
+    PIP + CASE + groupBy (`zones.zonal_stats_sql`), identical SQL on
+    both engines."""
+    from geostatssolvers_jl_spark.zones import zonal_stats_sql
+
+    _register(spark, sf_dir, ("documents",))
+    _grid_view(spark, WORLD_GRID, "world_grid")
+    return spark.sql(
+        zonal_stats_sql(_zonal_cells_sql("world_grid"), _ZONES)
     )
 
 
@@ -772,6 +805,14 @@ def _events_sessions_oracle() -> str:
     from geostatssolvers_jl_spark.streaming.sessions import sessionize_sql
 
     return sessionize_sql("duckdb", "events")
+
+
+def _zonal_stats_oracle() -> str:
+    from geostatssolvers_jl_spark.zones import zonal_stats_sql
+
+    return zonal_stats_sql(
+        _zonal_cells_sql(f"({_oracle_grid(WORLD_GRID)})"), _ZONES
+    )
 
 
 def _langid_model_oracle() -> str:
@@ -2048,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text_quality_sql(),
         "langid": langid_sql("documents"),
         "langid_model": _langid_model_oracle(),
+        "zonal_stats": _zonal_stats_oracle(),
         "ann_cosine": ann,
         "units_affine": (
             "SELECT cell_id, round(z, 6) + 0.0 AS temp_k FROM ("
@@ -2670,6 +2712,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "langid_model": q_langid_model,
         "events_sessions": q_events_sessions,
+        "zonal_stats": q_zonal_stats,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "tile_parent": q_tile_parent,

@@ -206,3 +206,63 @@ def test_events_hourly_timezone_invariant(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
     assert utc == ist and len(utc) > 0
+
+
+def test_zones_assignment_semantics(spark):
+    """zone_assign_expr: first matching zone wins under overlap, points
+    outside every zone get NULL, polygon boundaries are inclusive."""
+    from geostatssolvers_jl_spark.zones import (
+        zone_assign_expr, zonal_stats_sql,
+    )
+
+    sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    sq_shift = [(5.0, 0.0), (15.0, 0.0), (15.0, 10.0), (5.0, 10.0)]
+    zones = [(7, sq), (9, sq_shift)]
+    pts = spark.createDataFrame(
+        [(0, 2.0, 2.0),    # only zone 7
+         (1, 7.0, 5.0),    # overlap → first match (7)
+         (2, 12.0, 5.0),   # only zone 9
+         (3, 50.0, 50.0),  # outside
+         (4, 0.0, 0.0),    # boundary vertex → inclusive (7)
+         (5, 10.0, 5.0)],  # shared edge → first match (7)
+        "pid long, lon double, lat double",
+    )
+    pts.createOrReplaceTempView("_zone_pts")
+    got = {r["pid"]: r["zid"] for r in spark.sql(
+        f"SELECT pid, {zone_assign_expr(zones)} AS zid FROM _zone_pts"
+    ).collect()}
+    assert got == {0: 7, 1: 7, 2: 9, 3: None, 4: 7, 5: 7}
+    # zonal stats over the same points-as-cells: outside points excluded
+    pts.selectExpr("lon AS cx", "lat AS cy", "CAST(pid AS DOUBLE) AS z") \
+        .createOrReplaceTempView("_zone_cells")
+    rows = {r["zone_id"]: r for r in spark.sql(
+        zonal_stats_sql("_zone_cells", zones)
+    ).collect()}
+    assert rows[7]["n_cells"] == 4 and rows[9]["n_cells"] == 1
+    assert rows[9]["mean_v"] == 2.0
+    assert 3 not in {z for z in rows}  # no phantom zones
+
+
+def test_zonal_stats_duckdb_parity(spark):
+    """The identical zonal SQL runs on DuckDB with identical values —
+    the raster↔vector operator is oracle-grade by construction."""
+    import duckdb
+
+    from geostatssolvers_jl_spark.zones import zonal_stats_sql
+
+    zones = [(1, [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]),
+             (2, [(4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0)])]
+    cells = [(float(i % 8), float(i // 8 % 4), float(i) * 1.5)
+             for i in range(64)]
+    spark.createDataFrame(cells, "cx double, cy double, z double") \
+        .createOrReplaceTempView("_zc")
+    q = zonal_stats_sql("_zc", zones)
+    got = sorted(map(tuple, spark.sql(q).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW _zc AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b}, {c})" for a, b, c in cells)
+        + ") _t(cx, cy, z)"
+    )
+    want = sorted(map(tuple, con.sql(q).fetchall()))
+    assert got == want and len(got) == 2
