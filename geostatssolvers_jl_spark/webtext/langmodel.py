@@ -185,6 +185,22 @@ def langid_model(spark, train_df: DataFrame,
     seq = next(_VIEW_SEQ)
     trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
     crel = f"_lm_cnt_{seq}"
+
+    def _spread(df):
+        # a small corpus read from one parquet file arrives as ONE
+        # partition, and the explode → model join → per-doc aggregation
+        # chain then runs single-threaded (measured: that stage was 8.7
+        # of the ~7-9 s per call at sf0.1).  Repartition narrow inputs
+        # up to the session's parallelism; wide inputs pass through
+        # untouched (no gratuitous shuffle at scale).
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            return df.repartition(target)
+        return df
+
+    train_df = _spread(train_df)
+    if score_df is not None:
+        score_df = _spread(score_df)
     train_df.createOrReplaceTempView(trel)
     (score_df if score_df is not None else train_df) \
         .createOrReplaceTempView(srel)
