@@ -402,3 +402,63 @@ def test_streaming_sessionization_multi_chunk_ordering(spark, tmp_path):
     got = sorted((r["n_events"], round(r["total_value"], 6))
                  for r in collected)
     assert got == [(10, 10.0), (10, 10.0)], collected
+
+
+def test_sessionize_sql_matches_numpy_reference(spark):
+    """Batch sessionization vs an independent numpy reference over a
+    seeded random corpus (50 users × ~40 events, random gaps straddling
+    the threshold) — session boundaries, counts, extents, and value
+    sums must all agree."""
+    import numpy as np
+    from datetime import datetime, timezone
+
+    from geostatssolvers_jl_spark.streaming.sessions import sessionize_sql
+
+    rng = np.random.default_rng(29)
+    gap_s = 1800
+    rows = []
+    expected = []
+    eid = 0
+    base = 1_700_000_000_000_000  # micros
+    for uid in range(50):
+        n = int(rng.integers(1, 40))
+        # gaps cluster around the threshold to exercise the boundary
+        gaps = rng.choice(
+            [10_000_000, 1_799_000_000, 1_800_000_000, 1_801_000_000,
+             5_000_000_000],
+            size=n,
+        )
+        t = base + int(rng.integers(0, 10**9))
+        us = []
+        for g in gaps:
+            us.append(t)
+            t += int(g)
+        vals = np.round(rng.uniform(0, 10, n), 2)
+        for u, v in zip(us, vals):
+            ts = datetime.fromtimestamp(u / 1e6, tz=timezone.utc)
+            rows.append((eid, uid,
+                         ts.strftime("%Y-%m-%d %H:%M:%S.%f"), float(v)))
+            eid += 1
+        # numpy reference: strict > gap starts a new session
+        us_a = np.array(us)
+        breaks = np.concatenate(
+            ([0], np.nonzero(np.diff(us_a) > gap_s * 1_000_000)[0] + 1,
+             [n])
+        )
+        for sno in range(len(breaks) - 1):
+            a, b = breaks[sno], breaks[sno + 1]
+            expected.append((
+                uid, sno + 1, b - a, int(us_a[a]), int(us_a[b - 1]),
+                round(float(vals[a:b].sum()), 6),
+            ))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).selectExpr("event_id", "user_id",
+                 "to_timestamp(ts_s) AS ts", "value")
+    df.createOrReplaceTempView("_prop_events")
+    got = sorted(
+        (r["user_id"], r["session_no"], r["n_events"], r["start_us"],
+         r["end_us"], round(r["total_value"], 6))
+        for r in spark.sql(sessionize_sql("spark", "_prop_events")).collect()
+    )
+    assert got == sorted(expected)
