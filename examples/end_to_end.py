@@ -6,6 +6,8 @@ takes through this engine, at web scale.
 Stages (each maps to a reference concept or a north-rule addition):
   1. ingest + clean      — canonical-url dedup, exact text dedup, PII
                            redaction, quality/repetition filters
+  1b. language ID        — trained trigram-NB classifier over the
+                           cleaned corpus (webtext/langmodel.py)
   2. split               — deterministic train/val/test assignment
   3. georeference        — geocode pages, H3-style tile assignment
                            (the reference's `georef` + domain)
@@ -16,6 +18,8 @@ Stages (each maps to a reference concept or a north-rule addition):
                            reference's `SimulationProblem`)
   6. sink                — partitioned parquet + lineage manifest,
                            resumable (north-rule checkpoint contract)
+  7. learn               — PointwiseLearn with the distributed-exact
+                           CART fit over the train split
 
 Run output: one line per stage with row counts / timings.
 """

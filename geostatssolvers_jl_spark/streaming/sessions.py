@@ -95,11 +95,15 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     open sessions).
 
     In-order contract: within and across triggers events are merged in
-    event-time order per user; LATE events older than the open session's
-    last timestamp would need a watermark + re-emit policy — this
-    operator follows the engine's streaming-dedup tier and simply
-    clamps them into the open session (documented approximation; the
-    batch form is the exact reference for replayable data)."""
+    event-time order per user; LATE events (older than the open
+    session's last timestamp) would need a watermark + re-emit policy —
+    this operator follows the engine's streaming-dedup tier and merges
+    ALL of them into the open session (count/sum absorbed, start
+    extended backwards if needed; the open session's END is MONOTONE,
+    so already-emitted output is never contradicted and future on-time
+    events sessionize exactly as the batch form would).  Documented
+    approximation; the batch form is the exact reference for replayable
+    data."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     import pandas as pd
@@ -131,6 +135,19 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             # pandas timestamps are int64 NANOseconds → micros
             us = pdf["ts"].astype("int64").to_numpy() // 1_000
             vals = pdf["value"].to_numpy(np.float64)
+            if last_us is not None:
+                # merge ALL late events (us ≤ open session's end) into
+                # the open session FIRST: running the segment fold over
+                # them would let a late segment hijack the open-session
+                # slot and move state backwards past already-emitted
+                # output, permanently diverging from the batch twin
+                nlate = int(np.searchsorted(us, last_us, side="right"))
+                if nlate:
+                    n_ev += nlate
+                    tot += float(vals[:nlate].sum())
+                    start_us = min(start_us, int(us[0]))
+                    us, vals = us[nlate:], vals[nlate:]
+        if chunks and len(us):
             starts = np.concatenate(
                 ([0], np.nonzero(np.diff(us) > gap_us)[0] + 1)
             )
@@ -141,8 +158,10 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             seg_end = us[ends - 1]
             k = 0
             if last_us is not None and us[0] - last_us <= gap_us:
-                # first segment continues the open session
-                last_us = max(last_us, int(seg_end[0]))
+                # first segment continues the open session (all events
+                # here are strictly later than last_us after the late
+                # merge above)
+                last_us = int(seg_end[0])
                 n_ev += int(seg_n[0])
                 tot += float(seg_sum[0])
                 k = 1

@@ -23,8 +23,6 @@ ORs naturally through first-match semantics.
 
 from __future__ import annotations
 
-Verts = "list[tuple[float, float]]"
-
 
 def convex_pip_expr(verts, lon: str = "lon", lat: str = "lat") -> str:
     """Half-plane conjunction for one convex CCW polygon — the single
@@ -62,12 +60,15 @@ def zonal_stats_sql(cells_rel: str, zones, value: str = "z",
     normalized on both engines (the -0.0 contract rule)."""
     za = zone_assign_expr(zones, lon, lat)
     r = round_to
+    # the inner projection ALIASES the value so ``value`` may be any
+    # expression (qualified column, arithmetic), not just a bare name
     return (
         f"SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells, "
-        f"round(avg({value}), {r}) + 0.0 AS mean_v, "
-        f"round(min({value}), {r}) + 0.0 AS min_v, "
-        f"round(max({value}), {r}) + 0.0 AS max_v, "
-        f"round(sum({value}), {r}) + 0.0 AS sum_v "
-        f"FROM (SELECT {za} AS zone_id, {value} FROM {cells_rel} _c) _z "
+        f"round(avg(_v), {r}) + 0.0 AS mean_v, "
+        f"round(min(_v), {r}) + 0.0 AS min_v, "
+        f"round(max(_v), {r}) + 0.0 AS max_v, "
+        f"round(sum(_v), {r}) + 0.0 AS sum_v "
+        f"FROM (SELECT {za} AS zone_id, {value} AS _v "
+        f"FROM {cells_rel} _c) _z "
         f"WHERE zone_id IS NOT NULL GROUP BY zone_id"
     )

@@ -462,3 +462,67 @@ def test_sessionize_sql_matches_numpy_reference(spark):
         for r in spark.sql(sessionize_sql("spark", "_prop_events")).collect()
     )
     assert got == sorted(expected)
+
+
+def test_streaming_sessionization_late_data_monotone_state(spark, tmp_path):
+    """Late events — even several late SEGMENTS with internal gaps —
+    must merge into the open session without moving its end backwards:
+    a later on-time event then continues the SAME session exactly as
+    the batch form would (review finding r5: a late segment could
+    hijack the open-session slot and permanently diverge the stream
+    from the batch twin)."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from geostatssolvers_jl_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    drop = tmp_path / "late_drop"
+    drop.mkdir()
+    ck = str(tmp_path / "late_ckpt")
+    base = 1_700_000_000
+
+    def ev(off, val):
+        ts = datetime.fromtimestamp(base + off, tz=timezone.utc)
+        return {"user_id": 1,
+                "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+                "value": val}
+
+    collected = []
+
+    def run():
+        schema = "user_id long, ts timestamp, value double"
+        stream = sessionize_stream(
+            spark.readStream.schema(schema).json(str(drop)), gap_s=1800
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    # trigger 1: open session at offsets [10000, 10060]
+    (drop / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in [ev(10000, 1.0), ev(10060, 1.0)]))
+    run()
+    # trigger 2: TWO late segments (0 and 5000 — internal gap 5000 s
+    # > 1800) plus one on-time event 100 s after the open session's end
+    (drop / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in
+                  [ev(0, 10.0), ev(5000, 20.0), ev(10160, 1.0)]))
+    run()
+    # nothing closed yet: the on-time event CONTINUED the open session
+    assert collected == [], collected
+    # trigger 3: a gap closes it — one session with all 5 events,
+    # start extended back to the earliest late event, end monotone
+    (drop / "b3.json").write_text(_json.dumps(ev(20000, 1.0)))
+    run()
+    assert len(collected) == 1
+    r = collected[0]
+    assert r["n_events"] == 5
+    assert r["start_us"] == base * 1_000_000
+    assert r["end_us"] == (base + 10160) * 1_000_000
+    assert round(r["total_value"], 6) == 33.0

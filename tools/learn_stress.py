@@ -43,8 +43,11 @@ def main():
         ],
     ).selectExpr(
         *[f"f{j}" for j in range(NF)],
-        "CAST(f0 + 0.5 * f1 * f1 - f2 > 0.2 AS INT) "
-        "+ CAST(f1 > 0.8 AS INT) AS lab",
+        # label built only from EXISTING features so the advertised
+        # [n_features] CLI works for any NF >= 1
+        "CAST(" + " + ".join(
+            f"f{j} * {1.0 - 0.3 * j}" for j in range(NF)
+        ) + " > 0.2 AS INT) + CAST(f0 > 0.8 AS INT) AS lab",
     )
     t0 = time.time()
     dist = fit_tree_spark(df, [f"f{j}" for j in range(NF)], "lab")
