@@ -368,6 +368,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TOKEN_COUNT_SQL)
 
 
+def q_token_count_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token count (the brief's second tokenizer tier):
+    maximal same-character-class runs, regex-free — see
+    `textstats.subword_token_count_sql`."""
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        subword_token_count_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(subword_token_count_sql("spark"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: word-length / stopword-ratio heuristics."""
     _register(spark, sf_dir, ("documents",))
@@ -805,6 +817,14 @@ def _events_sessions_oracle() -> str:
     from geostatssolvers_jl_spark.streaming.sessions import sessionize_sql
 
     return sessionize_sql("duckdb", "events")
+
+
+def _token_subword_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        subword_token_count_sql,
+    )
+
+    return subword_token_count_sql("duckdb")
 
 
 def _zonal_stats_oracle() -> str:
@@ -2090,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": langid_sql("documents"),
         "langid_model": _langid_model_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
+        "token_count_subword": _token_subword_oracle(),
         "ann_cosine": ann,
         "units_affine": (
             "SELECT cell_id, round(z, 6) + 0.0 AS temp_k FROM ("
@@ -2713,6 +2734,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_model": q_langid_model,
         "events_sessions": q_events_sessions,
         "zonal_stats": q_zonal_stats,
+        "token_count_subword": q_token_count_subword,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "tile_parent": q_tile_parent,

@@ -161,3 +161,64 @@ def repetition_ratio_sql(dialect: str, docs_rel: str = "documents",
         f"CAST(coalesce(_a.n_grams, 0) AS BIGINT) AS n_grams "
         f"FROM {docs_rel} d LEFT JOIN ({agg}) _a ON d.doc_id = _a.doc_id"
     )
+
+
+def _char_class_expr(text: str) -> str:
+    """Map every character to its class tag: letters → 'a', digits →
+    '0', spaces stay ' ', everything else untouched (each punctuation
+    mark is its own class — BPE-style pre-tokenizers split between
+    punctuation marks too).  translate-only: regex dialects diverge
+    between engines, translate does not."""
+    letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    return (
+        f"translate({text}, '{letters}0123456789', "
+        f"'{'a' * 52}{'0' * 10}')"
+    )
+
+
+def subword_token_count_sql(dialect: str,
+                            docs_rel: str = "documents") -> str:
+    """BPE-ish subword token count (the brief's 'whitespace + BPE-ish'
+    pair; `token_count_expr` is the whitespace tier): tokens are maximal
+    runs of same-class characters (letter-run, digit-run, single
+    punctuation), so ``"abc123 def-ghi"`` counts abc|123|def|-|ghi = 5 —
+    the class-transition segmentation BPE pre-tokenizers approximate
+    with regex, here computed regex-free from the class string.
+
+    A run STARTS at position i iff class(i) ≠ ' ' and (i = 1 or
+    class(i-1) ≠ class(i) or class(i) is punctuation — adjacent
+    punctuation marks are separate tokens).  One position-explode + one
+    aggregation (the fast LATERAL form); LEFT JOIN keeps empty docs at
+    0 (the one-row-per-document coverage contract)."""
+    cls = _char_class_expr("text")
+    if dialect == "spark":
+        ex = (
+            f"SELECT doc_id, substring(_c, pos, 1) AS c, "
+            f"CASE WHEN pos = 1 THEN ' ' "
+            f"ELSE substring(_c, pos - 1, 1) END AS p "
+            f"FROM (SELECT doc_id, {cls} AS _c FROM {docs_rel}) _t "
+            f"LATERAL VIEW explode(CASE WHEN length(_c) >= 1 THEN "
+            f"sequence(1, length(_c)) ELSE array() END) _e AS pos"
+        )
+    else:
+        ex = (
+            f"SELECT doc_id, _c[pos:pos] AS c, "
+            f"CASE WHEN pos = 1 THEN ' ' ELSE _c[pos-1:pos-1] END AS p "
+            f"FROM (SELECT doc_id, {cls} AS _c FROM {docs_rel}) _t, "
+            f"LATERAL (SELECT unnest(generate_series(1, "
+            f"greatest(1, length(_c)))) AS pos) _e "
+            f"WHERE length(_c) >= 1"
+        )
+    starts = (
+        "CASE WHEN c <> ' ' AND (p <> c OR c NOT IN ('a', '0')) "
+        "THEN 1 ELSE 0 END"
+    )
+    agg = (
+        f"SELECT doc_id, CAST(sum({starts}) AS BIGINT) AS n_subwords "
+        f"FROM ({ex}) _x GROUP BY doc_id"
+    )
+    return (
+        f"SELECT d.doc_id, CAST(coalesce(_a.n_subwords, 0) AS BIGINT) "
+        f"AS n_subwords "
+        f"FROM {docs_rel} d LEFT JOIN ({agg}) _a ON d.doc_id = _a.doc_id"
+    )

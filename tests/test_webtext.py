@@ -681,3 +681,43 @@ def test_langid_model_empty_training_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="no trigrams"):
         langid_model(spark, df)
+
+
+def test_subword_token_count_semantics(spark):
+    """Class-run segmentation: letter runs, digit runs, and individual
+    punctuation marks each count as one subword; spaces separate; empty
+    and all-space docs count 0 (coverage contract keeps their rows)."""
+    import duckdb as _dd
+
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        subword_token_count_sql,
+    )
+
+    cases = [
+        (0, "abc123 def-ghi", 5),   # abc|123|def|-|ghi
+        (1, "", 0),
+        (2, "a", 1),
+        (3, "   ", 0),
+        (4, "hello, world!!", 5),   # hello|,|world|!|!
+        (5, "x9y", 3),
+        (6, "Mixed CASE runs", 3),  # case folding joins letter runs
+        (7, "a.b.c", 5),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_sw_docs")
+    got = {r["doc_id"]: r["n_subwords"] for r in spark.sql(
+        subword_token_count_sql("spark", "_sw_docs")
+    ).collect()}
+    assert got == {i: n for i, _, n in cases}
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW _sw_docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t, _ in cases)
+        + ") _t(doc_id, text)"
+    )
+    duck = {int(r[0]): int(r[1]) for r in con.sql(
+        subword_token_count_sql("duckdb", "_sw_docs")
+    ).fetchall()}
+    assert duck == got
