@@ -133,7 +133,8 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "tile_assign", "dedup_exact", "token_count", "langid",
         "ann_cosine", "ann_topk_lsh", "dedup_minhash_lsh", "pip_polygon",
         "url_canonical", "split_assign", "redact_pii", "repetition_ratio",
-        "langid_model",
+        "langid_model", "events_sessions", "zonal_stats",
+        "token_count_subword",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages
