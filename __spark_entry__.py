@@ -2675,26 +2675,24 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delimited_read": q_delimited_read,
         "units_affine": q_units_affine,
         # ---- estimation: one anchor per solver/strategy/drift family ----
-        "idw_fixture": q_idw_fixture,
-        "idw_pages": q_idw_pages,
+        # r6 window rotation (VERDICT r5 item 1): the six round-5 entries
+        # that had never been inside a driver CORRECTNESS window
+        # (langid_model, events_sessions, zonal_stats, token_count_subword,
+        # redact_pii, repetition_ratio — see LLM-pipeline section below)
+        # rotate IN; rotated OUT (redundant estimation variants, each
+        # family keeps an in-window anchor, all driver-green in r1-r5 and
+        # re-verified past-window by tools/check_oracle.py): idw_fixture,
+        # idw_pages (both subsumed by idw_pages_tiled), idw_radius
+        # (radius search keeps pytest coverage in test_idw + the r1-r5
+        # green rows), kriging_uk_local (kriging_local_fixture anchors
+        # local; UK drift stays green past-window), lwr_tiled_fixture and
+        # lwr_fixture (lwr_custom_weight anchors LWR; tiled strategy
+        # anchored by idw_pages_tiled + kriging_pages_exactness_tiled).
         "idw_pages_tiled": q_idw_pages_tiled,
-        "idw_radius": q_idw_radius,
         "kriging_local_fixture": q_kriging_local_fixture,
         "kriging_fixture_global": q_kriging_fixture_global,
-        "kriging_uk_local": q_kriging_uk_local,
-        # r5 window rotation (VERDICT r4 item 2): every registry entry
-        # gets driver-green at least once across rounds.  Rotated IN this
-        # round: kriging_pages_exactness_tiled (replacing the broadcast-
-        # strategy exactness twin AND the tiled-fixture slot — same
-        # invariant families, tiled strategy) + the four r4 webtext ops
-        # below; rotated OUT (redundant variants, each family keeps an
-        # in-window anchor): kriging_tiled_fixture, kriging_sk_local,
-        # kriging_edk_local, kriging_spherical_local,
-        # kriging_pages_exactness.
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
-        "lwr_tiled_fixture": q_lwr_tiled_fixture,
         "lwr_custom_weight": q_lwr_custom_weight,
-        "lwr_fixture": q_lwr_fixture,
         # ---- simulation invariants (conditioning exactness + moments) ----
         "sgs_conditioning": q_sgs_conditioning,
         "fftgs_conditioning": q_fftgs_conditioning,
@@ -2728,15 +2726,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "split_assign": q_split_assign,
         "contamination": q_contamination,
-        # ==== slot 51+: parameter variants & rows-only (past the driver
-        # window; still green under tools/check_oracle.py) ====
-        "fingerprint": q_fingerprint,
+        # r6 rotation IN (never driver-verified before this round)
         "langid_model": q_langid_model,
         "events_sessions": q_events_sessions,
         "zonal_stats": q_zonal_stats,
         "token_count_subword": q_token_count_subword,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
+        # ==== slot 51+: parameter variants & rows-only (past the driver
+        # window; still green under tools/check_oracle.py) ====
+        "fingerprint": q_fingerprint,
+        "idw_fixture": q_idw_fixture,
+        "idw_pages": q_idw_pages,
+        "idw_radius": q_idw_radius,
+        "kriging_uk_local": q_kriging_uk_local,
+        "lwr_tiled_fixture": q_lwr_tiled_fixture,
+        "lwr_fixture": q_lwr_fixture,
         "tile_parent": q_tile_parent,
         "kriging_pages_k3": q_kriging_pages_k3,
         "kriging_pages_k5": q_kriging_pages_k5,

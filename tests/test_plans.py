@@ -180,11 +180,14 @@ def test_registry_window_all_oracle_anchored():
         "sgs_moments", "spdegs_moments", "cookie_cutter",
         "pointwise_accuracy", "change_support", "error_rate",
         "events_hourly", "events_top_users", "kriging_fixture_global",
-        "lwr_fixture", "kriging_uk_local", "knn_join_tiled_salted",
+        "kriging_local_fixture", "lwr_custom_weight",
+        "idw_pages_tiled", "knn_join_tiled_salted",
         "dedup_minhash_lsh", "ann_topk_lsh", "multimodal_invariants",
-        # r5 rotation: these must be driver-green this round
         "kriging_pages_exactness_tiled", "dedup_components",
         "url_canonical", "split_assign", "contamination",
+        # r6 rotation: the six round-5 entries get driver-green this round
+        "langid_model", "events_sessions", "zonal_stats",
+        "token_count_subword", "redact_pii", "repetition_ratio",
     ):
         assert anchor in window, f"{anchor} fell out of the driver window"
 
