@@ -168,11 +168,13 @@ def fit_tree_spark(
         # identical-tree contract — and float(None) crashes later with
         # an opaque TypeError anyway.  The 'sample' strategy inherits
         # pandas' NULL→NaN coercion; this path refuses instead.
-        null_pred = " OR ".join(f"_f{i} IS NULL" for i in range(nf))
+        null_pred = " OR ".join(
+            [f"_f{i} IS NULL" for i in range(nf)] + ["_y IS NULL"]
+        )
         if df.filter(null_pred).limit(1).count() > 0:
             raise ValueError(
                 "fit_strategy='distributed' requires non-NULL feature "
-                "values; filter or impute them first"
+                "and label values; filter or impute them first"
             )
         classes = np.unique(
             np.array([r["_y"] for r in df.select("_y").distinct().collect()])

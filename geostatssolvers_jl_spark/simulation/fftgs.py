@@ -240,6 +240,12 @@ def solve_fftgs(
     # conditioning set) — driver-sized like the reference's data view
     dpdf = dcells.toPandas().sort_values("cell_id").reset_index(drop=True)
     dcell_ids = dpdf["cell_id"].to_numpy(np.int64)
+    if len(dcell_ids) == 0:
+        raise ValueError(
+            "conditional FFTGS requested but the conditioning data has "
+            "no usable rows (all values NULL after the non-missing "
+            "filter); pass data=None for an unconditional simulation"
+        )
     zdat = dpdf["zdat"].to_numpy(np.float64)
     dcoords = grid.centroids_np(dcell_ids)
     model = KrigingModel(variogram=variogram, mean=0.0)  # SK on residuals
@@ -382,6 +388,15 @@ def _solve_fftgs_tiled(
     # conditioning set) — driver-sized like the reference's data view
     dpdf = dcells.toPandas().sort_values("cell_id").reset_index(drop=True)
     dcell_ids = dpdf["cell_id"].to_numpy(np.int64)
+    if len(dcell_ids) == 0:
+        # fail loud: the inner-join of units to per_real would otherwise
+        # silently return ZERO rows for a conditional solve whose data
+        # was entirely NULL — the opposite of the engine's contract
+        raise ValueError(
+            "conditional FFTGS requested but the conditioning data has "
+            "no usable rows (all values NULL after the non-missing "
+            "filter); pass data=None for an unconditional simulation"
+        )
     zdat = dpdf["zdat"].to_numpy(np.float64)
     dcoords = grid.centroids_np(dcell_ids)
     nx = grid.dims[0]

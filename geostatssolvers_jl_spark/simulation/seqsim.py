@@ -27,6 +27,7 @@ a requirement).
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -394,6 +395,9 @@ def solve_sgs(
     )
 
 
+_SEAM_VIEW_SEQ = itertools.count()
+
+
 def seam_semivariance(sol: DataFrame, side: int, step: int,
                       var: str = "z") -> dict:
     """Boundary-error diagnostic for the tiled approximation: lag-1
@@ -417,7 +421,10 @@ def seam_semivariance(sol: DataFrame, side: int, step: int,
             f"step={step} >= side={side} leaves no tile boundaries — "
             "seam semivariance is undefined for a single-tile layout"
         )
-    name = f"_seam_sol_{abs(hash((side, step))) % 10**8}"
+    # per-call unique suffix: a (side, step)-derived name let two
+    # concurrent diagnostics with the same params clobber each other's
+    # temp view (and the finally-drop could remove the other call's view)
+    name = f"_seam_sol_{next(_SEAM_VIEW_SEQ)}"
     sol.createOrReplaceTempView(name)
     bcols = ", ".join(str(c) for c in bvals)
     q = f"""

@@ -87,6 +87,17 @@ SESSION_OUT_SCHEMA = (
 )
 
 
+def _ts_to_us(series):
+    """Timestamp Series → int64 epoch MICROseconds, resolution-pinned.
+
+    Arrow/pandas may deliver the column as datetime64[ns] or
+    datetime64[us] (pandas-2.x resolution path); a bare
+    ``astype(int64) // 1000`` would be silently 1000x off in the [us]
+    case.  Converting through datetime64[us] pins the unit regardless
+    of the delivered resolution."""
+    return series.to_numpy(dtype="datetime64[us]").astype("int64")
+
+
 def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Streaming sessionization: ``events`` is a streaming DataFrame with
     (user_id long, ts timestamp, value double).  Emits one row per
@@ -132,8 +143,7 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         if chunks:
             pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
                 .sort_values("ts")
-            # pandas timestamps are int64 NANOseconds → micros
-            us = pdf["ts"].astype("int64").to_numpy() // 1_000
+            us = _ts_to_us(pdf["ts"])
             vals = pdf["value"].to_numpy(np.float64)
             if last_us is not None:
                 # merge ALL late events (us ≤ open session's end) into

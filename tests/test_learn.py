@@ -188,3 +188,19 @@ def test_fit_tree_spark_rejects_null_features(spark):
     )
     with _pt.raises(ValueError, match="non-NULL"):
         fit_tree_spark(df, ["f0"], "lab")
+
+
+def test_fit_tree_spark_rejects_null_labels(spark):
+    """A NULL label used to slip past the feature-only guard, map to a
+    NULL _yi, and crash later with an opaque TypeError in the stats
+    loop (ADVICE r5) — it must trip the same loud ValueError."""
+    import pandas as pd
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.operators.learn import fit_tree_spark
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.3, None), (0.5, 0), (0.9, 1)], "f0 double, lab int"
+    )
+    with _pt.raises(ValueError, match="non-NULL"):
+        fit_tree_spark(df, ["f0"], "lab")

@@ -635,3 +635,56 @@ def test_seam_semivariance_single_tile_raises(spark):
     )
     with pytest.raises(ValueError, match="no tile boundaries"):
         seam_semivariance(sol, side=16, step=16)
+
+
+def test_fftgs_conditional_all_null_data_raises(spark):
+    """A conditional solve whose data is entirely NULL must fail loud,
+    not silently return zero rows through the units⋈per_real inner
+    join (ADVICE r5) — both the global and the tiled path."""
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.simulation.fftgs import solve_fftgs
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    data = spark.createDataFrame(
+        [(0, 12.0, 12.0, None), (1, 30.0, 20.0, None)],
+        "data_id long, x double, y double, z double",
+    )
+    grid = CartesianGrid((40, 40))
+    with _pt.raises(ValueError, match="no usable rows"):
+        solve_fftgs(spark, grid, nreals=2,
+                    variogram=GaussianVariogram(range=8.0), data=data,
+                    seed=3)
+    with _pt.raises(ValueError, match="no usable rows"):
+        solve_fftgs(spark, grid, nreals=2,
+                    variogram=GaussianVariogram(range=8.0), data=data,
+                    seed=3, tile_dims=(2, 2))
+
+
+def test_seam_semivariance_concurrent_calls_do_not_clobber(spark):
+    """Two concurrent seam diagnostics with IDENTICAL (side, step) used
+    to share a temp-view name — one call's finally-drop could remove
+    the other's view mid-query (ADVICE r5).  Per-call unique suffixes
+    must let them run simultaneously."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams, seam_semivariance, solve_sgs,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    side = 32
+    grid = CartesianGrid((side, side), (0.5, 0.5), (1.0, 1.0))
+    params = SGSParams(variogram=SphericalVariogram(range=8.0))
+    sol = solve_sgs(spark, grid, nreals=2, params=params, seed=3,
+                    tiles=(2, 2)).persist()
+    try:
+        sol.count()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(seam_semivariance, sol, side, 16)
+                    for _ in range(2)]
+            results = [f.result(timeout=120) for f in futs]
+    finally:
+        sol.unpersist()
+    assert results[0] == results[1]
+    assert all(r["n_seam"] > 0 and r["ratio"] > 0 for r in results)

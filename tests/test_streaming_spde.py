@@ -526,3 +526,22 @@ def test_streaming_sessionization_late_data_monotone_state(spark, tmp_path):
     assert r["start_us"] == base * 1_000_000
     assert r["end_us"] == (base + 10160) * 1_000_000
     assert round(r["total_value"], 6) == 33.0
+
+
+def test_ts_to_us_resolution_pinned():
+    """Timestamp→micros conversion must be identical whether pandas
+    delivers datetime64[ns] or datetime64[us] (pandas-2.x resolution
+    path): the old astype(int64)//1000 was silently 1000x off for [us]
+    input (ADVICE r5)."""
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.streaming.sessions import _ts_to_us
+
+    stamps = ["2024-03-01 00:00:00.123456", "2024-03-01 06:30:15.000001"]
+    ns = pd.Series(pd.to_datetime(stamps)).astype("datetime64[ns]")
+    us = pd.Series(pd.to_datetime(stamps)).astype("datetime64[us]")
+    got_ns = _ts_to_us(ns).tolist()
+    got_us = _ts_to_us(us).tolist()
+    assert got_ns == got_us
+    # absolute anchor: epoch micros of the first stamp
+    assert got_ns[0] == 1709251200123456
