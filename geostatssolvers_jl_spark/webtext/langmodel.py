@@ -27,12 +27,17 @@ computation and the gate compares hash-exactly:
   lexicographically smallest language
   (``ROW_NUMBER() OVER (... ORDER BY score_micro DESC, lang)``).
 
-Scale shape: the model is a bounded ``(lang × vocab)`` relation (trigram
-vocabulary saturates in the tens of thousands per script) — at 100 TB it
+Scale shape: the model is pruned — distributedly, before any driver
+materialization — to the ``vocab_topk`` (default 300, Cavnar &
+Trenkle's profile size) most frequent trigrams per language, so it is
+≤ |langs| × K rows on ANY corpus size: a 100-TB multilingual crawl with
+tens of millions of distinct CJK/emoji/noise trigrams produces exactly
+the same driver-sized artifact as the sf0.01 fixture.  The pruned model
 broadcasts against the exploded trigram-occurrence stream; the
 occurrence explode and both aggregations are ordinary shuffles keyed on
-(lang, trigram) / (doc_id, lang), AQE-splittable, no driver
-materialization.
+(lang, trigram) / (doc_id, lang), AQE-splittable.  Trigrams outside a
+language's top-K score at the Laplace floor (lp0) — the same treatment
+as trigrams never seen in training.
 
 Why the engine ships BOTH tiers: the heuristic scores a row with zero
 joins (projection-only — the right tool inside a quality-filter scan);
@@ -80,9 +85,43 @@ def trigram_select(dialect: str, rel: str, cols: str,
     )
 
 
+DEFAULT_VOCAB_TOPK = 300
+
+
+def pruned_count_sql(dialect: str, train_rel: str,
+                     vocab_topk: int | None) -> str:
+    """The ``(lang, tg, c)`` trigram-count relation, pruned to the
+    ``vocab_topk`` most frequent trigrams PER LANGUAGE (ties broken by
+    trigram ascending — deterministic on both engines).
+
+    This is Cavnar & Trenkle (1994)'s actual method — they rank-profile
+    the top ~300 n-grams per category — and it is the bound that keeps
+    the model driver-sized: without it the count table is |langs| ×
+    |vocab|, and on a 100-TB multilingual corpus CJK/emoji/noise
+    trigrams push |vocab| into the tens of millions; with it the model
+    is ≤ |langs| × K rows however large the corpus grows.  Pruning the
+    tail also denoises the classifier (hapax trigrams carry no stable
+    signal).  ``vocab_topk=None`` disables the cap (test/analysis use
+    only)."""
+    base = (
+        f"SELECT lang, tg, count(*) AS c FROM "
+        f"({trigram_select(dialect, train_rel, 'lang')}) _t "
+        f"GROUP BY lang, tg"
+    )
+    if vocab_topk is None:
+        return base
+    return (
+        f"SELECT lang, tg, c FROM ("
+        f"SELECT lang, tg, c, ROW_NUMBER() OVER (PARTITION BY lang "
+        f"ORDER BY c DESC, tg) AS _rk FROM ({base}) _c0) _c1 "
+        f"WHERE _rk <= {int(vocab_topk)}"
+    )
+
+
 def langid_model_sql(dialect: str, train_rel: str = "documents",
                      score_rel: str | None = None,
-                     cnt_rel: str | None = None) -> str:
+                     cnt_rel: str | None = None,
+                     vocab_topk: int | None = DEFAULT_VOCAB_TOPK) -> str:
     """One self-contained query: train on ``train_rel`` (doc_id, text,
     lang), score every ``score_rel`` document (defaults to the training
     corpus, the exactness-gate shape) → (doc_id, pred_lang, score_micro).
@@ -103,23 +142,23 @@ def langid_model_sql(dialect: str, train_rel: str = "documents",
     score-docs × languages, which is |docs| × |langs| rows).
 
     ``cnt_rel``: optional pre-computed ``(lang, tg, c)`` trigram-count
-    relation.  The count table is the model's natural materialization
-    point — BOUNDED at |langs| × |vocab| rows however large the corpus —
-    and everything upstream derives from it, so the `langid_model`
-    wrapper computes it in ONE explode scan and re-registers it as a
-    LOCAL relation (persisted temp views are a trap here: Spark
-    re-inlines CTEs, and ``dropTempView`` UNCACHES dependent plans, so
-    a view-backed persist silently evicted the moment the wrapper
-    cleaned up its views — measured as the full explode re-running five
-    times inside one scoring query).  Values are identical either way;
-    the DuckDB oracle keeps the inline CTEs, which DuckDB evaluates
-    once."""
+    relation, assumed ALREADY pruned to the caller's ``vocab_topk``
+    (the wrapper prunes distributedly before materializing).  The count
+    table is the model's natural materialization point — BOUNDED at
+    |langs| × vocab_topk rows however large the corpus — and everything
+    upstream derives from it, so the `langid_model` wrapper computes it
+    in ONE explode scan and re-registers it as a LOCAL relation
+    (persisted temp views are a trap here: Spark re-inlines CTEs, and
+    ``dropTempView`` UNCACHES dependent plans, so a view-backed persist
+    silently evicted the moment the wrapper cleaned up its views —
+    measured as the full explode re-running five times inside one
+    scoring query).  Values are identical either way; the DuckDB oracle
+    keeps the inline CTEs (with the identical top-K window), which
+    DuckDB evaluates once."""
     score_rel = score_rel or train_rel
     cnt_src = (
         f"SELECT lang, tg, c FROM {cnt_rel}" if cnt_rel else
-        f"SELECT lang, tg, count(*) AS c FROM "
-        f"({trigram_select(dialect, train_rel, 'lang')}) _t "
-        f"GROUP BY lang, tg"
+        pruned_count_sql(dialect, train_rel, vocab_topk)
     )
     tgs_src = trigram_select(dialect, score_rel, "doc_id")
     return f"""
@@ -175,13 +214,17 @@ SELECT doc_id, lang AS pred_lang, score_micro FROM _ranked WHERE rk = 1"""
 
 
 def langid_model(spark, train_df: DataFrame,
-                 score_df: DataFrame | None = None) -> DataFrame:
+                 score_df: DataFrame | None = None,
+                 vocab_topk: int | None = DEFAULT_VOCAB_TOPK) -> DataFrame:
     """Library wrapper: train on ``train_df`` (doc_id, text, lang), score
     ``score_df`` (defaults to the training corpus).  Computes the
-    bounded (lang, tg, c) count table in one explode scan, lands it as a
-    LOCAL relation (the model's natural materialization point — no
-    persist, no view-dependency, nothing for dropTempView to uncache),
-    then runs the scoring query against it."""
+    (lang, tg, c) count table in one explode scan, prunes it
+    DISTRIBUTEDLY to the ``vocab_topk`` most frequent trigrams per
+    language (Cavnar–Trenkle; the enforced bound that keeps the collect
+    ≤ |langs| × K rows on any corpus size), lands it as a LOCAL relation
+    (the model's natural materialization point — no persist, no
+    view-dependency, nothing for dropTempView to uncache), then runs the
+    scoring query against it."""
     seq = next(_VIEW_SEQ)
     trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
     crel = f"_lm_cnt_{seq}"
@@ -204,10 +247,7 @@ def langid_model(spark, train_df: DataFrame,
     train_df.createOrReplaceTempView(trel)
     (score_df if score_df is not None else train_df) \
         .createOrReplaceTempView(srel)
-    cnt = spark.sql(
-        f"SELECT lang, tg, count(*) AS c FROM "
-        f"({trigram_select('spark', trel, 'lang')}) _t GROUP BY lang, tg"
-    )
+    cnt = spark.sql(pruned_count_sql("spark", trel, vocab_topk))
     rows = cnt.collect()
     if not rows:
         # an empty model would make the scoring cross-join emit ZERO
