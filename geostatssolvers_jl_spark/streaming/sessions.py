@@ -22,6 +22,12 @@ Two implementations over the same semantics:
   later event closes it — so the streaming output over any replayed
   prefix equals the batch result minus each user's final (still-open)
   session, which is exactly what tests/test_streaming_spde.py pins.
+* `sessionize_stream_watermark` — the late-data policy the absorb-mode
+  operator documents away: a watermark bounds lateness, late events
+  within it re-emit corrected session rows (update semantics), and
+  sessions seal append-exactly once the watermark passes end + gap —
+  streaming ≡ batch on everything the watermark has sealed, with
+  horizon-bounded state (see its docstring).
 """
 
 from __future__ import annotations
@@ -207,4 +213,170 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_WM_STATE_SCHEMA = (
+    "ev_us array<long>, ev_val array<double>, p_start long, p_last long, "
+    "p_n long, p_tot double"
+)
+SESSION_WM_OUT_SCHEMA = SESSION_OUT_SCHEMA + ", is_final boolean"
+
+
+def sessionize_stream_watermark(events: DataFrame, gap_s: int = 1800,
+                                watermark_s: int = 3600) -> DataFrame:
+    """Watermarked sessionization with LATE-DATA RE-EMISSION (the policy
+    `sessionize_stream`'s docstring defers to; VERDICT r5 item 4).
+
+    The watermark bounds lateness: events older than ``watermark_s``
+    behind the observed max event time are dropped by the engine.
+    Within the bound, late events are incorporated EXACTLY — including
+    extending an already-provisionally-emitted session backwards — and
+    corrected versions re-emit (update semantics, ``is_final=false``).
+    A session becomes immutable once the watermark passes
+    ``end + gap_s`` (no admissible event can chain to it: any future
+    event has ts ≥ watermark > end + gap); it then emits ONCE with
+    ``is_final=true`` and leaves state.  Streaming parity: the
+    is_final rows equal the batch `sessionize_sql` sessions whose
+    ``end + gap`` lies behind the final watermark — exact on everything
+    the watermark has sealed, which is the property
+    tests/test_streaming_spde.py pins over a late-event replay.
+
+    State per user is BOUNDED by the lateness horizon, not the stream:
+    raw events are retained only while ``ts ≥ watermark − gap`` (newer
+    events could still chain among them); the frozen prefix of the
+    oldest open session is COMPRESSED to one (start, last, n, sum)
+    aggregate.  Only the earliest open session can span the horizon —
+    its predecessor's end is older still and was finalized — so one
+    aggregate suffices.  Sessions with no follow-up traffic finalize
+    through an event-time TIMEOUT set at ``end + gap`` (fires when the
+    watermark passes it), so quiet users don't hold state forever.
+    One shuffle key (user_id), integer-microsecond arithmetic, same as
+    the append-mode operator."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        user_id = int(key[0])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        horizon = wm_us - gap_us
+        if state.exists:
+            ev_us0, ev_val0, p_start, p_last, p_n, p_tot = state.get
+            ev_us0 = np.asarray(ev_us0, dtype=np.int64)
+            ev_val0 = np.asarray(ev_val0, dtype=np.float64)
+        else:
+            ev_us0 = np.zeros(0, np.int64)
+            ev_val0 = np.zeros(0, np.float64)
+            p_start = p_last = 0
+            p_n, p_tot = 0, 0.0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        had_new = bool(chunks)
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0])
+            new_us = _ts_to_us(pdf["ts"])
+            new_val = pdf["value"].to_numpy(np.float64)
+            # defensive lateness bound (Spark already drops rows behind
+            # the watermark; enforce the contract regardless)
+            keep = new_us >= wm_us
+            ev_us = np.concatenate((ev_us0, new_us[keep]))
+            ev_val = np.concatenate((ev_val0, new_val[keep]))
+            order = np.argsort(ev_us, kind="stable")
+            ev_us, ev_val = ev_us[order], ev_val[order]
+        else:
+            ev_us, ev_val = ev_us0, ev_val0
+
+        # ---- fold sessions over [compressed prefix] + retained events
+        sessions = []  # (start, end, n, tot, ev_lo, ev_hi) index range
+        if len(ev_us):
+            starts = np.concatenate(
+                ([0], np.nonzero(np.diff(ev_us) > gap_us)[0] + 1))
+            ends = np.concatenate((starts[1:], [len(ev_us)]))
+            seg_sum = np.add.reduceat(ev_val, starts)
+            for j in range(len(starts)):
+                sessions.append([
+                    int(ev_us[starts[j]]), int(ev_us[ends[j] - 1]),
+                    int(ends[j] - starts[j]), float(seg_sum[j]),
+                    int(starts[j]), int(ends[j]),
+                ])
+        if p_n > 0:
+            if sessions and sessions[0][0] - p_last <= gap_us:
+                s = sessions[0]
+                s[0] = min(int(p_start), s[0])
+                s[2] += int(p_n)
+                s[3] += float(p_tot)
+            else:
+                sessions.insert(
+                    0, [int(p_start), int(p_last), int(p_n),
+                        float(p_tot), 0, 0])
+
+        out = []
+        n_final = 0
+        for s in sessions:
+            if s[1] < horizon:
+                out.append((user_id, s[2], s[0], s[1], s[3], True))
+                n_final += 1
+            else:
+                break
+        remaining = sessions[n_final:]
+        if had_new:
+            # provisional (correctable) versions — update semantics
+            for s in remaining:
+                out.append((user_id, s[2], s[0], s[1], s[3], False))
+
+        # ---- rebuild bounded state ---------------------------------
+        if not remaining:
+            state.remove()
+        else:
+            first = remaining[0]
+            # events of finalized sessions drop; sub-horizon events of
+            # the earliest remaining session compress into the prefix
+            # aggregate (their session membership is sealed — no
+            # admissible event can land between two sub-horizon events)
+            lo, hi = first[4], first[5]
+            keep_from = lo
+            if p_n > 0 and n_final == 0:
+                np_start, np_last = int(p_start), int(p_last)
+                np_n, np_tot = int(p_n), float(p_tot)
+            else:
+                np_start, np_last, np_n, np_tot = 0, 0, 0, 0.0
+            while keep_from < hi and ev_us[keep_from] < horizon:
+                if np_n == 0:
+                    np_start = int(ev_us[keep_from])
+                np_last = int(ev_us[keep_from])
+                np_n += 1
+                np_tot += float(ev_val[keep_from])
+                keep_from += 1
+            retained = slice(keep_from, None)
+            state.update((
+                ev_us[retained].tolist(), ev_val[retained].tolist(),
+                np_start, np_last, np_n, np_tot,
+            ))
+            # finalize on watermark passage even with no new traffic
+            earliest_end_ms = (min(s[1] for s in remaining)
+                               + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(earliest_end_ms, state.getCurrentWatermarkMs() + 1))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "n_events", "start_us", "end_us",
+                         "total_value", "is_final"],
+            )
+
+    return (
+        events.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_WM_OUT_SCHEMA,
+            stateStructType=SESSION_WM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

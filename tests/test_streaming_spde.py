@@ -545,3 +545,117 @@ def test_ts_to_us_resolution_pinned():
     assert got_ns == got_us
     # absolute anchor: epoch micros of the first stamp
     assert got_ns[0] == 1709251200123456
+
+
+def test_streaming_sessionization_watermark_late_replay(spark, tmp_path):
+    """`sessionize_stream_watermark` (VERDICT r5 item 4): late events
+    within the watermark are incorporated EXACTLY — a session already
+    provisionally emitted gets a corrected re-emission — and the
+    is_final rows equal the batch sessions sealed by the final
+    watermark (streaming-with-watermark ≡ batch on data older than the
+    watermark).  Quiet users finalize through the event-time timeout."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from geostatssolvers_jl_spark.streaming.sessions import (
+        sessionize_sql, sessionize_stream_watermark,
+    )
+
+    drop = tmp_path / "wm_drop"
+    drop.mkdir()
+    ck = str(tmp_path / "wm_ckpt")
+    base = 1_700_000_000
+    gap_s, wm_s = 1800, 3600
+
+    def ev(uid, off, val):
+        ts = datetime.fromtimestamp(base + off, tz=timezone.utc)
+        return {"user_id": uid,
+                "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+                "value": val}
+
+    # run1: u1 session A {0,60,120}, session B opens {10000}
+    # run2: u1 LATE 9000 (behind max-event 10000 but ahead of the
+    #        watermark 6400) -> B grows backwards to {9000,10000};
+    #        13000 opens C.  A (end 120) finalizes (wm 6400, horizon
+    #        4600).
+    # run3: u2 only -> u1 untouched (timeout not yet passed)
+    # run4: u2 far-future event -> watermark jumps; u1's TIMEOUT fires
+    #        and finalizes B and C with no new u1 traffic.
+    # u3: ONE session of 10 events spanning the horizon — once the
+    # watermark passes, its frozen prefix must COMPRESS into the state
+    # aggregate (bounded state) without changing the sealed totals
+    runs = [
+        [ev(1, 0, 1.0), ev(1, 60, 2.0), ev(1, 120, 3.0),
+         ev(1, 10000, 4.0)]
+        + [ev(3, 1000 * k, float(k)) for k in range(10)],
+        [ev(1, 9000, 0.5), ev(1, 13000, 6.0), ev(3, 10000, 11.0)],
+        [ev(2, 100000, 7.0)],
+        [ev(2, 100100, 8.0)],
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    collected = []
+
+    for i, batch in enumerate(runs):
+        (drop / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in batch))
+        stream = sessionize_stream_watermark(
+            spark.readStream.schema(schema).json(str(drop)),
+            gap_s=gap_s, watermark_s=wm_s,
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    US = 1_000_000
+    finals = sorted(
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"],
+         round(r["total_value"], 6))
+        for r in collected if r["is_final"]
+    )
+    # batch twin over ALL events (the late one included — it was inside
+    # the watermark), restricted to sessions the final watermark sealed
+    allrows = [(i, r["user_id"], r["ts"].replace("Z", "+00:00"),
+                r["value"]) for i, r in
+               enumerate(x for b in runs for x in b)]
+    bdf = spark.createDataFrame(
+        allrows, "event_id long, user_id long, ts_s string, value double"
+    ).selectExpr("event_id", "user_id", "to_timestamp(ts_s) AS ts",
+                 "value")
+    bdf.createOrReplaceTempView("_wm_events")
+    batch = spark.sql(
+        sessionize_sql("spark", "_wm_events", gap_s=gap_s)).collect()
+    spark.catalog.dropTempView("_wm_events")
+    final_wm_us = (base + 100000 - wm_s) * US  # wm before the last batch
+    want = sorted(
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"],
+         round(r["total_value"], 6))
+        for r in batch if r["end_us"] + gap_s * US < final_wm_us
+    )
+    assert finals == want
+    assert len(finals) == 4  # u1's A, B, C + u3's spanning session
+    u3 = next(f for f in finals if f[0] == 3)
+    assert u3 == (3, 11, base * US, (base + 10000) * US,
+                  round(sum(range(10)) + 11.0, 6))
+    # the LATE event genuinely corrected session B before it sealed:
+    # final B spans [9000, 10000] with 2 events, and an earlier
+    # PROVISIONAL emission of B carried only the on-time event
+    b_final = next(f for f in finals
+                   if f[2] == (base + 9000) * US)
+    assert b_final[1] == 2 and b_final[3] == (base + 10000) * US
+    prov_b = [r for r in collected if not r["is_final"]
+              and r["user_id"] == 1
+              and r["start_us"] == (base + 10000) * US
+              and r["n_events"] == 1]
+    assert prov_b, "pre-correction provisional emission of B missing"
+    # every batch session's FINAL state appeared among emissions
+    # (corrections re-emitted; open tails provisionally emitted)
+    emitted = {(r["user_id"], r["n_events"], r["start_us"], r["end_us"],
+                round(r["total_value"], 6)) for r in collected}
+    for r in batch:
+        key = (r["user_id"], r["n_events"], r["start_us"], r["end_us"],
+               round(r["total_value"], 6))
+        assert key in emitted, f"batch session never emitted: {key}"
