@@ -337,7 +337,7 @@ def _zonal_cells_sql(grid_rel: str) -> str:
         round_to=6,
     )
     return (
-        f"(SELECT g.cx AS cx, g.cy AS cy, s.z AS z "
+        f"(SELECT g.cell_id AS cell_id, g.cx AS cx, g.cy AS cy, s.z AS z "
         f"FROM ({idw}) s JOIN {grid_rel} g ON s.cell_id = g.cell_id)"
     )
 
@@ -354,6 +354,52 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         zonal_stats_sql(_zonal_cells_sql("world_grid"), _ZONES)
     )
+
+
+# concave zone (L-shape over the west hemisphere) + an overlapping
+# convex quad — triangulated by zones.decompose_zones at import, so the
+# CASE chain and the edge relation both derive from ONE definition
+_ZONES_CONCAVE = [
+    (4, [(-180.0, -90.0), (0.0, -90.0), (0.0, 0.0), (-90.0, 0.0),
+         (-90.0, 90.0), (-180.0, 90.0)]),
+    (2, [(-60.0, -90.0), (60.0, -90.0), (60.0, 90.0), (-60.0, 90.0)]),
+]
+
+
+def q_zonal_stats_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave-zone zonal statistics (VERDICT r5 item 5): the L-shaped
+    zone ear-clips into triangles sharing one zone id
+    (`zones.triangulate_polygon`), feeding the SAME first-match CASE
+    chain as the convex entry — boundary-inclusive, overlap resolved by
+    zone list order."""
+    from geostatssolvers_jl_spark.zones import (
+        decompose_zones, zonal_stats_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    _grid_view(spark, WORLD_GRID, "world_grid")
+    return spark.sql(zonal_stats_sql(
+        _zonal_cells_sql("world_grid"), decompose_zones(_ZONES_CONCAVE)
+    ))
+
+
+def q_zonal_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-TABLE form of the concave entry (VERDICT r5 item 6): the
+    zones land as a broadcast edge relation instead of a CASE chain —
+    the >thousands-of-zones scale path (`zones.zonal_stats_join_sql`).
+    Must be value-identical to q_zonal_stats_concave; the oracle runs
+    the identical text with the edges inlined as VALUES."""
+    from geostatssolvers_jl_spark.zones import (
+        zonal_stats_join_sql, zone_edges_values_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    _grid_view(spark, WORLD_GRID, "world_grid")
+    return spark.sql(zonal_stats_join_sql(
+        _zonal_cells_sql("world_grid"),
+        zone_edges_values_sql(_ZONES_CONCAVE),
+        value="z", id_col="cell_id", lon="cx", lat="cy",
+    ))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +878,29 @@ def _zonal_stats_oracle() -> str:
 
     return zonal_stats_sql(
         _zonal_cells_sql(f"({_oracle_grid(WORLD_GRID)})"), _ZONES
+    )
+
+
+def _zonal_stats_concave_oracle() -> str:
+    from geostatssolvers_jl_spark.zones import (
+        decompose_zones, zonal_stats_sql,
+    )
+
+    return zonal_stats_sql(
+        _zonal_cells_sql(f"({_oracle_grid(WORLD_GRID)})"),
+        decompose_zones(_ZONES_CONCAVE),
+    )
+
+
+def _zonal_stats_join_oracle() -> str:
+    from geostatssolvers_jl_spark.zones import (
+        zonal_stats_join_sql, zone_edges_values_sql,
+    )
+
+    return zonal_stats_join_sql(
+        _zonal_cells_sql(f"({_oracle_grid(WORLD_GRID)})"),
+        zone_edges_values_sql(_ZONES_CONCAVE),
+        value="z", id_col="cell_id", lon="cx", lat="cy",
     )
 
 
@@ -2183,6 +2252,8 @@ def oracle_sql() -> dict[str, str]:
         "langid": langid_sql("documents"),
         "langid_model": _langid_model_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
+        "zonal_stats_concave": _zonal_stats_concave_oracle(),
+        "zonal_stats_join": _zonal_stats_join_oracle(),
         "token_count_subword": _token_subword_oracle(),
         "ann_cosine": ann,
         "units_affine": (
@@ -2835,6 +2906,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": q_ann_lsh_bucket,
         # r6: REAL stdlib codec round-trip, oracle-anchored (past-window)
         "multimodal_decode_real": q_multimodal_decode_real,
+        # r6: concave zones + zone-table broadcast form (past-window)
+        "zonal_stats_concave": q_zonal_stats_concave,
+        "zonal_stats_join": q_zonal_stats_join,
         # rows-only (stochastic / no SQL equivalent; see docstrings for
         # their value anchors)
         "multimodal_decode": q_multimodal_decode,

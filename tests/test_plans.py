@@ -269,3 +269,160 @@ def test_zonal_stats_duckdb_parity(spark):
     )
     want = sorted(map(tuple, con.sql(q).fetchall()))
     assert got == want and len(got) == 2
+
+
+def _crossing_number_inside(poly, px, py):
+    """Independent even-odd ray-casting reference (numpy, public
+    algorithm) — boundary handled separately by the caller."""
+    import numpy as np
+
+    vx = np.array([v[0] for v in poly])
+    vy = np.array([v[1] for v in poly])
+    vx2, vy2 = np.roll(vx, -1), np.roll(vy, -1)
+    cond = (vy > py) != (vy2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = vx + (py - vy) * (vx2 - vx) / (vy2 - vy)
+    return int(np.sum(cond & (px < xint))) % 2 == 1
+
+
+def test_triangulate_polygon_covers_concave_exactly():
+    """Ear-clipping union must equal the polygon: for concave fixtures
+    (L-shape, comb, collinear chain) every strictly-interior sample is
+    inside some triangle and every strictly-exterior sample is inside
+    none (vs an independent even-odd ray-casting reference)."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.zones import (
+        signed_area, triangulate_polygon,
+    )
+
+    polys = [
+        [(0, 0), (4, 0), (4, 1), (1, 1), (1, 3), (0, 3)],        # L
+        [(0, 0), (6, 0), (6, 4), (4, 4), (4, 2), (2, 2), (2, 4),
+         (0, 4)],                                                 # comb
+        [(0, 0), (2, 0), (4, 0), (4, 3), (2, 1.5), (0, 3)],       # collinear + reflex
+        list(reversed([(0, 0), (4, 0), (4, 1), (1, 1), (1, 3),
+                       (0, 3)])),                                 # CW input
+    ]
+
+    def tri_inside(tri, x, y):
+        ok = True
+        for i in range(3):
+            x1, y1 = tri[i]
+            x2, y2 = tri[(i + 1) % 3]
+            ok &= (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) >= 0
+        return ok
+
+    rng = np.random.default_rng(5)
+    for poly in polys:
+        tris = triangulate_polygon(poly)
+        # area conservation (exact for ear clipping up to fp roundoff)
+        assert abs(sum(signed_area(t) for t in tris)
+                   - abs(signed_area(poly))) < 1e-9
+        xs = rng.uniform(-1, 7, 4000)
+        ys = rng.uniform(-1, 5, 4000)
+        for x, y in zip(xs, ys):
+            want = _crossing_number_inside(poly, x, y)
+            got = any(tri_inside(t, x, y) for t in tris)
+            # random samples are strictly interior/exterior a.s.
+            assert got == want, (poly, x, y)
+
+
+def test_concave_zone_assignment_boundary_inclusive(spark):
+    """A concave zone through decompose_zones: vertices, edge midpoints
+    (including the reflex corner and the shared internal diagonals) are
+    INSIDE; points in the notch are outside."""
+    from geostatssolvers_jl_spark.zones import (
+        decompose_zones, zone_assign_expr,
+    )
+
+    L = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 3.0),
+         (0.0, 3.0)]
+    expr = zone_assign_expr(decompose_zones([(5, L)]))
+    pts = []
+    for i in range(len(L)):            # vertices + edge midpoints
+        x1, y1 = L[i]
+        x2, y2 = L[(i + 1) % len(L)]
+        pts += [(x1, y1, 5), ((x1 + x2) / 2, (y1 + y2) / 2, 5)]
+    pts += [(0.5, 0.5, 5), (2.0, 0.5, 5), (0.5, 2.9, 5),
+            (2.0, 2.0, None), (1.5, 1.00001, None), (5.0, 0.5, None)]
+    df = spark.createDataFrame(
+        [(float(x), float(y), w) for x, y, w in pts],
+        "lon double, lat double, want int",
+    )
+    bad = df.selectExpr(f"{expr} AS got", "want") \
+        .filter("NOT (got <=> want)").collect()
+    assert bad == [], bad
+
+
+def test_zonal_stats_join_matches_case_form(spark):
+    """The zone-TABLE broadcast-join form must produce value-identical
+    zonal statistics to the CASE form on the same raster — convex and
+    concave zones, overlap resolved by the same first-match priority —
+    on BOTH engines (the oracle runs the identical text)."""
+    import duckdb
+
+    from geostatssolvers_jl_spark.zones import (
+        decompose_zones, zonal_stats_join_sql, zonal_stats_sql,
+        zone_edges_values_sql,
+    )
+
+    # raster: deterministic arithmetic surface on a 40x30 grid
+    cells = """(SELECT id AS cell_id,
+                       CAST(id % 40 AS DOUBLE) / 4.0 AS cx,
+                       CAST(floor(id / 40.0) AS DOUBLE) / 4.0 AS cy,
+                       sin(CAST(id AS DOUBLE) / 7.0) AS z
+                FROM range(1200) AS _r(id))"""
+    L = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 3.0),
+         (0.0, 3.0)]
+    sq = [(3.0, 0.5), (9.0, 0.5), (9.0, 6.5), (3.0, 6.5)]  # overlaps L
+    zones = [(5, L), (2, sq)]
+    case_sql = zonal_stats_sql(cells, decompose_zones(zones),
+                               value="z", lon="cx", lat="cy")
+    join_sql = zonal_stats_join_sql(cells, zone_edges_values_sql(zones),
+                                    value="z", id_col="cell_id",
+                                    lon="cx", lat="cy")
+    # Spark: range() works in both engines' SQL; compare directly
+    got_case = sorted(map(tuple, spark.sql(case_sql).collect()))
+    got_join = sorted(map(tuple, spark.sql(join_sql).collect()))
+    assert got_case == got_join and len(got_case) == 2
+    con = duckdb.connect()
+    oracle_join = sorted(map(tuple, con.execute(join_sql).fetchall()))
+    oracle_case = sorted(map(tuple, con.execute(case_sql).fetchall()))
+    assert oracle_join == got_join and oracle_case == got_case
+
+
+def test_zonal_stats_join_tiled_equijoin(spark):
+    """The tile-replicated zone-table form must (a) produce identical
+    values to the nested-loop bbox form, and (b) plan as a broadcast
+    HASH equi-join on the tile key — the O(cells · zones) → O(cells)
+    step that makes 10k zones viable."""
+    from geostatssolvers_jl_spark.zones import (
+        ZONE_EDGES_TILED_SCHEMA, zonal_stats_join_sql,
+        zone_edges_rows, zone_edges_values_sql,
+    )
+
+    cells = """(SELECT id AS cell_id,
+                       CAST(id % 40 AS DOUBLE) / 4.0 AS cx,
+                       CAST(floor(id / 40.0) AS DOUBLE) / 4.0 AS cy,
+                       sin(CAST(id AS DOUBLE) / 7.0) AS z
+                FROM range(1200) AS _r(id))"""
+    L = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 3.0),
+         (0.0, 3.0)]
+    sq = [(3.0, 0.5), (9.0, 0.5), (9.0, 6.5), (3.0, 6.5)]
+    zones = [(5, L), (2, sq)]
+    plain = spark.sql(zonal_stats_join_sql(
+        cells, zone_edges_values_sql(zones)))
+    edges = spark.createDataFrame(
+        zone_edges_rows(zones, tile_size=2.0), ZONE_EDGES_TILED_SCHEMA)
+    edges.createOrReplaceTempView("_zt_edges")
+    try:
+        tiled = spark.sql(zonal_stats_join_sql(
+            cells, "_zt_edges", tile_size=2.0))
+        assert (sorted(map(tuple, plain.collect()))
+                == sorted(map(tuple, tiled.collect())))
+        plan = _plan(tiled)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.catalog.dropTempView("_zt_edges")
