@@ -311,9 +311,25 @@ def solve_sgs(
     data_coord_cols: list[str] | None = None,
     seed: int = 0,
     tiles: tuple[int, int] | None = None,
+    halo: int = 0,
 ) -> DataFrame:
     """Long DataFrame (real_id, cell_id, var).  ``tiles`` splits the grid
-    for intra-realization parallelism (None → single tile = exact)."""
+    for intra-realization parallelism (None → single tile = exact).
+
+    ``halo`` (cells; tiled runs only): each tile simulates an EXPANDED
+    block including a ring of ``halo`` cells from its neighbours and
+    emits only its interior.  Boundary cells then see full
+    neighbourhoods — including neighbouring tiles' HARD DATA inside the
+    ring (the SURVEY's "condition each tile on neighbouring tiles' data
+    within range") and simulated context on both sides — which pulls
+    the seam semivariance toward the exact-run control (measured by
+    `seam_semivariance`; see BASELINE.md 'Tiled-SGS seam validation').
+    Set it of the order of the variogram range in cell units; cost
+    scales as ``(sx + 2·halo)(sy + 2·halo) / (sx·sy)`` per tile.  The
+    halo ring is re-simulated independently per tile (realizations
+    remain embarrassingly parallel; tiles never exchange simulated
+    values), so this narrows — not closes — the documented
+    tile-independence approximation."""
     params = params or SGSParams()
     require_stationary(params.variogram, "SGS")
     # fail at plan time, not inside an executor task
@@ -354,20 +370,28 @@ def solve_sgs(
             f"(single tile) for a {grid.ndims}-D grid"
         )
 
-    def tile_cells(t: int) -> np.ndarray:
+    def tile_cells(t: int) -> tuple[np.ndarray, np.ndarray]:
+        """(cells, interior mask): cells include the halo ring; only
+        interior rows are emitted."""
         if ntiles == 1:
-            return np.arange(ncells)
+            cells = np.arange(ncells)
+            return cells, np.ones(ncells, dtype=bool)
         if grid.ndims == 1:
             n = grid.dims[0]
             step = -(-n // ntiles)
-            return np.arange(t * step, min(n, (t + 1) * step))
+            lo, hi = t * step, min(n, (t + 1) * step)
+            cells = np.arange(max(0, lo - halo), min(n, hi + halo))
+            return cells, (cells >= lo) & (cells < hi)
         nx, ny = grid.dims[0], grid.dims[1]
         tx, ty = t % tiles[0], t // tiles[0]
         sx, sy = -(-nx // tiles[0]), -(-ny // tiles[1])
-        ii = np.arange(tx * sx, min(nx, (tx + 1) * sx))
-        jj = np.arange(ty * sy, min(ny, (ty + 1) * sy))
+        ix0, ix1 = tx * sx, min(nx, (tx + 1) * sx)
+        iy0, iy1 = ty * sy, min(ny, (ty + 1) * sy)
+        ii = np.arange(max(0, ix0 - halo), min(nx, ix1 + halo))
+        jj = np.arange(max(0, iy0 - halo), min(ny, iy1 + halo))
         J, I = np.meshgrid(jj, ii, indexing="ij")
-        return (J * nx + I).ravel()
+        inner = ((I >= ix0) & (I < ix1) & (J >= iy0) & (J < iy1)).ravel()
+        return (J * nx + I).ravel(), inner
 
     from pyspark import cloudpickle
 
@@ -381,9 +405,10 @@ def solve_sgs(
         for pdf in batches:
             for unit in pdf["id"].tolist():
                 real_id, t = int(unit) // ntiles, int(unit) % ntiles
-                cells = tile_cells(t)
+                cells, inner = tile_cells(t)
                 rng = np.random.default_rng((sd, real_id, t))
                 vals = _simulate_tile(rng, cells, p_all[cells], pr, iv)
+                cells, vals = cells[inner], vals[inner]
                 yield pd.DataFrame({
                     "real_id": np.full(len(cells), real_id, dtype=np.int64),
                     "cell_id": cells.astype(np.int64),

@@ -688,3 +688,65 @@ def test_seam_semivariance_concurrent_calls_do_not_clobber(spark):
         sol.unpersist()
     assert results[0] == results[1]
     assert all(r["n_seam"] > 0 and r["ratio"] > 0 for r in results)
+
+
+def test_sgs_tiled_halo_narrows_seam(spark):
+    """Halo conditioning (VERDICT r5 item 7): with data density inside
+    the variogram range, a halo ≈ range must pull the seam ratio
+    measurably toward the exact-run control (~1.0) versus the
+    independent-tile run — because boundary cells now condition on
+    NEIGHBOURING tiles' data within range.  Hard-data exactness and
+    the one-row-per-cell contract must hold in the halo run, and
+    output stays deterministic (same seed → identical rows)."""
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams, seam_semivariance, solve_sgs,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    side = 128
+    grid = CartesianGrid((side, side), (0.5, 0.5), (1.0, 1.0))
+
+    def mkdata(nd):
+        return spark.range(nd).selectExpr(
+            "id AS data_id",
+            f"0.5 + CAST((id * 2654435761) % {side * side} % {side} "
+            "AS DOUBLE) AS x",
+            f"0.5 + CAST((id * 2654435761) % {side * side} DIV {side} "
+            "AS DOUBLE) AS y",
+            "sin(CAST(id * 40503 % 100000 AS DOUBLE) / 15915.494) AS z",
+        )
+
+    params = SGSParams(variogram=SphericalVariogram(range=8.0))
+    data = mkdata(3000)
+    plain = solve_sgs(spark, grid, nreals=2, params=params, data=data,
+                      seed=3, tiles=(4, 4)).persist()
+    m0 = seam_semivariance(plain, side, 32)
+    plain.unpersist()
+    halo = solve_sgs(spark, grid, nreals=2, params=params, data=data,
+                     seed=3, tiles=(4, 4), halo=8).persist()
+    try:
+        n = halo.count()
+        assert n == 2 * side * side  # halo rows are NOT emitted
+        m8 = seam_semivariance(halo, side, 32)
+        # measured: 2.85 -> 1.48 at this shape; pin a conservative gap
+        assert m8["ratio"] < m0["ratio"] - 0.5, (m0, m8)
+        assert m8["ratio"] < 2.0, m8
+        # hard data honored at snapped cells in every realization
+        dpdf = data.toPandas()
+        import numpy as np
+
+        cells = ((dpdf.y - 0.5).astype(int) * side
+                 + (dpdf.x - 0.5).astype(int))
+        dmin = dpdf.assign(cell_id=cells).groupby("cell_id").z.min()
+        hp = halo.toPandas()
+        for real in (0, 1):
+            hv = hp[hp.real_id == real].set_index("cell_id").z
+            got = hv.loc[dmin.index].to_numpy()
+            assert np.allclose(got, dmin.to_numpy()), real
+        # determinism
+        rerun = solve_sgs(spark, grid, nreals=2, params=params,
+                          data=data, seed=3, tiles=(4, 4), halo=8)
+        assert sorted(map(tuple, rerun.collect())) \
+            == sorted(map(tuple, halo.collect()))
+    finally:
+        halo.unpersist()
