@@ -134,7 +134,8 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "ann_cosine", "ann_topk_lsh", "dedup_minhash_lsh", "pip_polygon",
         "url_canonical", "split_assign", "redact_pii", "repetition_ratio",
         "langid_model", "events_sessions", "zonal_stats",
-        "token_count_subword",
+        "token_count_subword", "zonal_stats_join",
+        "multimodal_decode_real",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages
