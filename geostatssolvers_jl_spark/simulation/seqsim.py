@@ -331,6 +331,15 @@ def solve_sgs(
     values), so this narrows — not closes — the documented
     tile-independence approximation."""
     params = params or SGSParams()
+    if halo < 0:
+        # a negative halo would SHRINK tiles and silently drop boundary
+        # cells from the output (no tile would emit them)
+        raise ValueError(f"halo must be >= 0, got {halo}")
+    if halo > 0 and (tiles is None or tiles == (1, 1)):
+        raise ValueError(
+            "halo conditioning applies to TILED runs; the single-tile "
+            "path is already exact — pass tiles=(..., ...) or drop halo"
+        )
     require_stationary(params.variogram, "SGS")
     # fail at plan time, not inside an executor task
     validate_planar_metric(params.metric, grid.ndims, "SGS")

@@ -286,10 +286,16 @@ def sessionize_stream_watermark(events: DataFrame, gap_s: int = 1800,
             keep = new_us >= wm_us
             ev_us = np.concatenate((ev_us0, new_us[keep]))
             ev_val = np.concatenate((ev_val0, new_val[keep]))
+            is_new = np.concatenate((
+                np.zeros(len(ev_us0), bool),
+                np.ones(int(keep.sum()), bool),
+            ))
             order = np.argsort(ev_us, kind="stable")
             ev_us, ev_val = ev_us[order], ev_val[order]
+            is_new = is_new[order]
         else:
             ev_us, ev_val = ev_us0, ev_val0
+            is_new = np.zeros(len(ev_us), bool)
 
         # ---- fold sessions over [compressed prefix] + retained events
         sessions = []  # (start, end, n, tot, ev_lo, ev_hi) index range
@@ -325,9 +331,15 @@ def sessionize_stream_watermark(events: DataFrame, gap_s: int = 1800,
                 break
         remaining = sessions[n_final:]
         if had_new:
-            # provisional (correctable) versions — update semantics
+            # provisional (correctable) re-emissions — update semantics.
+            # Only sessions this batch actually TOUCHED re-emit: every
+            # change (extend, backward-extend, merge) involves at least
+            # one new event inside the session's range, so a user with
+            # many open sessions doesn't rebroadcast all of them on
+            # every trigger (sink volume stays O(changed), not O(open))
             for s in remaining:
-                out.append((user_id, s[2], s[0], s[1], s[3], False))
+                if is_new[s[4]:s[5]].any():
+                    out.append((user_id, s[2], s[0], s[1], s[3], False))
 
         # ---- rebuild bounded state ---------------------------------
         if not remaining:

@@ -58,7 +58,13 @@ def _pnm_tokens(buf: bytes, start: int, n: int) -> tuple[list[int], int]:
             raise ValueError("truncated PNM header")
         vals.append(int(buf[i:j]))
         i = j
-    return vals, i + 1  # exactly ONE whitespace byte before the raster
+    # exactly ONE whitespace character terminates the header per the
+    # Netpbm spec; tolerate the common Windows-authored CRLF as one
+    # terminator (otherwise the '\n' would be read as the first raster
+    # byte and every pixel silently shifts)
+    if buf[i : i + 2] == b"\r\n":
+        return vals, i + 2
+    return vals, i + 1
 
 
 def decode_pnm(payload: bytes) -> np.ndarray:
@@ -129,6 +135,10 @@ def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
     0,1,2,3,4 so a decode round-trip exercises every unfilter branch."""
     if img.ndim == 2:
         img = img[:, :, None]
+    if img.shape[2] == 1 and color_type in (2, 6):
+        # gray input under an RGB-family color type: replicate channels
+        # (the alternative was an opaque reshape error downstream)
+        img = np.repeat(img, 3, axis=2)
     h, w = img.shape[:2]
     if color_type == 0:
         px, ch = img[:, :, :1], 1

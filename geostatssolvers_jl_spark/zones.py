@@ -24,18 +24,45 @@ ORs naturally through first-match semantics.
 from __future__ import annotations
 
 
+def _canonical_edge(x1, y1, x2, y2):
+    """Order an edge's endpoints lexicographically, returning
+    ``(ax, ay, bx, by, sign)`` with ``sign = +1`` if the input direction
+    was already canonical, else ``-1``.
+
+    Why: two convex parts sharing an edge (the internal diagonals of a
+    triangulated polygon; adjacent lattice zones) traverse it in
+    OPPOSITE directions.  Evaluated naively, the two half-plane cross
+    products are computed about different origin vertices, so in
+    floating point they are NOT exact negations — a point numerically
+    ON the shared edge can land strictly outside BOTH parts (measured:
+    128 of 200k on-diagonal samples for a skewed quad), silently
+    dropping raster cells from the zone.  Canonicalizing makes both
+    parts evaluate the IDENTICAL expression (one FP value E) and test
+    ``E >= 0`` on one side, ``E <= 0`` on the other — at least one
+    always holds, so the shared edge never leaks."""
+    if (x1, y1) <= (x2, y2):
+        return x1, y1, x2, y2, 1
+    return x2, y2, x1, y1, -1
+
+
+def _edge_cond_sql(x1, y1, x2, y2, lon: str, lat: str) -> str:
+    ax, ay, bx, by, sgn = _canonical_edge(x1, y1, x2, y2)
+    e = (f"(({bx!r} - {ax!r}) * ({lat} - {ay!r}) "
+         f"- ({by!r} - {ay!r}) * ({lon} - {ax!r}))")
+    return f"{e} >= 0.0" if sgn > 0 else f"{e} <= 0.0"
+
+
 def convex_pip_expr(verts, lon: str = "lon", lat: str = "lat") -> str:
     """Half-plane conjunction for one convex CCW polygon — the single
     source for every PIP site (the contract layer imports this; an
-    inline copy diverged once already)."""
+    inline copy diverged once already).  Edges are evaluated in
+    CANONICAL endpoint order (see `_canonical_edge`) so parts sharing
+    an edge cover it gaplessly in floating point."""
     conds = []
     for i in range(len(verts)):
         x1, y1 = verts[i]
         x2, y2 = verts[(i + 1) % len(verts)]
-        conds.append(
-            f"(({x2!r} - {x1!r}) * ({lat} - {y1!r}) "
-            f"- ({y2!r} - {y1!r}) * ({lon} - {x1!r})) >= 0.0"
-        )
+        conds.append(_edge_cond_sql(x1, y1, x2, y2, lon, lat))
     return "(" + " AND ".join(conds) + ")"
 
 
@@ -50,6 +77,21 @@ def zone_assign_expr(zones, lon: str = "lon", lat: str = "lat") -> str:
     return f"CASE {arms} ELSE NULL END"
 
 
+def _zonal_rollup_sql(round_to: int) -> str:
+    """The shared five-aggregate zonal SELECT (count/mean/min/max/sum
+    over ``(zone_id, _v)`` rows) — ONE source for the CASE form and the
+    join form so the -0.0 normalization / rounding contract cannot
+    diverge between them."""
+    r = round_to
+    return (
+        f"SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells, "
+        f"round(avg(_v), {r}) + 0.0 AS mean_v, "
+        f"round(min(_v), {r}) + 0.0 AS min_v, "
+        f"round(max(_v), {r}) + 0.0 AS max_v, "
+        f"round(sum(_v), {r}) + 0.0 AS sum_v"
+    )
+
+
 def zonal_stats_sql(cells_rel: str, zones, value: str = "z",
                     lon: str = "cx", lat: str = "cy",
                     round_to: int = 6) -> str:
@@ -59,15 +101,10 @@ def zonal_stats_sql(cells_rel: str, zones, value: str = "z",
     no cells emit no row.  Float aggregates are rounded + ``+ 0.0``
     normalized on both engines (the -0.0 contract rule)."""
     za = zone_assign_expr(zones, lon, lat)
-    r = round_to
     # the inner projection ALIASES the value so ``value`` may be any
     # expression (qualified column, arithmetic), not just a bare name
     return (
-        f"SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells, "
-        f"round(avg(_v), {r}) + 0.0 AS mean_v, "
-        f"round(min(_v), {r}) + 0.0 AS min_v, "
-        f"round(max(_v), {r}) + 0.0 AS max_v, "
-        f"round(sum(_v), {r}) + 0.0 AS sum_v "
+        f"{_zonal_rollup_sql(round_to)} "
         f"FROM (SELECT {za} AS zone_id, {value} AS _v "
         f"FROM {cells_rel} _c) _z "
         f"WHERE zone_id IS NOT NULL GROUP BY zone_id"
@@ -168,11 +205,16 @@ def decompose_zones(zones) -> list:
 def zone_edges_rows(zones, tile_size: float | None = None) -> list:
     """Flatten (zone_id, simple polygon) zones into the EDGE relation the
     join form consumes: one row per directed edge of each convex part,
-    ``(priority, zone_id, part_id, n_edges, x1, y1, x2, y2, xmin, xmax,
-    ymin, ymax)``.  ``priority`` is the zone's list position (first-match
-    overlap semantics); the bbox columns replicate the part's bounding
-    box onto each edge so the join can range-prune before the half-plane
-    count.
+    ``(priority, zone_id, part_id, edge_no, n_edges, x1, y1, x2, y2,
+    sgn, xmin, xmax, ymin, ymax)``.  ``priority`` is the zone's list
+    position (first-match overlap semantics); the bbox columns
+    replicate the part's bounding box onto each edge so the join can
+    range-prune before the half-plane count.  Endpoints are stored in
+    CANONICAL order with ``sgn`` carrying the part's traversal
+    direction (see `_canonical_edge` — closes the FP gap on edges
+    shared between parts); ``edge_no`` identifies the edge within its
+    part so the half-plane count is DISTINCT-based and immune to row
+    replication.
 
     ``tile_size``: the SCALE path.  Each edge row is replicated once per
     covering tile of the part's bbox (two extra ``tile_x, tile_y``
@@ -192,8 +234,9 @@ def zone_edges_rows(zones, tile_size: float | None = None) -> list:
             for i in range(len(tri)):
                 x1, y1 = tri[i]
                 x2, y2 = tri[(i + 1) % len(tri)]
-                edges.append((prio, int(zid), part_id, len(tri),
-                              x1, y1, x2, y2) + bb)
+                ax, ay, bx, by, sgn = _canonical_edge(x1, y1, x2, y2)
+                edges.append((prio, int(zid), part_id, i, len(tri),
+                              ax, ay, bx, by, sgn) + bb)
             if tile_size is None:
                 rows.extend(edges)
             else:
@@ -210,8 +253,8 @@ def zone_edges_rows(zones, tile_size: float | None = None) -> list:
 
 
 ZONE_EDGES_SCHEMA = (
-    "priority int, zone_id int, part_id int, n_edges int, "
-    "x1 double, y1 double, x2 double, y2 double, "
+    "priority int, zone_id int, part_id int, edge_no int, n_edges int, "
+    "x1 double, y1 double, x2 double, y2 double, sgn int, "
     "xmin double, xmax double, ymin double, ymax double"
 )
 ZONE_EDGES_TILED_SCHEMA = ZONE_EDGES_SCHEMA + ", tile_x long, tile_y long"
@@ -226,7 +269,8 @@ def zone_edges_values_sql(zones) -> str:
     )
     return (
         f"(SELECT * FROM (VALUES {rows}) _e(priority, zone_id, part_id, "
-        f"n_edges, x1, y1, x2, y2, xmin, xmax, ymin, ymax))"
+        f"edge_no, n_edges, x1, y1, x2, y2, sgn, "
+        f"xmin, xmax, ymin, ymax))"
     )
 
 
@@ -254,7 +298,16 @@ def zonal_stats_join_sql(cells_rel: str, edges_rel: str,
     with the same ``tile_size`` (tile-replicated rows) — the join gains
     a hash-equi key ``floor(coord / tile_size) = tile`` and the bbox
     test shrinks to a residual filter; a broadcast HASH join instead of
-    a nested loop, O(cells · fanout) not O(cells · zones)."""
+    a nested loop, O(cells · fanout) not O(cells · zones).
+
+    Mismatch safety: the half-plane count is DISTINCT on ``edge_no``,
+    so an untiled query over a TILE-REPLICATED edge relation still
+    returns correct values (each (cell, part) group just carries
+    replica rows); the reverse mismatch (tiled query over untiled
+    edges) fails loudly at analysis on the missing ``tile_x`` column.
+    The remaining foot-gun — tiled edges at one size, query at a
+    DIFFERENT size — cannot be detected from SQL text; pair the two
+    ``tile_size`` arguments from one variable."""
     r = round_to
     if tile_size is None:
         tile_cond = ""
@@ -275,18 +328,15 @@ WITH _c AS (
     ON {tile_cond}c._x >= e.xmin AND c._x <= e.xmax
    AND c._y >= e.ymin AND c._y <= e.ymax
   GROUP BY c._pid, c._v, e.priority, e.zone_id, e.part_id, e.n_edges
-  HAVING sum(CASE WHEN (e.x2 - e.x1) * (c._y - e.y1)
-                       - (e.y2 - e.y1) * (c._x - e.x1) >= 0.0
-             THEN 1 ELSE 0 END) = e.n_edges
+  HAVING count(DISTINCT CASE
+           WHEN e.sgn * ((e.x2 - e.x1) * (c._y - e.y1)
+                         - (e.y2 - e.y1) * (c._x - e.x1)) >= 0.0
+           THEN e.edge_no END) = e.n_edges
 ), _best AS (
   SELECT _pid, _v, zone_id,
          ROW_NUMBER() OVER (PARTITION BY _pid
                             ORDER BY priority, part_id) AS _rk
   FROM _m
 )
-SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells,
-       round(avg(_v), {r}) + 0.0 AS mean_v,
-       round(min(_v), {r}) + 0.0 AS min_v,
-       round(max(_v), {r}) + 0.0 AS max_v,
-       round(sum(_v), {r}) + 0.0 AS sum_v
+{_zonal_rollup_sql(r)}
 FROM _best WHERE _rk = 1 GROUP BY zone_id"""

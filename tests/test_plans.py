@@ -426,3 +426,81 @@ def test_zonal_stats_join_tiled_equijoin(spark):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.catalog.dropTempView("_zt_edges")
+
+
+def test_shared_diagonal_has_no_fp_gap():
+    """Review finding (r6): with naive per-part edge evaluation, a point
+    numerically ON the internal diagonal of a triangulated polygon can
+    fall outside BOTH triangles (the two FP cross products are not
+    exact negations).  Canonical edge ordering must close the gap: for
+    a skewed quad, every point sampled ALONG the diagonal lies in at
+    least one part — in the CASE expression (via DuckDB, same text as
+    Spark) and in the edge-relation arithmetic."""
+    import duckdb
+    import numpy as np
+
+    from geostatssolvers_jl_spark.zones import (
+        decompose_zones, zone_assign_expr,
+    )
+
+    quad = [(0.0, 0.0), (10.0, 0.1), (10.0, 10.0), (0.05, 9.97)]
+    parts = decompose_zones([(1, quad)])
+    assert len(parts) == 2
+    # the internal diagonal is the edge the two triangles share
+    e0 = {tuple(sorted((parts[0][1][i], parts[0][1][(i + 1) % 3])))
+          for i in range(3)}
+    e1 = {tuple(sorted((parts[1][1][i], parts[1][1][(i + 1) % 3])))
+          for i in range(3)}
+    (a, b), = e0 & e1
+    # exclude the exact endpoints: at t=1 the parameterized point is an
+    # ulp OUTSIDE the quad's outer edge (an FP artifact of a + t*(b-a),
+    # not a decomposition gap)
+    t = np.linspace(0.0, 1.0, 200001)[1:-1]
+    xs = a[0] + t * (b[0] - a[0])
+    ys = a[1] + t * (b[1] - a[1])
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame(
+        {"lon": xs, "lat": ys}))
+    expr = zone_assign_expr(parts)
+    miss = con.execute(
+        f"SELECT count(*) FROM pts WHERE ({expr}) IS NULL"
+    ).fetchone()[0]
+    assert miss == 0, f"{miss} on-diagonal points outside both parts"
+
+
+def test_zonal_join_untiled_query_over_tiled_edges_is_correct():
+    """Review finding (r6): the half-plane count is DISTINCT on edge_no,
+    so an untiled query over a tile-REPLICATED edge relation must still
+    return correct values (each group just carries replica rows) — the
+    silent-empty-result failure mode is gone."""
+    import duckdb
+
+    from geostatssolvers_jl_spark.zones import (
+        zonal_stats_join_sql, zone_edges_rows,
+    )
+
+    cells = """(SELECT id AS cell_id,
+                       CAST(id % 40 AS DOUBLE) / 4.0 AS cx,
+                       CAST(floor(id / 40.0) AS DOUBLE) / 4.0 AS cy,
+                       sin(CAST(id AS DOUBLE) / 7.0) AS z
+                FROM range(1200) AS _r(id))"""
+    zones = [(5, [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0),
+                  (1.0, 3.0), (0.0, 3.0)]),
+             (2, [(3.0, 0.5), (9.0, 0.5), (9.0, 6.5), (3.0, 6.5)])]
+
+    def values_sql(rows, cols):
+        body = ", ".join("(" + ", ".join(repr(v) for v in r) + ")"
+                         for r in rows)
+        return f"(SELECT * FROM (VALUES {body}) _e({cols}))"
+
+    cols = ("priority, zone_id, part_id, edge_no, n_edges, x1, y1, "
+            "x2, y2, sgn, xmin, xmax, ymin, ymax")
+    con = duckdb.connect()
+    want = sorted(con.execute(zonal_stats_join_sql(
+        cells, values_sql(zone_edges_rows(zones), cols))).fetchall())
+    got = sorted(con.execute(zonal_stats_join_sql(
+        cells,
+        values_sql(zone_edges_rows(zones, tile_size=2.0),
+                   cols + ", tile_x, tile_y"),
+    )).fetchall())
+    assert got == want and len(want) == 2

@@ -750,3 +750,23 @@ def test_sgs_tiled_halo_narrows_seam(spark):
             == sorted(map(tuple, halo.collect()))
     finally:
         halo.unpersist()
+
+
+def test_sgs_halo_validation(spark):
+    """Review finding (r6): a negative halo silently DROPPED boundary
+    cells (no tile emitted them); halo on a single-tile run silently
+    did nothing.  Both must fail loudly."""
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams, solve_sgs,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    grid = CartesianGrid((16, 16))
+    params = SGSParams(variogram=SphericalVariogram(range=4.0))
+    with _pt.raises(ValueError, match="halo must be >= 0"):
+        solve_sgs(spark, grid, nreals=1, params=params, seed=1,
+                  tiles=(2, 2), halo=-2)
+    with _pt.raises(ValueError, match="TILED"):
+        solve_sgs(spark, grid, nreals=1, params=params, seed=1, halo=4)

@@ -589,7 +589,7 @@ def test_streaming_sessionization_watermark_late_replay(spark, tmp_path):
          ev(1, 10000, 4.0)]
         + [ev(3, 1000 * k, float(k)) for k in range(10)],
         [ev(1, 9000, 0.5), ev(1, 13000, 6.0), ev(3, 10000, 11.0)],
-        [ev(2, 100000, 7.0)],
+        [ev(2, 100000, 7.0), ev(1, 13100, 1.5)],
         [ev(2, 100100, 8.0)],
     ]
     schema = "user_id long, ts timestamp, value double"
@@ -651,6 +651,13 @@ def test_streaming_sessionization_watermark_late_replay(spark, tmp_path):
               and r["start_us"] == (base + 10000) * US
               and r["n_events"] == 1]
     assert prov_b, "pre-correction provisional emission of B missing"
+    # selective re-emission (r6 review): at run3 u1's event 13100 only
+    # touches session C — the untouched open session B must NOT be
+    # re-broadcast; its corrected form was emitted exactly once (run2)
+    prov_b2 = [r for r in collected if not r["is_final"]
+               and r["user_id"] == 1
+               and r["start_us"] == (base + 9000) * US]
+    assert len(prov_b2) == 1, prov_b2
     # every batch session's FINAL state appeared among emissions
     # (corrections re-emitted; open tails provisionally emitted)
     emitted = {(r["user_id"], r["n_events"], r["start_us"], r["end_us"],

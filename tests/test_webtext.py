@@ -885,3 +885,33 @@ def test_decode_images_real_end_to_end(spark):
     want = hashlib.md5(
         FakeCodec.resize(_img(5), (4, 4)).tobytes()).hexdigest()
     assert by.loc["img5", "thumb_md5"] == want
+
+
+def test_stdlib_codec_pnm_crlf_header():
+    """Review finding (r6): a Windows-authored PPM terminating the
+    header with CRLF used to shift every pixel by one byte silently —
+    the CRLF must count as ONE header terminator."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.webtext.codecs import decode_pnm
+
+    raw = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\r\n2 2\r\n255\r\n" + raw.tobytes()
+    assert np.array_equal(decode_pnm(payload), raw)
+
+
+def test_encode_png_gray_input_under_rgb_type():
+    """Review finding (r6): encode_png((h, w) gray) with the default
+    color_type=2 crashed with an opaque reshape error — gray input now
+    replicates channels."""
+    import numpy as np
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        decode_png, encode_png,
+    )
+
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    out = decode_png(encode_png(g))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    out6 = decode_png(encode_png(g, color_type=6))
+    assert np.array_equal(out6, np.repeat(g[:, :, None], 3, axis=2))
