@@ -1126,6 +1126,102 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features_real(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL-codec FEATURE pipeline, integer-exact: the same arithmetic
+    images as `multimodal_decode_real` (now rotating FOUR formats —
+    PPM, BMP, RGB PNG, and INDEXED/palette PNG, which the arithmetic
+    pixels make viable: ≤256 distinct colors by construction) are
+    decoded, nearest-neighbour resized to 8×8 exactly as
+    `image_features` does (linspace-index selection), and reduced to
+    integer statistics — per-channel pixel sums and the 16-bin gray
+    histogram COUNTS (gray = (r+g+b)/3, left-closed bins of width 16,
+    numpy-histogram semantics).  The DuckDB oracle recomputes all of it
+    in closed form; every quantity is integral, so the hash compare is
+    exact by construction (floor() is spelled explicitly — DuckDB's
+    CAST(double AS INT) rounds where Spark's truncates)."""
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        FakeCodec, StdlibCodec, encode_bmp, encode_png, encode_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(60)
+    encs = [encode_ppm, encode_bmp,
+            lambda im: encode_png(im, 2), lambda im: encode_png(im, 3)]
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].tolist():
+                w, h = 4 + i % 9, 4 + i % 7
+                x = np.arange(w)
+                y = np.arange(h)
+                c = np.arange(3)
+                img = ((7 * i + 3 * x[None, :, None]
+                        + 5 * y[:, None, None]
+                        + 11 * c[None, None, :]) % 256).astype(np.uint8)
+                dec = StdlibCodec.decode(encs[i % 4](img))
+                small = FakeCodec.resize(dec, (8, 8)).astype(np.int64)
+                sums = small.sum(axis=(0, 1))
+                gray = small.mean(axis=2)
+                hist = np.histogram(
+                    gray, bins=16, range=(0.0, 256.0))[0]
+                out.append((i, int(sums[0]), int(sums[1]),
+                            int(sums[2]))
+                           + tuple(int(v) for v in hist))
+            cols = (["doc_id", "sum_r", "sum_g", "sum_b"]
+                    + [f"h{k}" for k in range(16)])
+            yield pd.DataFrame(out, columns=cols)
+
+    hcols = ", ".join(f"h{k} long" for k in range(16))
+    return ids.repartition(8).mapInPandas(
+        run,
+        schema=f"doc_id long, sum_r long, sum_g long, sum_b long, "
+               f"{hcols}",
+    )
+
+
+def _multimodal_features_real_oracle() -> str:
+    hist = ", ".join(
+        f"CAST(sum(CASE WHEN gbin = {k} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS h{k}" for k in range(16)
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60)
+), sel AS (
+  -- nearest-neighbour resize: source index = trunc(g * (n-1) / 7)
+  -- computed as g * ((n-1)/7.0) to match numpy linspace bit-for-bit
+  SELECT i.doc_id, i.w, i.h,
+         CAST(floor(gx.g * ((i.w - 1) / 7.0)) AS INT) AS sx,
+         CAST(floor(gy.g * ((i.h - 1) / 7.0)) AS INT) AS sy
+  FROM ids i
+  CROSS JOIN generate_series(0, 7) gx(g)
+  CROSS JOIN generate_series(0, 7) gy(g)
+), px AS (
+  SELECT doc_id,
+         (7 * doc_id + 3 * sx + 5 * sy + 11 * 0) % 256 AS r,
+         (7 * doc_id + 3 * sx + 5 * sy + 11 * 1) % 256 AS g,
+         (7 * doc_id + 3 * sx + 5 * sy + 11 * 2) % 256 AS b
+  FROM sel
+), binned AS (
+  SELECT doc_id, r, g, b,
+         CAST(floor(((r + g + b) / 3.0) / 16.0) AS INT) AS gbin
+  FROM px
+)
+SELECT doc_id,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       {hist}
+FROM binned GROUP BY doc_id"""
+
+
 def _multimodal_decode_real_oracle() -> str:
     return """
 WITH ids AS (
@@ -2222,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "delimited_read": _delimited_read_oracle(),
         "multimodal_invariants": _multimodal_invariants_oracle(),
         "multimodal_decode_real": _multimodal_decode_real_oracle(),
+        "multimodal_features_real": _multimodal_features_real_oracle(),
         "idw_anisotropic": idw_agg_sql(
             "("
             + knn_pairs_sql(
@@ -2904,8 +3001,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_bands": q_minhash_bands,
         "ann_lsh_bucket": q_ann_lsh_bucket,
-        # r6: REAL stdlib codec round-trip, oracle-anchored (past-window)
+        # r6: REAL stdlib codec round-trip + feature pipeline,
+        # oracle-anchored (past-window)
         "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_features_real": q_multimodal_features_real,
         # r6: concave zones + zone-table broadcast form (past-window)
         "zonal_stats_concave": q_zonal_stats_concave,
         "zonal_stats_join": q_zonal_stats_join,

@@ -131,7 +131,8 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
     """uint8 image → PNG.  ``color_type``: 0 gray (takes (h,w) or the
-    red channel), 2 RGB, 6 RGBA (alpha=255).  The row FILTER cycles
+    red channel), 2 RGB, 3 indexed (PLTE built from the image's ≤256
+    distinct colors), 6 RGBA (alpha=255).  The row FILTER cycles
     0,1,2,3,4 so a decode round-trip exercises every unfilter branch."""
     if img.ndim == 2:
         img = img[:, :, None]
@@ -140,8 +141,19 @@ def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
         # (the alternative was an opaque reshape error downstream)
         img = np.repeat(img, 3, axis=2)
     h, w = img.shape[:2]
+    plte = b""
     if color_type == 0:
         px, ch = img[:, :, :1], 1
+    elif color_type == 3:
+        flat = img[:, :, :3].reshape(-1, 3)
+        pal, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(
+                f"indexed PNG needs <= 256 distinct colors, image has "
+                f"{len(pal)}"
+            )
+        plte = pal.astype(np.uint8).tobytes()
+        px, ch = idx.astype(np.uint8).reshape(h, w, 1), 1
     elif color_type == 2:
         px, ch = img[:, :, :3], 3
     elif color_type == 6:
@@ -173,9 +185,12 @@ def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
         out += (filt % 256).astype(np.uint8).tobytes()
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
-            + _png_chunk(b"IEND", b""))
+    parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    if plte:
+        parts.append(_png_chunk(b"PLTE", plte))
+    parts += [_png_chunk(b"IDAT", zlib.compress(bytes(out), 6)),
+              _png_chunk(b"IEND", b"")]
+    return b"".join(parts)
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -191,6 +206,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, w = len(_PNG_SIG), 0
     h = depth = ctype = interlace = 0
     idat = bytearray()
+    plte = b""
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -199,18 +215,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if interlace:
         raise RealCodecUnavailable("interlaced (Adam7) PNG unsupported")
-    if depth != 8 or ctype not in (0, 2, 6):
+    if depth != 8 or ctype not in (0, 2, 3, 6):
         raise RealCodecUnavailable(
             f"PNG depth={depth} color_type={ctype} unsupported "
-            "(8-bit gray/RGB/RGBA only)"
+            "(8-bit gray/indexed/RGB/RGBA only)"
         )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    if ctype == 3 and (not plte or len(plte) % 3):
+        raise ValueError("indexed PNG is missing a valid PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -247,6 +267,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = cur
         prev = cur
     img = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("indexed PNG references past the palette")
+        return pal[idx]
     if ch == 1:
         return np.repeat(img, 3, axis=2)
     return img[:, :, :3].copy()

@@ -915,3 +915,34 @@ def test_encode_png_gray_input_under_rgb_type():
     assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
     out6 = decode_png(encode_png(g, color_type=6))
     assert np.array_equal(out6, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_stdlib_codec_png_palette_roundtrip():
+    """Indexed (color type 3) PNG — the common web-PNG variant: encoder
+    builds the PLTE from the image's distinct colors, decoder maps
+    indices back; round-trip bit-exact, >256 colors rejected, missing
+    PLTE fails loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        StdlibCodec, decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 40, (9, 13))]
+    assert np.array_equal(StdlibCodec.decode(encode_png(img, 3)), img)
+    # filter cycling applies to index bytes too (h >= 5 covers all 5)
+    img2 = pal[rng.integers(0, 40, (7, 3))]
+    assert np.array_equal(decode_png(encode_png(img2, 3)), img2)
+    many = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with _pt.raises(ValueError, match="256 distinct"):
+        encode_png(many, color_type=3)
+    # strip the PLTE chunk -> loud failure
+    payload = bytearray(encode_png(img, 3))
+    i = payload.find(b"PLTE") - 4
+    ln = int.from_bytes(payload[i:i + 4], "big")
+    del payload[i:i + 12 + ln]
+    with _pt.raises(ValueError, match="PLTE"):
+        decode_png(bytes(payload))
