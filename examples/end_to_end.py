@@ -120,6 +120,30 @@ def main() -> None:
     n_cells = sol.count()
     stage("krige", t0, cells=n_cells)
 
+    # ---- 4b. zonal rollup of the solved raster (raster→vector) ------
+    # a CONCAVE L-shaped zone (ear-clipped into triangles) + a convex
+    # quad, first-match overlap — per-zone statistics over the kriging
+    # surface in one scan + one aggregation
+    t0 = time.time()
+    from geostatssolvers_jl_spark.zones import (
+        decompose_zones, zonal_stats_sql,
+    )
+
+    zones = [
+        (1, [(-180.0, -90.0), (0.0, -90.0), (0.0, 0.0), (-90.0, 0.0),
+             (-90.0, 90.0), (-180.0, 90.0)]),      # concave west L
+        (2, [(-60.0, -90.0), (60.0, -90.0), (60.0, 90.0),
+             (-60.0, 90.0)]),                      # overlapping quad
+    ]
+    sol.join(grid.spark_df(spark), "cell_id") \
+        .createOrReplaceTempView("_demo_raster")
+    zstats = spark.sql(zonal_stats_sql(
+        "_demo_raster", decompose_zones(zones), value="z",
+        lon="cx", lat="cy",
+    )).collect()
+    spark.catalog.dropTempView("_demo_raster")
+    stage("zonal", t0, zones=len(zstats))
+
     # ---- 5. simulate -------------------------------------------------
     t0 = time.time()
     sim = solve_sgs(
