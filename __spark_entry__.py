@@ -852,6 +852,22 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the brief's second scale path, r6): pivot coarse
+    quantizer + probe + per-cell exact cosine, fully in portable SQL —
+    the DuckDB twin runs the identical quantizer, so the gate checks
+    values end to end (`similarity.ann_topk_ivf_sql` tier notes).  The
+    k-means-quantizer wrapper is the production form, recall-pinned in
+    pytest."""
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        ann_topk_ivf_sql,
+    )
+
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql(ann_topk_ivf_sql("spark", k=3, nprobe=6,
+                                      pivot_mod=51))
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.webtext.similarity import bucket_sql
 
@@ -2863,6 +2879,10 @@ def _webtext_oracles() -> dict[str, str]:
         "simhash": simhash_sql("duck"),
         "dedup_embedding": dedup_embedding_lsh_sql("duck", threshold=0.35),
         "ann_topk_lsh": ann_topk_lsh_sql("duck", k=3),
+        "ann_topk_ivf": __import__(
+            "geostatssolvers_jl_spark.webtext.similarity",
+            fromlist=["ann_topk_ivf_sql"],
+        ).ann_topk_ivf_sql("duck", k=3, nprobe=6, pivot_mod=51),
         "ann_lsh_bucket": bucket_sql("duck"),
         "fingerprint": (
             f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "
@@ -3005,6 +3025,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-anchored (past-window)
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_features_real": q_multimodal_features_real,
+        # r6: IVF ANN second scale path (past-window)
+        "ann_topk_ivf": q_ann_topk_ivf,
         # r6: concave zones + zone-table broadcast form (past-window)
         "zonal_stats_concave": q_zonal_stats_concave,
         "zonal_stats_join": q_zonal_stats_join,

@@ -104,3 +104,18 @@ def choose_planes(n_vectors: int, bucket_target: int = 64,
         return lo
     raw = round(math.log2(max(1.0, n_vectors / bucket_target)))
     return min(hi, max(lo, int(raw)))
+
+
+def choose_ivf(n_vectors: int, lo: int = 4,
+               hi: int = 65536) -> tuple[int, int]:
+    """IVF coarse-quantizer sizing: ``k_cells ≈ √n`` (the standard
+    inverted-file rule — cell population ≈ √n balances the assignment
+    cost n·k against the probe cost nprobe·n/k), probe width
+    ``nprobe ≈ max(2, k/8)``.  Clamped so toy corpora keep a few
+    populated cells and huge ones bound the centroid relation."""
+    import math
+
+    if n_vectors <= 0:
+        return lo, 2
+    k = min(hi, max(lo, int(round(math.sqrt(n_vectors)))))
+    return k, max(2, k // 8)

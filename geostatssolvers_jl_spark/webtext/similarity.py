@@ -394,3 +394,162 @@ def dedup_embedding(spark, emb_df, threshold: float = 0.35,
     )
     cleanup()
     return out
+
+
+# ---- IVF (inverted-file) ANN — the second scale path ---------------------
+# The brief names two ANN scale paths: LSH-bucketed (above) and IVF.  The
+# IVF structure: a small set of coarse-quantizer centroids partitions the
+# corpus into cells; a query probes its `nprobe` nearest cells and runs
+# exact cosine only against those cells' members — candidates per query
+# ≈ nprobe/k_cells of the corpus, with the candidate step an EQUI-join on
+# the cell id exactly like the LSH bucket join.
+#
+# Two quantizer tiers, mirroring the langid heuristic/trained split:
+# * `ann_topk_ivf_sql` — PIVOT quantizer: the cells are Voronoi regions
+#   of deterministically chosen member vectors (vec_id % pivot_mod = 0).
+#   Everything — quantizer included — is portable SQL, so the DuckDB twin
+#   runs the identical computation and the gate checks VALUES (no driver
+#   state, no literals, any corpus).  Random pivots are a legitimate
+#   coarse quantizer (quality slightly below k-means at equal cell
+#   count); the fold spellings reuse _dot_sql so distances are
+#   bit-identical cross-engine, and ranking ties break on ids.
+# * `ann_topk_ivf` — the production wrapper: numpy Lloyd k-means
+#   centroids (deterministic seeded init) from a bounded sample, landed
+#   as a LOCAL relation (the langid_model materialization pattern); cell
+#   count from planner.choose_ivf (≈ √n).  Recall pinned by pytest
+#   against brute force, not by the SQL gate (the quantizer is
+#   driver-side numpy — honest boundary, like FakeCodec vs the real
+#   formats).
+
+
+def _sqdist_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
+    """Squared L2 distance fold — same left-to-right summation on both
+    engines (the _cos_sql bit-identity notes apply)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def ann_topk_ivf_sql(dialect: str, emb_rel: str = "embeddings",
+                     k: int = 3, nprobe: int = 4, pivot_mod: int = 31,
+                     dim: int = DIM, cent_rel: str | None = None) -> str:
+    """IVF ANN top-k, fully in portable SQL (see the tier note above).
+    Output (qid, nid, cos_sim, rank) — same shape and tie-breaks as
+    `ann_topk_lsh_sql`, every corpus vector a query.
+
+    ``cent_rel``: optional external centroid relation ``(cid, c)`` (the
+    k-means wrapper passes one); default derives pivot centroids from
+    the corpus itself.  The vectors × centroids distance step is a
+    deliberate small-side cross join (k_cells rows — broadcast, the
+    standard IVF assignment cost n·d·k); everything downstream is
+    equi-joins and windows."""
+    emb0 = _emb_double(dialect, emb_rel, "e")
+    nrm = _norm_sql(dialect, "e", dim)
+    cent = (f"SELECT vec_id AS cid, e AS c FROM _emb "
+            f"WHERE vec_id % {pivot_mod} = 0"
+            if cent_rel is None else
+            f"SELECT cid, c FROM {cent_rel}")
+    d2 = _sqdist_sql(dialect, "v.e", "c.c", dim)
+    dot = _dot_sql(dialect, "q.e", "d.e", dim)
+    return f"""
+WITH _emb AS (
+  SELECT vec_id, e, {nrm} AS nrm FROM {emb0} _e0
+), _cent AS (
+  {cent}
+), _d2 AS (
+  SELECT v.vec_id, c.cid, {d2} AS d2
+  FROM _emb v CROSS JOIN _cent c
+), _rkc AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rkc
+  FROM _d2
+), _assign AS (
+  SELECT vec_id, cid FROM _rkc WHERE rkc = 1
+), _probe AS (
+  SELECT vec_id AS qid, cid FROM _rkc WHERE rkc <= {nprobe}
+), _cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM _probe p JOIN _assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.qid
+), _sc AS (
+  SELECT c.qid, c.nid,
+         round(({dot}) / (q.nrm * d.nrm), 6) AS cos_sim
+  FROM _cand c
+  JOIN _emb q ON q.vec_id = c.qid
+  JOIN _emb d ON d.vec_id = c.nid
+), _rk AS (
+  SELECT qid, nid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM _sc
+)
+SELECT qid, nid, cos_sim, rank FROM _rk WHERE rank <= {k}"""
+
+
+def kmeans_centroids_np(vecs, n_centroids: int, iters: int = 8,
+                        seed: int = 0):
+    """Deterministic Lloyd k-means (numpy, seeded init by sampling
+    distinct rows) — the coarse quantizer for the IVF wrapper.  Empty
+    clusters keep their previous centroid."""
+    import numpy as np
+
+    vecs = np.asarray(vecs, dtype=np.float64)
+    n = len(vecs)
+    if n_centroids >= n:
+        return vecs.copy()
+    rng = np.random.default_rng(seed)
+    cent = vecs[rng.choice(n, n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for j in range(n_centroids):
+            m = lab == j
+            if m.any():
+                cent[j] = vecs[m].mean(axis=0)
+    return cent
+
+
+def ann_topk_ivf(spark, emb_df, k: int = 3,
+                 n_centroids: int | None = None,
+                 nprobe: int | None = None,
+                 sample_cap: int = 4096, seed: int = 0,
+                 dim: int = DIM):
+    """Production IVF ANN: k-means centroids from a bounded
+    deterministic sample (every ``ceil(n/sample_cap)``-th vec_id —
+    ≤ sample_cap rows collected, however large the corpus), landed as a
+    LOCAL relation, then the shared IVF SQL against it.  Cell count and
+    probe width default to planner.choose_ivf(n) ≈ (√n, √n/8)."""
+    from ..planner import choose_ivf
+
+    n = emb_df.count()
+    if n_centroids is None or nprobe is None:
+        kc, npb = choose_ivf(n)
+        n_centroids = n_centroids or kc
+        nprobe = nprobe or npb
+    seq = next(_AUTO_VIEW_SEQ)
+    erel, crel = f"_ivf_emb_{seq}", f"_ivf_cent_{seq}"
+    emb_df.createOrReplaceTempView(erel)
+    step = max(1, -(-n // sample_cap))
+    sample = spark.sql(
+        f"SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS e FROM {erel} WHERE vec_id % {step} = 0 ORDER BY vec_id"
+    ).collect()
+    cent = kmeans_centroids_np(
+        [r["e"] for r in sample], n_centroids, seed=seed)
+    local = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cid long, c array<double>",
+    )
+    local.createOrReplaceTempView(crel)
+    out = spark.sql(ann_topk_ivf_sql(
+        "spark", erel, k=k, nprobe=nprobe, dim=dim, cent_rel=crel))
+    for v in (erel, crel):
+        spark.catalog.dropTempView(v)
+    return out
