@@ -1238,6 +1238,68 @@ SELECT doc_id,
 FROM binned GROUP BY doc_id"""
 
 
+def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end (RIFF/WAVE PCM16, pure stdlib):
+    deterministic PCM — sample(i, t) = ((37·i + 13·t) % 4001) − 2000
+    over n = 200 + (i%7)·50 samples (n even, so duration in µs is
+    integral) — is encoded to WAV executor-side, decoded back by
+    `codecs.decode_wav`, and reduced to integer statistics; the DuckDB
+    oracle recomputes them in closed form."""
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        decode_wav, encode_wav,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(60)
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].tolist():
+                n = 200 + (i % 7) * 50
+                t = np.arange(n, dtype=np.int64)
+                pcm = ((37 * i + 13 * t) % 4001 - 2000).astype(np.int16)
+                dec, rate = decode_wav(encode_wav(pcm, 16000))
+                v = dec[:, 0].astype(np.int64)
+                out.append((
+                    i, len(v), len(v) * 1_000_000 // rate,
+                    int(np.abs(v).sum()), int(np.abs(v).max()),
+                    int((v * v).sum()),
+                ))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "duration_us",
+                              "abs_sum", "peak", "sq_sum"],
+            )
+
+    return ids.repartition(8).mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, duration_us long, "
+               "abs_sum long, peak long, sq_sum long",
+    )
+
+
+def _multimodal_audio_real_oracle() -> str:
+    return """
+WITH ids AS (
+  SELECT doc_id, 200 + (doc_id % 7) * 50 AS n
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60)
+), pcm AS (
+  SELECT i.doc_id, i.n, (37 * i.doc_id + 13 * gt.t) % 4001 - 2000 AS v
+  FROM ids i CROSS JOIN generate_series(0, 549) gt(t)
+  WHERE gt.t < i.n
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000000 // 16000 AS BIGINT) AS duration_us,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum
+FROM pcm GROUP BY doc_id, n"""
+
+
 def _multimodal_decode_real_oracle() -> str:
     return """
 WITH ids AS (
@@ -2335,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_invariants": _multimodal_invariants_oracle(),
         "multimodal_decode_real": _multimodal_decode_real_oracle(),
         "multimodal_features_real": _multimodal_features_real_oracle(),
+        "multimodal_audio_real": _multimodal_audio_real_oracle(),
         "idw_anisotropic": idw_agg_sql(
             "("
             + knn_pairs_sql(
@@ -3025,6 +3088,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-anchored (past-window)
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_features_real": q_multimodal_features_real,
+        "multimodal_audio_real": q_multimodal_audio_real,
         # r6: IVF ANN second scale path (past-window)
         "ann_topk_ivf": q_ann_topk_ivf,
         # r6: concave zones + zone-table broadcast form (past-window)

@@ -310,3 +310,51 @@ class StdlibCodec:
         raise RealCodecUnavailable(
             "video frame sampling needs ffmpeg (not in this container)"
         )
+
+
+# ------------------------------------------------------------------- WAV
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM → RIFF/WAVE (PCM format 1).  ``pcm``: (n,) mono or
+    (n, channels)."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → ((n, channels) int16, sample_rate).  Chunk-walk
+    parser (fmt /data in any order, unknown chunks skipped, word-aligned
+    sizes); float/compressed WAV raises `RealCodecUnavailable`."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = ch = bits = afmt = 0
+    data = b""
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            afmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+        elif tag == b"data":
+            data = body
+    if afmt != 1 or bits != 16:
+        raise RealCodecUnavailable(
+            f"only PCM16 WAV supported (format={afmt}, bits={bits})"
+        )
+    if not rate or not ch or not data:
+        raise ValueError("WAV is missing fmt/data chunks")
+    pcm = np.frombuffer(data, "<i2")
+    return pcm.reshape(-1, ch).copy(), rate

@@ -203,6 +203,42 @@ def decode_audio(df: DataFrame, binary_col: str = "html",
     )
 
 
+def decode_audio_real(df: DataFrame, binary_col: str = "html",
+                      id_col: str = "url") -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM16 (pure-stdlib parser in
+    webtext/codecs.py): (id, n_samples, channels, sample_rate,
+    duration_s, rms, peak).  Compressed audio (mp3/aac/...) raises
+    `RealCodecUnavailable` inside the batch — those need ffmpeg."""
+    from .codecs import decode_wav
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                pcm, rate = decode_wav(bytes(payload))
+                x = pcm.astype(np.float64)
+                out.append((
+                    rid, pcm.shape[0], pcm.shape[1], rate,
+                    pcm.shape[0] / rate,
+                    float(np.sqrt((x * x).mean())),
+                    float(np.abs(x).max()) if x.size else 0.0,
+                ))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_samples", "channels",
+                              "sample_rate", "duration_s", "rms",
+                              "peak"],
+            )
+
+    return df.select(id_col, binary_col).filter(
+        F.col(binary_col).isNotNull()
+    ).mapInPandas(
+        run,
+        schema=f"{id_col} string, n_samples long, channels int, "
+               f"sample_rate int, duration_s double, rms double, "
+               f"peak double",
+    )
+
+
 def decode_images_real(df: DataFrame, **kw) -> DataFrame:
     """`decode_images` with the REAL pure-stdlib codec (webtext/codecs.py):
     PPM/PGM, 24-bit BMP and 8-bit PNG decode end-to-end in this

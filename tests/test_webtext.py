@@ -1000,3 +1000,80 @@ def test_ann_topk_ivf_recall_vs_brute(spark):
         if r["qid"] < 100
     }
     assert km == km2
+
+
+def test_stdlib_codec_wav_roundtrip_and_rejection():
+    """RIFF/WAVE PCM16: mono + stereo round-trip bit-exact; chunk walk
+    skips unknown (odd-sized, word-aligned) chunks before data; float
+    WAV rejected loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        decode_wav, encode_wav,
+    )
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        RealCodecUnavailable,
+    )
+
+    rng = np.random.default_rng(1)
+    mono = rng.integers(-32768, 32767, 777, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(out[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    out2, _ = decode_wav(encode_wav(stereo))
+    assert np.array_equal(out2, stereo)
+    # inject an odd-sized LIST chunk between fmt and data
+    payload = bytearray(encode_wav(mono, 8000))
+    di = payload.find(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    patched = bytes(payload[:di]) + junk + bytes(payload[di:])
+    patched = (patched[:4]
+               + struct.pack("<I", len(patched) - 8) + patched[8:])
+    out3, _ = decode_wav(patched)
+    assert np.array_equal(out3[:, 0], mono)
+    # float WAV (format 3) rejected
+    bad = bytearray(encode_wav(mono))
+    fi = bad.find(b"fmt ") + 8
+    bad[fi:fi + 2] = struct.pack("<H", 3)
+    with _pt.raises(RealCodecUnavailable, match="PCM16"):
+        decode_wav(bytes(bad))
+
+
+def test_decode_audio_real_end_to_end(spark):
+    """decode_audio_real: WAV payloads generated executor-side decode
+    through the mapInPandas plumbing with exact sample counts/rates."""
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.webtext.codecs import encode_wav
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        decode_audio_real,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "url": [f"a{i}" for i in ids],
+                "payload": [
+                    encode_wav(
+                        np.arange(100 + 10 * i, dtype=np.int16) - 50,
+                        8000)
+                    for i in ids
+                ],
+            })
+
+    df = spark.range(12).mapInPandas(
+        gen, schema="url string, payload binary")
+    out = decode_audio_real(
+        df, binary_col="payload", id_col="url").toPandas()
+    assert len(out) == 12
+    by = out.set_index("url")
+    for i in range(12):
+        assert by.loc[f"a{i}", "n_samples"] == 100 + 10 * i
+        assert by.loc[f"a{i}", "sample_rate"] == 8000
+    assert abs(by.loc["a0", "duration_s"] - 100 / 8000) < 1e-12
