@@ -1300,6 +1300,79 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
 FROM pcm GROUP BY doc_id, n"""
 
 
+def q_multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video tier (Y4M/YUV4MPEG2, pure stdlib): deterministic
+    clips — nf = 5 + i%5 frames of 8×6 4:2:0 planes with
+    y(f, x, y) = (19·i + 7·f + 3·x + 5·y) % 256 — are encoded
+    executor-side, frame-sampled through `StdlibCodec.frame_sample`
+    (3 evenly-spaced frames: linspace indices trunc(j·(nf−1)/2)), and
+    reduced to per-sampled-frame integer luma sums; the DuckDB oracle
+    recomputes frame selection and sums in closed form."""
+    import pandas as pd
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        StdlibCodec, encode_y4m,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(40)
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].tolist():
+                nf = 5 + i % 5
+                x = np.arange(8)
+                y = np.arange(6)
+                frames = []
+                for f in range(nf):
+                    yp = ((19 * i + 7 * f + 3 * x[None, :]
+                           + 5 * y[:, None]) % 256).astype(np.uint8)
+                    cp = np.zeros((3, 4), np.uint8)
+                    frames.append((yp, cp, cp))
+                clip = encode_y4m(frames, 25)
+                for j, fr in enumerate(
+                        StdlibCodec.frame_sample(clip, 3)):
+                    out.append((
+                        i, j, int(fr.shape[1]), int(fr.shape[0]),
+                        int(fr[:, :, 0].astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sample_no", "width",
+                              "height", "y_sum"],
+            )
+
+    return ids.repartition(8).mapInPandas(
+        run,
+        schema="doc_id long, sample_no int, width int, height int, "
+               "y_sum long",
+    )
+
+
+def _multimodal_video_real_oracle() -> str:
+    return """
+WITH ids AS (
+  SELECT doc_id, 5 + doc_id % 5 AS nf
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40)
+), sel AS (
+  SELECT i.doc_id, gs.j AS sample_no,
+         CAST(floor(gs.j * ((i.nf - 1) / 2.0)) AS INT) AS f
+  FROM ids i CROSS JOIN generate_series(0, 2) gs(j)
+), px AS (
+  SELECT s.doc_id, s.sample_no,
+         (19 * s.doc_id + 7 * s.f + 3 * gx.x + 5 * gy.y) % 256 AS v
+  FROM sel s
+  CROSS JOIN generate_series(0, 7) gx(x)
+  CROSS JOIN generate_series(0, 5) gy(y)
+)
+SELECT doc_id, CAST(sample_no AS INT) AS sample_no,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(sum(v) AS BIGINT) AS y_sum
+FROM px GROUP BY doc_id, sample_no"""
+
+
 def _multimodal_decode_real_oracle() -> str:
     return """
 WITH ids AS (
@@ -2398,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_real": _multimodal_decode_real_oracle(),
         "multimodal_features_real": _multimodal_features_real_oracle(),
         "multimodal_audio_real": _multimodal_audio_real_oracle(),
+        "multimodal_video_real": _multimodal_video_real_oracle(),
         "idw_anisotropic": idw_agg_sql(
             "("
             + knn_pairs_sql(
@@ -3089,6 +3163,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_features_real": q_multimodal_features_real,
         "multimodal_audio_real": q_multimodal_audio_real,
+        "multimodal_video_real": q_multimodal_video_real,
         # r6: IVF ANN second scale path (past-window)
         "ann_topk_ivf": q_ann_topk_ivf,
         # r6: concave zones + zone-table broadcast form (past-window)

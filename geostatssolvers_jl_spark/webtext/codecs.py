@@ -307,9 +307,20 @@ class StdlibCodec:
 
     @staticmethod
     def frame_sample(payload: bytes, n_frames: int):
-        raise RealCodecUnavailable(
-            "video frame sampling needs ffmpeg (not in this container)"
-        )
+        """Evenly-spaced frame sampling for Y4M streams (the public
+        uncompressed video format; see `decode_y4m`).  Frames come back
+        as (h, w, 3) gray RGB from the luma plane — chroma is carried
+        by `decode_y4m` for callers that want it; compressed video
+        (mp4/webm/...) still needs ffmpeg and raises."""
+        if not payload.startswith(b"YUV4MPEG2"):
+            raise RealCodecUnavailable(
+                "compressed-video frame sampling needs ffmpeg (not in "
+                "this container); stdlib decoding covers Y4M"
+            )
+        frames, _w, _h, _fps = decode_y4m(payload)
+        idx = np.linspace(0, len(frames) - 1, n_frames).astype(int)
+        return [np.repeat(frames[i][0][:, :, None], 3, axis=2)
+                for i in idx]
 
 
 # ------------------------------------------------------------------- WAV
@@ -358,3 +369,73 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV is missing fmt/data chunks")
     pcm = np.frombuffer(data, "<i2")
     return pcm.reshape(-1, ch).copy(), rate
+
+
+# ---------------------------------------------------- Y4M (YUV4MPEG2)
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """List of (y, u, v) planes — y: (h, w) uint8, u/v: (h/2, w/2) —
+    → YUV4MPEG2 stream (4:2:0 planar, the format ffmpeg pipes)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0][0].shape
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n"
+                    % (w, h, fps))
+    for y, u, v in frames:
+        if y.shape != (h, w) or u.shape != (h // 2, w // 2) \
+                or v.shape != (h // 2, w // 2):
+            raise ValueError("inconsistent plane shapes")
+        out += b"FRAME\n"
+        out += np.asarray(y, np.uint8).tobytes()
+        out += np.asarray(u, np.uint8).tobytes()
+        out += np.asarray(v, np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 (C420, 8-bit) → (frames, w, h, fps) with frames a list
+    of (y, u, v) uint8 planes.  Only the parameters the stream header
+    declares are honoured; non-420 chroma raises
+    `RealCodecUnavailable`."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = 0
+    fps = 25
+    chroma = b"420"
+    for tok in payload[10:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            fps = int(val.split(b":")[0])
+        elif key == b"C":
+            chroma = val
+    if not chroma.startswith(b"420"):
+        raise RealCodecUnavailable(
+            f"only C420 Y4M supported (got C{chroma.decode()})"
+        )
+    if w <= 0 or h <= 0 or w % 2 or h % 2:
+        raise ValueError("Y4M needs positive even W/H for 4:2:0")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    fsz = ysz + 2 * csz
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame header")
+        pos = fnl + 1
+        raw = np.frombuffer(payload, np.uint8, count=fsz, offset=pos)
+        frames.append((
+            raw[:ysz].reshape(h, w).copy(),
+            raw[ysz : ysz + csz].reshape(h // 2, w // 2).copy(),
+            raw[ysz + csz :].reshape(h // 2, w // 2).copy(),
+        ))
+        pos += fsz
+    return frames, w, h, fps

@@ -1077,3 +1077,42 @@ def test_decode_audio_real_end_to_end(spark):
         assert by.loc[f"a{i}", "n_samples"] == 100 + 10 * i
         assert by.loc[f"a{i}", "sample_rate"] == 8000
     assert abs(by.loc["a0", "duration_s"] - 100 / 8000) < 1e-12
+
+
+def test_stdlib_codec_y4m_roundtrip_and_sampling():
+    """Y4M video tier: plane-exact round-trip, evenly-spaced frame
+    sampling through StdlibCodec.frame_sample (gray RGB from luma),
+    non-420 chroma rejected."""
+    import numpy as np
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        StdlibCodec, decode_y4m, encode_y4m,
+    )
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        RealCodecUnavailable,
+    )
+
+    rng = np.random.default_rng(2)
+    frames = [
+        (rng.integers(0, 256, (6, 8), dtype=np.uint8),
+         rng.integers(0, 256, (3, 4), dtype=np.uint8),
+         rng.integers(0, 256, (3, 4), dtype=np.uint8))
+        for _ in range(7)
+    ]
+    clip = encode_y4m(frames, 30)
+    got, w, h, fps = decode_y4m(clip)
+    assert (w, h, fps) == (8, 6, 30) and len(got) == 7
+    for a, b in zip(got, frames):
+        for i in range(3):
+            assert np.array_equal(a[i], b[i])
+    # sample 3 of 7: linspace(0, 6, 3) -> frames 0, 3, 6, luma as gray
+    sampled = StdlibCodec.frame_sample(clip, 3)
+    assert len(sampled) == 3
+    for s, fi in zip(sampled, (0, 3, 6)):
+        assert s.shape == (6, 8, 3)
+        assert np.array_equal(s[:, :, 0], frames[fi][0])
+        assert np.array_equal(s[:, :, 1], frames[fi][0])
+    bad = clip.replace(b"C420", b"C444", 1)
+    with _pt.raises(RealCodecUnavailable, match="C444"):
+        decode_y4m(bad)
