@@ -1116,3 +1116,47 @@ def test_stdlib_codec_y4m_roundtrip_and_sampling():
     bad = clip.replace(b"C420", b"C444", 1)
     with _pt.raises(RealCodecUnavailable, match="C444"):
         decode_y4m(bad)
+
+
+def test_codec_roundtrip_property():
+    """Property test (hypothesis): ANY uint8 image round-trips
+    bit-exactly through every stdlib image format, and any int16 PCM
+    through WAV — shapes and content drawn adversarially, including
+    1-pixel images and BMP-padding-hostile odd widths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    import numpy as np
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        StdlibCodec, decode_wav, encode_bmp, encode_png, encode_ppm,
+        encode_wav,
+    )
+
+    shapes = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        shape=shapes,
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def img_prop(shape, seed):
+        h, w = shape
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for enc in (encode_ppm, encode_bmp, encode_png,
+                    lambda im: encode_png(im, 6)):
+            assert np.array_equal(StdlibCodec.decode(enc(img)), img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(pcm=arrays(np.int16, st.integers(1, 400)),
+           ch=st.integers(1, 3), rate=st.sampled_from([8000, 16000]))
+    def wav_prop(pcm, ch, rate):
+        multi = np.stack([pcm] * ch, axis=1) if ch > 1 else pcm
+        out, r = decode_wav(encode_wav(multi, rate))
+        assert r == rate and out.shape == (len(pcm), ch)
+        assert np.array_equal(out[:, 0], pcm)
+
+    img_prop()
+    wav_prop()
