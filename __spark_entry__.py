@@ -2997,6 +2997,7 @@ def _webtext_oracles() -> dict[str, str]:
         simhash_sql,
     )
     from geostatssolvers_jl_spark.webtext.similarity import (
+        ann_topk_ivf_sql,
         ann_topk_lsh_sql,
         bucket_sql,
         dedup_embedding_lsh_sql,
@@ -3016,10 +3017,8 @@ def _webtext_oracles() -> dict[str, str]:
         "simhash": simhash_sql("duck"),
         "dedup_embedding": dedup_embedding_lsh_sql("duck", threshold=0.35),
         "ann_topk_lsh": ann_topk_lsh_sql("duck", k=3),
-        "ann_topk_ivf": __import__(
-            "geostatssolvers_jl_spark.webtext.similarity",
-            fromlist=["ann_topk_ivf_sql"],
-        ).ann_topk_ivf_sql("duck", k=3, nprobe=6, pivot_mod=51),
+        "ann_topk_ivf": ann_topk_ivf_sql("duck", k=3, nprobe=6,
+                                         pivot_mod=51),
         "ann_lsh_bucket": bucket_sql("duck"),
         "fingerprint": (
             f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "

@@ -1,19 +1,26 @@
-"""Pure-stdlib image codecs: PPM/PGM, BMP (24-bit BI_RGB) and PNG
-(zlib).  All three formats are public knowledge (Netpbm spec; Windows
-BITMAPINFOHEADER; RFC 2083 / the W3C PNG spec) and need nothing beyond
-``zlib`` + ``struct`` — which makes the engine's multimodal decode path
-REAL end-to-end in this container for lossless raster inputs, leaving
-`RealCodecUnavailable` only for the genuinely-absent codecs
-(JPEG/video, which require libjpeg/ffmpeg).
+"""Pure-stdlib media codecs: PPM/PGM, BMP (24-bit BI_RGB), PNG (zlib),
+WAV (RIFF PCM16) and Y4M (YUV4MPEG2) video.  Every format is public
+knowledge (Netpbm spec; Windows BITMAPINFOHEADER; RFC 2083 / the W3C
+PNG spec; RIFF/WAVE; the YUV4MPEG2 header ffmpeg pipes) and needs
+nothing beyond ``zlib`` + ``struct`` — which makes the engine's
+multimodal decode path REAL end-to-end in this container across all
+three modalities for uncompressed/lossless inputs, leaving
+`RealCodecUnavailable` only for the genuinely-absent compressed codecs
+(JPEG/mp3/mp4, which require libjpeg/ffmpeg).
 
-Decoders return ``(h, w, 3) uint8`` RGB:
+Image decoders return ``(h, w, 3) uint8`` RGB:
 
 * PPM ``P6`` / PGM ``P5`` (binary, maxval ≤ 255; comments allowed);
 * BMP: uncompressed 24-bit ``BI_RGB``, BITMAPINFOHEADER, top-down or
   bottom-up, 4-byte row padding, BGR→RGB reorder;
-* PNG: bit depth 8, color types 0 (gray → replicated), 2 (RGB) and
-  6 (RGBA → alpha dropped), non-interlaced; all five scanline filters
-  (None/Sub/Up/Average/Paeth) are unfiltered.
+* PNG: bit depth 8, color types 0 (gray → replicated), 2 (RGB),
+  3 (indexed via PLTE) and 6 (RGBA → alpha dropped), non-interlaced;
+  all five scanline filters (None/Sub/Up/Average/Paeth) are
+  unfiltered.
+
+`decode_wav` returns ``((n, channels) int16, sample_rate)``;
+`decode_y4m` returns per-frame (y, u, v) planes and
+`StdlibCodec.frame_sample` samples evenly-spaced luma frames.
 
 Encoders exist so tests and gate entries can GENERATE deterministic
 payloads executor-side and round-trip them:  ``encode_png`` cycles the
@@ -136,7 +143,7 @@ def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
     0,1,2,3,4 so a decode round-trip exercises every unfilter branch."""
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.shape[2] == 1 and color_type in (2, 6):
+    if img.shape[2] == 1 and color_type in (2, 3, 6):
         # gray input under an RGB-family color type: replicate channels
         # (the alternative was an opaque reshape error downstream)
         img = np.repeat(img, 3, axis=2)
@@ -318,6 +325,8 @@ class StdlibCodec:
                 "this container); stdlib decoding covers Y4M"
             )
         frames, _w, _h, _fps = decode_y4m(payload)
+        if not frames:
+            raise ValueError("Y4M stream contains no frames")
         idx = np.linspace(0, len(frames) - 1, n_frames).astype(int)
         return [np.repeat(frames[i][0][:, :, None], 3, axis=2)
                 for i in idx]
@@ -347,7 +356,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     parser (fmt /data in any order, unknown chunks skipped, word-aligned
     sizes); float/compressed WAV raises `RealCodecUnavailable`."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
+        # unknown magic = some other (typically compressed) codec — the
+        # same boundary StdlibCodec.decode draws for images
+        raise RealCodecUnavailable(
+            "not a RIFF/WAVE payload; compressed audio (mp3/aac/...) "
+            "needs ffmpeg, which is not in this container"
+        )
     pos = 12
     rate = ch = bits = afmt = 0
     data = b""
@@ -355,6 +369,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            # fail loud on truncation (a half-downloaded file would
+            # otherwise silently decode to half the samples)
+            raise ValueError(
+                f"WAV chunk {tag!r} declares {ln} bytes but only "
+                f"{len(body)} remain"
+            )
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
             afmt, ch, rate = struct.unpack_from("<HHI", body, 0)

@@ -506,8 +506,12 @@ def kmeans_centroids_np(vecs, n_centroids: int, iters: int = 8,
         return vecs.copy()
     rng = np.random.default_rng(seed)
     cent = vecs[rng.choice(n, n_centroids, replace=False)].copy()
+    x2 = (vecs * vecs).sum(axis=1)
     for _ in range(iters):
-        d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # gemm distance form: O(n*k) memory — the broadcast
+        # (n, k, d) tensor form is gigabytes at (4096, 1000, 64)
+        c2 = (cent * cent).sum(axis=1)
+        d2 = x2[:, None] + c2[None, :] - 2.0 * (vecs @ cent.T)
         lab = d2.argmin(axis=1)
         for j in range(n_centroids):
             m = lab == j
@@ -529,17 +533,28 @@ def ann_topk_ivf(spark, emb_df, k: int = 3,
     from ..planner import choose_ivf
 
     n = emb_df.count()
-    if n_centroids is None or nprobe is None:
-        kc, npb = choose_ivf(n)
-        n_centroids = n_centroids or kc
-        nprobe = nprobe or npb
+    if n_centroids is None:
+        n_centroids = choose_ivf(n)[0]
+    if nprobe is None:
+        # derive from the EFFECTIVE cell count: taking the planner pair
+        # wholesale let a caller-supplied small n_centroids pair with a
+        # planner-sized nprobe > n_centroids — probing every cell, i.e.
+        # silent brute force (review finding r6)
+        nprobe = max(2, n_centroids // 8)
+    nprobe = min(nprobe, n_centroids)
     seq = next(_AUTO_VIEW_SEQ)
     erel, crel = f"_ivf_emb_{seq}", f"_ivf_cent_{seq}"
     emb_df.createOrReplaceTempView(erel)
+    # hash-mod sampling: a raw `vec_id % step` filter only bounds the
+    # collect for DENSE 0..n-1 ids — sharded/aligned id spaces (all ids
+    # multiples of step) would collect everything (review finding r6).
+    # The hash uniformizes any id distribution; ORDER BY + LIMIT is a
+    # bounded TakeOrdered and pins determinism.
     step = max(1, -(-n // sample_cap))
     sample = spark.sql(
         f"SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) "
-        f"AS e FROM {erel} WHERE vec_id % {step} = 0 ORDER BY vec_id"
+        f"AS e FROM {erel} WHERE pmod(hash(vec_id), {step}) = 0 "
+        f"ORDER BY vec_id LIMIT {int(sample_cap)}"
     ).collect()
     cent = kmeans_centroids_np(
         [r["e"] for r in sample], n_centroids, seed=seed)

@@ -1160,3 +1160,61 @@ def test_codec_roundtrip_property():
 
     img_prop()
     wav_prop()
+
+
+def test_codec_review_fixes_r6():
+    """Second review pass (r6) regressions: gray input under indexed
+    PNG; truncated-WAV fail-loud; non-RIFF audio raises the documented
+    RealCodecUnavailable; frame-less Y4M raises a diagnosable error."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from geostatssolvers_jl_spark.webtext.codecs import (
+        StdlibCodec, decode_png, decode_wav, encode_png, encode_wav,
+    )
+    from geostatssolvers_jl_spark.webtext.multimodal import (
+        RealCodecUnavailable,
+    )
+
+    g = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    out = decode_png(encode_png(g, color_type=3))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+    wav = bytearray(encode_wav(np.arange(100, dtype=np.int16)))
+    with _pt.raises(ValueError, match="declares"):
+        decode_wav(bytes(wav[: len(wav) - 50]))
+    with _pt.raises(RealCodecUnavailable, match="ffmpeg"):
+        decode_wav(b"\xff\xfbmp3-frame-sync-ish")
+    with _pt.raises(ValueError, match="no frames"):
+        StdlibCodec.frame_sample(
+            b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C420\n", 3)
+    assert struct is not None
+
+
+def test_ann_topk_ivf_nprobe_follows_effective_cells(spark):
+    """Review finding (r6): with only n_centroids supplied, nprobe used
+    to default from the PLANNER's cell count — probing every cell
+    (silent brute force).  It must derive from the effective cell count
+    (n_centroids // 8, clamped); sparse/aligned vec_id spaces must
+    still keep the driver sample bounded (hash-mod sampling)."""
+    from geostatssolvers_jl_spark.webtext.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    only_cells = sorted(
+        map(tuple, ann_topk_ivf(spark, emb, k=1, n_centroids=16).collect())
+    )
+    explicit = sorted(
+        map(tuple,
+            ann_topk_ivf(spark, emb, k=1, n_centroids=16,
+                         nprobe=2).collect())
+    )
+    assert only_cells == explicit
+    # sparse id space (all ids multiples of 1000) with a tiny cap: the
+    # old vec_id % step filter would select EVERY row; the hash-mod
+    # sample must still produce a working quantizer
+    sparse = emb.selectExpr("vec_id * 1000 AS vec_id", "embedding")
+    out = ann_topk_ivf(spark, sparse, k=1, n_centroids=8, nprobe=3,
+                       sample_cap=20)
+    assert out.count() > 0
