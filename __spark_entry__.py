@@ -857,15 +857,21 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer + probe + per-cell exact cosine, fully in portable SQL —
     the DuckDB twin runs the identical quantizer, so the gate checks
     values end to end (`similarity.ann_topk_ivf_sql` tier notes).  The
-    k-means-quantizer wrapper is the production form, recall-pinned in
-    pytest."""
+    ranked distance relation is MATERIALIZED once (same pattern as
+    `_mat_buckets`): inlined, Spark's CTE inlining ran the O(n·cells)
+    fold twice.  The k-means-quantizer wrapper is the production form,
+    recall-pinned in pytest."""
     from geostatssolvers_jl_spark.webtext.similarity import (
-        ann_topk_ivf_sql,
+        ann_topk_ivf_sql, ivf_ranked_sql,
     )
 
     _register(spark, sf_dir, ("embeddings",))
+    rk = _materialize(
+        spark, ivf_ranked_sql("spark", nprobe=6, pivot_mod=51),
+        "ivf_rk_mat",
+    )
     return spark.sql(ann_topk_ivf_sql("spark", k=3, nprobe=6,
-                                      pivot_mod=51))
+                                      pivot_mod=51, rk_rel=rk))
 
 
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:

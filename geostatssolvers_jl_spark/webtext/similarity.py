@@ -436,9 +436,40 @@ def _sqdist_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
     )
 
 
+def ivf_ranked_sql(dialect: str, emb_rel: str = "embeddings",
+                   nprobe: int = 4, pivot_mod: int = 31,
+                   dim: int = DIM) -> str:
+    """The ranked vector→cell distance relation ``(vec_id, cid, rkc)``
+    for the pivot quantizer, truncated to ``rkc <= nprobe`` (assignment
+    is the rkc=1 subset).  Split out so the Spark entry can MATERIALIZE
+    it once: referenced inline it feeds both the assignment and the
+    probe set, and Spark's CTE inlining computes the O(n·cells)
+    distance fold twice (measured 2 BroadcastNestedLoopJoins in the
+    physical plan); DuckDB evaluates the CTE once, so the oracle keeps
+    the inline form."""
+    emb0 = _emb_double(dialect, emb_rel, "e")
+    d2 = _sqdist_sql(dialect, "v.e", "c.c", dim)
+    return f"""
+WITH _emb0 AS (
+  SELECT vec_id, e FROM {emb0} _e0
+), _cent0 AS (
+  SELECT vec_id AS cid, e AS c FROM _emb0 WHERE vec_id % {pivot_mod} = 0
+), _d2x AS (
+  SELECT v.vec_id, c.cid, {d2} AS d2
+  FROM _emb0 v CROSS JOIN _cent0 c
+)
+SELECT vec_id, cid, rkc FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rkc
+  FROM _d2x
+) _r WHERE rkc <= {nprobe}"""
+
+
 def ann_topk_ivf_sql(dialect: str, emb_rel: str = "embeddings",
                      k: int = 3, nprobe: int = 4, pivot_mod: int = 31,
-                     dim: int = DIM, cent_rel: str | None = None) -> str:
+                     dim: int = DIM, cent_rel: str | None = None,
+                     rk_rel: str | None = None) -> str:
     """IVF ANN top-k, fully in portable SQL (see the tier note above).
     Output (qid, nid, cos_sim, rank) — same shape and tie-breaks as
     `ann_topk_lsh_sql`, every corpus vector a query.
@@ -448,7 +479,12 @@ def ann_topk_ivf_sql(dialect: str, emb_rel: str = "embeddings",
     the corpus itself.  The vectors × centroids distance step is a
     deliberate small-side cross join (k_cells rows — broadcast, the
     standard IVF assignment cost n·d·k); everything downstream is
-    equi-joins and windows."""
+    equi-joins and windows.
+
+    ``rk_rel``: optional pre-materialized `ivf_ranked_sql` relation —
+    the Spark entry passes a cached view so the distance fold runs
+    ONCE (see that builder's docstring); values are identical either
+    way, so the DuckDB twin keeps the inline form."""
     emb0 = _emb_double(dialect, emb_rel, "e")
     nrm = _norm_sql(dialect, "e", dim)
     cent = (f"SELECT vec_id AS cid, e AS c FROM _emb "
@@ -457,6 +493,13 @@ def ann_topk_ivf_sql(dialect: str, emb_rel: str = "embeddings",
             f"SELECT cid, c FROM {cent_rel}")
     d2 = _sqdist_sql(dialect, "v.e", "c.c", dim)
     dot = _dot_sql(dialect, "q.e", "d.e", dim)
+    if rk_rel is not None:
+        rkc_src = f"SELECT vec_id, cid, rkc FROM {rk_rel}"
+    else:
+        rkc_src = f"""SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rkc
+  FROM _d2"""
     return f"""
 WITH _emb AS (
   SELECT vec_id, e, {nrm} AS nrm FROM {emb0} _e0
@@ -466,10 +509,7 @@ WITH _emb AS (
   SELECT v.vec_id, c.cid, {d2} AS d2
   FROM _emb v CROSS JOIN _cent c
 ), _rkc AS (
-  SELECT vec_id, cid,
-         ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY d2, cid) AS rkc
-  FROM _d2
+  {rkc_src}
 ), _assign AS (
   SELECT vec_id, cid FROM _rkc WHERE rkc = 1
 ), _probe AS (
