@@ -352,7 +352,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("documents",))
     _grid_view(spark, WORLD_GRID, "world_grid")
     return spark.sql(
-        zonal_stats_sql(_mat_zonal_cells(spark), _ZONES)
+        zonal_stats_sql(_mat_zonal_cells(spark, sf_dir), _ZONES)
     )
 
 
@@ -366,13 +366,16 @@ _ZONES_CONCAVE = [
 ]
 
 
-def _mat_zonal_cells(spark: SparkSession) -> str:
+def _mat_zonal_cells(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the zonal entries' shared IDW-solution raster once —
     the three zonal forms (CASE / concave / zone-table join) aggregate
     the SAME solved surface, and each bench rep otherwise re-runs the
-    whole kNN+IDW solve just to time the zone step."""
+    whole kNN+IDW solve just to time the zone step.  sf-keyed like
+    `_mat_sig`."""
     return _materialize(
-        spark, f"SELECT * FROM {_zonal_cells_sql('world_grid')} _zc",
+        spark,
+        f"SELECT * FROM {_zonal_cells_sql('world_grid')} _zc"
+        f"\n-- source: {sf_dir}",
         "zonal_cells_mat",
     )
 
@@ -390,7 +393,7 @@ def q_zonal_stats_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("documents",))
     _grid_view(spark, WORLD_GRID, "world_grid")
     return spark.sql(zonal_stats_sql(
-        _mat_zonal_cells(spark), decompose_zones(_ZONES_CONCAVE)
+        _mat_zonal_cells(spark, sf_dir), decompose_zones(_ZONES_CONCAVE)
     ))
 
 
@@ -407,7 +410,7 @@ def q_zonal_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("documents",))
     _grid_view(spark, WORLD_GRID, "world_grid")
     return spark.sql(zonal_stats_join_sql(
-        _mat_zonal_cells(spark),
+        _mat_zonal_cells(spark, sf_dir),
         zone_edges_values_sql(_ZONES_CONCAVE),
         value="z", id_col="cell_id", lon="cx", lat="cy",
     ))
@@ -760,13 +763,20 @@ def _materialize_df(spark: SparkSession, name: str, builder) -> DataFrame:
         return df
 
 
-def _mat_sig(spark: SparkSession) -> str:
+def _mat_sig(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the 128-hash signature once (cached view) — Spark
     inlines CTEs, so the 32 band arms would otherwise re-run the whole
-    min-aggregation each (the oracle's DuckDB CTE doesn't need this)."""
+    min-aggregation each (the oracle's DuckDB CTE doesn't need this).
+    The source-dir comment keys the cache to the CURRENT sf_dir: the
+    SQL reads the session `documents` view, so a same-session sf switch
+    would otherwise serve the previous dataset's cached relation."""
     from geostatssolvers_jl_spark.webtext.dedup import minhash128_sig_cte
 
-    return _materialize(spark, minhash128_sig_cte("spark"), "mh_sig_mat")
+    return _materialize(
+        spark,
+        minhash128_sig_cte("spark") + f"\n-- source: {sf_dir}",
+        "mh_sig_mat",
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +786,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     return spark.sql(
-        lsh_candidates128_sql("spark", sig_rel=_mat_sig(spark))
+        lsh_candidates128_sql("spark", sig_rel=_mat_sig(spark, sf_dir))
     )
 
 
@@ -786,7 +796,7 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     return spark.sql(
-        minhash_bands_sql("spark", sig_rel=_mat_sig(spark))
+        minhash_bands_sql("spark", sig_rel=_mat_sig(spark, sf_dir))
     )
 
 
@@ -798,7 +808,7 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     return spark.sql(
-        dedup_verified_sql("spark", sig_rel=_mat_sig(spark))
+        dedup_verified_sql("spark", sig_rel=_mat_sig(spark, sf_dir))
     )
 
 
@@ -839,17 +849,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("embeddings",))
     return spark.sql(
         dedup_embedding_lsh_sql("spark", threshold=0.35,
-                                bt_rel=_mat_buckets(spark))
+                                bt_rel=_mat_buckets(spark, sf_dir))
     )
 
 
-def _mat_buckets(spark: SparkSession) -> str:
+def _mat_buckets(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the multi-table bucket assignment once (cached view) —
     the bucket arithmetic would otherwise be inlined into every probe arm
-    and join side."""
+    and join side.  sf-keyed like `_mat_sig`."""
     from geostatssolvers_jl_spark.webtext.similarity import bucket_tables_sql
 
-    return _materialize(spark, bucket_tables_sql("spark"), "bt_mat")
+    return _materialize(
+        spark,
+        bucket_tables_sql("spark") + f"\n-- source: {sf_dir}",
+        "bt_mat",
+    )
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,7 +873,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("embeddings",))
     return spark.sql(
-        ann_topk_lsh_sql("spark", k=3, bt_rel=_mat_buckets(spark))
+        ann_topk_lsh_sql("spark", k=3, bt_rel=_mat_buckets(spark, sf_dir))
     )
 
 
@@ -878,7 +892,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("embeddings",))
     rk = _materialize(
-        spark, ivf_ranked_sql("spark", nprobe=6, pivot_mod=51),
+        spark,
+        ivf_ranked_sql("spark", nprobe=6, pivot_mod=51)
+        + f"\n-- source: {sf_dir}",
         "ivf_rk_mat",
     )
     return spark.sql(ann_topk_ivf_sql("spark", k=3, nprobe=6,
@@ -966,7 +982,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.webtext.dedup import dedup_verified_sql
 
     _register(spark, sf_dir, ("documents",))
-    pairs = spark.sql(dedup_verified_sql("spark", sig_rel=_mat_sig(spark)))
+    pairs = spark.sql(dedup_verified_sql("spark", sig_rel=_mat_sig(spark, sf_dir)))
     return connected_components(pairs).selectExpr(
         "node AS doc_id", "component"
     )

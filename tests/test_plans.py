@@ -504,3 +504,19 @@ def test_zonal_join_untiled_query_over_tiled_edges_is_correct():
                    cols + ", tile_x, tile_y"),
     )).fetchall())
     assert got == want and len(want) == 2
+
+
+def test_materialized_relations_rebuild_on_sf_switch(spark):
+    """Review follow-up (r6): _materialize caches by SQL text, and the
+    signature/bucket/raster/IVF relations read session views — a
+    same-session sf_dir switch must REBUILD them, not serve the
+    previous dataset's cache (the SQL now carries a source-dir key)."""
+    import __spark_entry__ as entry
+
+    a = entry.q_dedup_minhash_lsh(spark, "/root/testdata/sf0.001").count()
+    b = entry.q_dedup_minhash_lsh(spark, "/root/testdata/sf0.01").count()
+    a2 = entry.q_dedup_minhash_lsh(spark, "/root/testdata/sf0.001").count()
+    assert a == a2 and a != b
+    za = entry.q_zonal_stats(spark, "/root/testdata/sf0.001").collect()
+    zb = entry.q_zonal_stats(spark, "/root/testdata/sf0.01").collect()
+    assert sorted(map(tuple, za)) != sorted(map(tuple, zb))
