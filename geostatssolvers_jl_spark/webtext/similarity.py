@@ -438,7 +438,7 @@ def _sqdist_sql(dialect: str, a: str, b: str, dim: int = DIM) -> str:
 
 def ivf_ranked_sql(dialect: str, emb_rel: str = "embeddings",
                    nprobe: int = 4, pivot_mod: int = 31,
-                   dim: int = DIM) -> str:
+                   dim: int = DIM, cent_rel: str | None = None) -> str:
     """The ranked vector→cell distance relation ``(vec_id, cid, rkc)``
     for the pivot quantizer, truncated to ``rkc <= nprobe`` (assignment
     is the rkc=1 subset).  Split out so the Spark entry can MATERIALIZE
@@ -449,11 +449,14 @@ def ivf_ranked_sql(dialect: str, emb_rel: str = "embeddings",
     the inline form."""
     emb0 = _emb_double(dialect, emb_rel, "e")
     d2 = _sqdist_sql(dialect, "v.e", "c.c", dim)
+    cent = (f"SELECT vec_id AS cid, e AS c FROM _emb0 "
+            f"WHERE vec_id % {pivot_mod} = 0"
+            if cent_rel is None else f"SELECT cid, c FROM {cent_rel}")
     return f"""
 WITH _emb0 AS (
   SELECT vec_id, e FROM {emb0} _e0
 ), _cent0 AS (
-  SELECT vec_id AS cid, e AS c FROM _emb0 WHERE vec_id % {pivot_mod} = 0
+  {cent}
 ), _d2x AS (
   SELECT v.vec_id, c.cid, {d2} AS d2
   FROM _emb0 v CROSS JOIN _cent0 c
@@ -469,7 +472,8 @@ SELECT vec_id, cid, rkc FROM (
 def ann_topk_ivf_sql(dialect: str, emb_rel: str = "embeddings",
                      k: int = 3, nprobe: int = 4, pivot_mod: int = 31,
                      dim: int = DIM, cent_rel: str | None = None,
-                     rk_rel: str | None = None) -> str:
+                     rk_rel: str | None = None,
+                     query_pred: str = "TRUE") -> str:
     """IVF ANN top-k, fully in portable SQL (see the tier note above).
     Output (qid, nid, cos_sim, rank) — same shape and tie-breaks as
     `ann_topk_lsh_sql`, every corpus vector a query.
@@ -513,7 +517,10 @@ WITH _emb AS (
 ), _assign AS (
   SELECT vec_id, cid FROM _rkc WHERE rkc = 1
 ), _probe AS (
-  SELECT vec_id AS qid, cid FROM _rkc WHERE rkc <= {nprobe}
+  -- query_pred (on vec_id) bounds the QUERY side; the index side stays
+  -- the full corpus
+  SELECT vec_id AS qid, cid FROM _rkc
+  WHERE rkc <= {nprobe} AND ({query_pred})
 ), _cand AS (
   SELECT DISTINCT p.qid, a.vec_id AS nid
   FROM _probe p JOIN _assign a ON a.cid = p.cid

@@ -666,3 +666,72 @@ def test_streaming_sessionization_watermark_late_replay(spark, tmp_path):
         key = (r["user_id"], r["n_events"], r["start_us"], r["end_us"],
                round(r["total_value"], 6))
         assert key in emitted, f"batch session never emitted: {key}"
+
+
+def test_watermark_sessionization_multi_chunk_ordering(spark, tmp_path):
+    """The watermark operator concatenates Arrow chunks before sorting,
+    like the absorb-mode one — with maxRecordsPerBatch forced tiny and
+    events written in REVERSED order, sealed sessions must still come
+    out exactly (the absorb-mode regression, extended to the new
+    operator)."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from geostatssolvers_jl_spark.streaming.sessions import (
+        sessionize_stream_watermark,
+    )
+
+    drop = tmp_path / "wmc_drop"
+    drop.mkdir()
+    ck = str(tmp_path / "wmc_ckpt")
+    base = 1_700_000_000
+    evs = []
+    for sess in range(3):
+        for i in range(10):
+            off = sess * 5000 + i * 10
+            ts = datetime.fromtimestamp(base + off, tz=timezone.utc)
+            evs.append({"user_id": 1,
+                        "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+                        + "Z",
+                        "value": 1.0})
+    evs.reverse()
+    (drop / "b1.json").write_text("\n".join(_json.dumps(r) for r in evs))
+    # a far-future second drop advances the watermark past all three
+    far = datetime.fromtimestamp(base + 10**6, tz=timezone.utc)
+    (drop / "b2.json").write_text(_json.dumps({
+        "user_id": 2,
+        "ts": far.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z",
+        "value": 0.0}))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    collected = []
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        schema = "user_id long, ts timestamp, value double"
+        for _ in range(2):
+            q = (
+                sessionize_stream_watermark(
+                    spark.readStream.schema(schema).json(str(drop)),
+                    gap_s=1800, watermark_s=3600,
+                )
+                .writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda df, _b: collected.extend(df.collect()))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(300)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    US = 1_000_000
+    finals = sorted(
+        (r["n_events"], r["start_us"], r["end_us"],
+         round(r["total_value"], 6))
+        for r in collected if r["is_final"] and r["user_id"] == 1
+    )
+    want = [
+        (10, (base + s * 5000) * US, (base + s * 5000 + 90) * US, 10.0)
+        for s in range(3)
+    ]
+    assert finals == want, finals
