@@ -471,6 +471,56 @@ def q_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_model(spark, spark.table("documents"))
 
 
+# the lm_quality score corpus: every document PLUS an Atbash-ciphered
+# copy of every 7th one (letters reversed, spaces kept — a deterministic
+# substitution that destroys the trigram statistics without touching
+# length or token structure).  Synthesized inline exactly like
+# redact_pii's PII: the corpus is fluent by construction, so the entry
+# plants known-gibberish rows and both engines must agree on which rows
+# the model flags.
+_LM_CIPHER_OFFSET = 1_000_000
+
+
+def _lm_quality_score_rel(rel: str = "documents") -> str:
+    atbash = "zyxwvutsrqponmlkjihgfedcba"
+    return (
+        f"(SELECT doc_id, text FROM {rel} UNION ALL "
+        f"SELECT doc_id + {_LM_CIPHER_OFFSET} AS doc_id, "
+        f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{atbash}') AS text "
+        f"FROM {rel} WHERE doc_id % 7 = 0) _lmq"
+    )
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (perplexity tier): NB log-likelihood
+    per trigram under the best trained language model, integer-exact
+    low_quality flag (`langmodel.lm_quality_sql`) — trains on the clean
+    corpus, scores clean + planted-gibberish rows; the ciphered rows
+    must flag 1 and the clean rows 0 on BOTH engines
+    (tests/test_webtext.py pins the separation margin)."""
+    from geostatssolvers_jl_spark.webtext.langmodel import lm_quality
+
+    _register(spark, sf_dir, ("documents",))
+    score_df = spark.sql(f"SELECT * FROM {_lm_quality_score_rel()}")
+    return lm_quality(spark, spark.table("documents"), score_df)
+
+
+# query terms chosen for idf spread: 'dup' is rare (df ≈ 5% of docs —
+# high idf, dominates the ranking), 'spark'/'join' are common (low idf,
+# tie-breaking tail) — the top-k exercises both regimes.
+BM25_TERMS = ("dup", "spark", "join")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (`webtext/ranking.py`): top-10 documents
+    for a three-term query, micro-quantized scores, TakeOrdered top-k —
+    the corpus-slicing / contamination-probe relevance primitive."""
+    from geostatssolvers_jl_spark.webtext.ranking import bm25_rank_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(bm25_rank_sql("spark", BM25_TERMS))
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     _register(spark, sf_dir, ("embeddings",))
@@ -957,6 +1007,24 @@ def _langid_model_oracle() -> str:
     from geostatssolvers_jl_spark.webtext.langmodel import langid_model_sql
 
     return langid_model_sql("duckdb", "documents")
+
+
+def _lm_quality_oracle() -> str:
+    """DuckDB twin of `q_lm_quality`: identical train corpus, identical
+    planted-cipher score relation, inline CTEs (DuckDB evaluates the
+    count CTE once — the Spark wrapper materializes it instead; values
+    identical, see `langid_model_sql` design notes)."""
+    from geostatssolvers_jl_spark.webtext.langmodel import lm_quality_sql
+
+    return lm_quality_sql(
+        "duckdb", "documents", score_rel=_lm_quality_score_rel()
+    )
+
+
+def _bm25_rank_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.ranking import bm25_rank_sql
+
+    return bm25_rank_sql("duckdb", BM25_TERMS)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2534,6 +2602,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _text_quality_sql(),
         "langid": langid_sql("documents"),
         "langid_model": _langid_model_oracle(),
+        "lm_quality": _lm_quality_oracle(),
+        "bm25_rank": _bm25_rank_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "zonal_stats_concave": _zonal_stats_concave_oracle(),
         "zonal_stats_join": _zonal_stats_join_oracle(),
@@ -3198,6 +3268,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_real": q_multimodal_video_real,
         # r6: IVF ANN second scale path (past-window)
         "ann_topk_ivf": q_ann_topk_ivf,
+        # r6 continuation: BM25 retrieval + LM-perplexity quality tier
+        "bm25_rank": q_bm25_rank,
+        "lm_quality": q_lm_quality,
         # r6: concave zones + zone-table broadcast form (past-window)
         "zonal_stats_concave": q_zonal_stats_concave,
         "zonal_stats_join": q_zonal_stats_join,

@@ -118,44 +118,13 @@ def pruned_count_sql(dialect: str, train_rel: str,
     )
 
 
-def langid_model_sql(dialect: str, train_rel: str = "documents",
-                     score_rel: str | None = None,
-                     cnt_rel: str | None = None,
-                     vocab_topk: int | None = DEFAULT_VOCAB_TOPK) -> str:
-    """One self-contained query: train on ``train_rel`` (doc_id, text,
-    lang), score every ``score_rel`` document (defaults to the training
-    corpus, the exactness-gate shape) → (doc_id, pred_lang, score_micro).
-
-    Sub-3-char documents yield no trigrams; the LEFT JOIN from the score
-    corpus keeps them (one row per input document — the coverage
-    contract every per-doc operator here honours), scored by prior
-    alone.  A language whose every training doc is sub-3-char has no
-    trigram statistics and drops out of the candidate set.
-
-    Scoring algebra: a document's score under language *l* is
-    ``prior_l + n_tg·lp0_l + Σ_matched (lp(l,t) − lp0_l)`` — identical
-    (in exact BIGINT arithmetic) to summing ``coalesce(lp, lp0)`` over
-    every trigram, but expressed with EQUI-joins only: the naive
-    per-occurrence CROSS JOIN against the language list invited Catalyst
-    to broadcast the multi-million-row exploded side (measured 19 s at
-    sf0.1 vs 2 s for this form; the only remaining cross join is
-    score-docs × languages, which is |docs| × |langs| rows).
-
-    ``cnt_rel``: optional pre-computed ``(lang, tg, c)`` trigram-count
-    relation, assumed ALREADY pruned to the caller's ``vocab_topk``
-    (the wrapper prunes distributedly before materializing).  The count
-    table is the model's natural materialization point — BOUNDED at
-    |langs| × vocab_topk rows however large the corpus — and everything
-    upstream derives from it, so the `langid_model` wrapper computes it
-    in ONE explode scan and re-registers it as a LOCAL relation
-    (persisted temp views are a trap here: Spark re-inlines CTEs, and
-    ``dropTempView`` UNCACHES dependent plans, so a view-backed persist
-    silently evicted the moment the wrapper cleaned up its views —
-    measured as the full explode re-running five times inside one
-    scoring query).  Values are identical either way; the DuckDB oracle
-    keeps the inline CTEs (with the identical top-K window), which
-    DuckDB evaluates once."""
-    score_rel = score_rel or train_rel
+def _score_ctes(dialect: str, train_rel: str, score_rel: str,
+                cnt_rel: str | None,
+                vocab_topk: int | None) -> str:
+    """The shared train + score CTE chain (everything up to ``_ranked``)
+    — `langid_model_sql` (argmax tail) and `lm_quality_sql` (fluency
+    tail) differ only in their final SELECT.  See `langid_model_sql`
+    for the full design notes."""
     cnt_src = (
         f"SELECT lang, tg, c FROM {cnt_rel}" if cnt_rel else
         pruned_count_sql(dialect, train_rel, vocab_topk)
@@ -198,6 +167,9 @@ WITH _cnt AS (
   GROUP BY g.doc_id, a.lang
 ), _full AS (
   SELECT d.doc_id, f.lang,
+         coalesce(n.ntg, CAST(0 AS BIGINT)) AS ntg,
+         coalesce(n.ntg, CAST(0 AS BIGINT)) * f.lp0
+              + coalesce(m.msum, CAST(0 AS BIGINT)) AS flu_micro,
          f.pr + coalesce(n.ntg, CAST(0 AS BIGINT)) * f.lp0
               + coalesce(m.msum, CAST(0 AS BIGINT)) AS score_micro
   FROM (SELECT doc_id FROM {score_rel}) d
@@ -205,12 +177,100 @@ WITH _cnt AS (
   LEFT JOIN _doc_n n ON n.doc_id = d.doc_id
   LEFT JOIN _match m ON m.doc_id = d.doc_id AND m.lang = f.lang
 ), _ranked AS (
-  SELECT doc_id, lang, score_micro,
+  SELECT doc_id, lang, ntg, flu_micro, score_micro,
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY score_micro DESC, lang) AS rk
   FROM _full
-)
-SELECT doc_id, lang AS pred_lang, score_micro FROM _ranked WHERE rk = 1"""
+)"""
+
+
+def langid_model_sql(dialect: str, train_rel: str = "documents",
+                     score_rel: str | None = None,
+                     cnt_rel: str | None = None,
+                     vocab_topk: int | None = DEFAULT_VOCAB_TOPK) -> str:
+    """One self-contained query: train on ``train_rel`` (doc_id, text,
+    lang), score every ``score_rel`` document (defaults to the training
+    corpus, the exactness-gate shape) → (doc_id, pred_lang, score_micro).
+
+    Sub-3-char documents yield no trigrams; the LEFT JOIN from the score
+    corpus keeps them (one row per input document — the coverage
+    contract every per-doc operator here honours), scored by prior
+    alone.  A language whose every training doc is sub-3-char has no
+    trigram statistics and drops out of the candidate set.
+
+    Scoring algebra: a document's score under language *l* is
+    ``prior_l + n_tg·lp0_l + Σ_matched (lp(l,t) − lp0_l)`` — identical
+    (in exact BIGINT arithmetic) to summing ``coalesce(lp, lp0)`` over
+    every trigram, but expressed with EQUI-joins only: the naive
+    per-occurrence CROSS JOIN against the language list invited Catalyst
+    to broadcast the multi-million-row exploded side (measured 19 s at
+    sf0.1 vs 2 s for this form; the only remaining cross join is
+    score-docs × languages, which is |docs| × |langs| rows).
+
+    ``cnt_rel``: optional pre-computed ``(lang, tg, c)`` trigram-count
+    relation, assumed ALREADY pruned to the caller's ``vocab_topk``
+    (the wrapper prunes distributedly before materializing).  The count
+    table is the model's natural materialization point — BOUNDED at
+    |langs| × vocab_topk rows however large the corpus — and everything
+    upstream derives from it, so the `langid_model` wrapper computes it
+    in ONE explode scan and re-registers it as a LOCAL relation
+    (persisted temp views are a trap here: Spark re-inlines CTEs, and
+    ``dropTempView`` UNCACHES dependent plans, so a view-backed persist
+    silently evicted the moment the wrapper cleaned up its views —
+    measured as the full explode re-running five times inside one
+    scoring query).  Values are identical either way; the DuckDB oracle
+    keeps the inline CTEs (with the identical top-K window), which
+    DuckDB evaluates once."""
+    score_rel = score_rel or train_rel
+    ctes = _score_ctes(dialect, train_rel, score_rel, cnt_rel, vocab_topk)
+    return (ctes + "\nSELECT doc_id, lang AS pred_lang, score_micro "
+            "FROM _ranked WHERE rk = 1")
+
+
+# per-trigram fluency threshold (micro-units of ln p): fluent text under
+# its own trained model sits near ln(1/200) ≈ -5.3e6 per trigram at any
+# corpus size (the per-trigram probability of in-distribution text is a
+# property of the LANGUAGE, not the corpus), while out-of-model text
+# scores at the Laplace floor ln(1/(n+V)) — ≤ -9e6 once the training
+# corpus has ≥ 8k trigrams, and falling as it grows.  −7e6 separates the
+# two regimes with ≥ 1.2e6 margin on every shipped scale factor
+# (measured sf0.001: clean ≥ -5.54e6 / cipher ≤ -9.64e6; sf0.01: clean
+# ≥ -5.67e6 / cipher ≤ -9.49e6).
+DEFAULT_FLUENCY_MICRO = -7_000_000
+
+
+def lm_quality_sql(dialect: str, train_rel: str = "documents",
+                   score_rel: str | None = None,
+                   cnt_rel: str | None = None,
+                   vocab_topk: int | None = DEFAULT_VOCAB_TOPK,
+                   threshold_micro: int = DEFAULT_FLUENCY_MICRO) -> str:
+    """Model-based quality filtering (the perplexity tier of the quality
+    ladder; `textstats._text_quality_sql` is the heuristic tier): score
+    every ``score_rel`` document by its NB log-likelihood under the best
+    trained language model, normalized per trigram — the SQL analogue of
+    an LM-perplexity filter (low average log-prob ⇔ high perplexity ⇔
+    gibberish / boilerplate / wrong-script text).
+
+    Output: (doc_id, pred_lang, ntg, fluency_micro, low_quality).
+    ``fluency_micro`` is the PRIOR-FREE part of the NB score
+    (``ntg·lp0 + Σ(lp−lp0)`` in integer micro-units — the prior is a
+    per-doc constant that would let class imbalance leak into a fluency
+    measure); ``low_quality = 1`` iff the document yields no trigrams OR
+    ``fluency_micro < threshold_micro · ntg`` — pure BIGINT arithmetic,
+    no division, so the flag is hash-exact across engines.  The argmax
+    language (and its tie-break) is IDENTICAL to `langid_model_sql` —
+    both tails share `_score_ctes`."""
+    score_rel = score_rel or train_rel
+    ctes = _score_ctes(dialect, train_rel, score_rel, cnt_rel, vocab_topk)
+    t = int(threshold_micro)
+    return (
+        ctes
+        + f"""
+SELECT doc_id, lang AS pred_lang, ntg, flu_micro AS fluency_micro,
+       CASE WHEN ntg = CAST(0 AS BIGINT)
+                 OR flu_micro < {t} * ntg THEN 1 ELSE 0 END AS low_quality
+FROM _ranked WHERE rk = 1"""
+    )
 
 
 def langid_model(spark, train_df: DataFrame,
@@ -225,6 +285,30 @@ def langid_model(spark, train_df: DataFrame,
     (the model's natural materialization point — no persist, no
     view-dependency, nothing for dropTempView to uncache), then runs the
     scoring query against it."""
+    return _run_with_local_model(
+        spark, train_df, score_df, vocab_topk,
+        lambda trel, srel, crel: langid_model_sql(
+            "spark", trel, srel, cnt_rel=crel),
+    )
+
+
+def lm_quality(spark, train_df: DataFrame,
+               score_df: DataFrame | None = None,
+               vocab_topk: int | None = DEFAULT_VOCAB_TOPK,
+               threshold_micro: int = DEFAULT_FLUENCY_MICRO) -> DataFrame:
+    """Library wrapper for `lm_quality_sql` — same local-model
+    materialization as `langid_model` (one explode scan trains both)."""
+    return _run_with_local_model(
+        spark, train_df, score_df, vocab_topk,
+        lambda trel, srel, crel: lm_quality_sql(
+            "spark", trel, srel, cnt_rel=crel,
+            threshold_micro=threshold_micro),
+    )
+
+
+def _run_with_local_model(spark, train_df: DataFrame,
+                          score_df: DataFrame | None,
+                          vocab_topk: int | None, build_sql) -> DataFrame:
     seq = next(_VIEW_SEQ)
     trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
     crel = f"_lm_cnt_{seq}"
@@ -260,7 +344,7 @@ def langid_model(spark, train_df: DataFrame,
         )
     local = spark.createDataFrame(rows, "lang string, tg string, c bigint")
     local.createOrReplaceTempView(crel)
-    out = spark.sql(langid_model_sql("spark", trel, srel, cnt_rel=crel))
+    out = spark.sql(build_sql(trel, srel, crel))
     # spark.sql resolves views eagerly at analysis, so dropping them now
     # is safe (nothing is persisted, so nothing gets uncached)
     for v in (trel, srel, crel):

@@ -1218,3 +1218,140 @@ def test_ann_topk_ivf_nprobe_follows_effective_cells(spark):
     out = ann_topk_ivf(spark, sparse, k=1, n_centroids=8, nprobe=3,
                        sample_cap=20)
     assert out.count() > 0
+
+
+def _bm25_expected(corpus, terms, k1=1.2, b=0.75):
+    """Hand-computed BM25 (Lucene idf form) with the entry's micro
+    quantization — per-(doc, term) score rounded to integer micro-units
+    BEFORE the per-doc sum, exactly as `ranking.bm25_rank_sql` does."""
+    import math
+
+    n = float(len(corpus))
+    dls = {d: float(t.count(" ") + 1) for d, t in corpus}
+    avgdl = sum(dls.values()) / n
+    tf = {}
+    for d, t in corpus:
+        for w in t.split(" "):
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    out = {}
+    for (d, w), f in tf.items():
+        idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+        sat = (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dls[d] / avgdl))
+        out[d] = out.get(d, 0) + int(round(idf * sat * 1e6))
+    return out
+
+
+def test_bm25_rank_hand_computed(spark):
+    """Exact value check against an independent Python computation of
+    the Okapi/Lucene BM25 formula on a 6-doc corpus (within 1 micro-unit
+    per matched term for round-vs-banker's halfway divergence)."""
+    from geostatssolvers_jl_spark.webtext.ranking import bm25_rank
+
+    corpus = [
+        (0, "spark join spark spark"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "join the spark cluster for a distributed join"),
+        (3, "rare pearl hidden here"),
+        (4, "pearl"),
+        (5, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ("spark", "join", "pearl")
+    got = {r["doc_id"]: r["score_micro"]
+           for r in bm25_rank(spark, df, terms).collect()}
+    exp = _bm25_expected(corpus, set(terms))
+    assert set(got) == set(exp)          # doc 1 and 5 match nothing
+    for d in exp:
+        assert abs(got[d] - exp[d]) <= len(terms), (d, got[d], exp[d])
+
+
+def test_bm25_rank_semantics(spark):
+    """Rank order / idf behavior: a rare term outscores repeats of a
+    ubiquitous one (idf dominance); rank is dense 1..n with doc_id
+    tie-break; topk truncates; n_terms counts distinct matched terms."""
+    from geostatssolvers_jl_spark.webtext.ranking import bm25_rank
+
+    rows = [(i, "common filler words here") for i in range(20)]
+    rows += [(100, "common needle"), (101, "common common common common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(spark, df, ("common", "needle"), topk=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    top = out[0]
+    assert top["doc_id"] == 100 and top["n_terms"] == 2
+    # every other doc matched only 'common'
+    assert all(r["n_terms"] == 1 for r in out[1:])
+    # scores strictly ordered (desc) with doc_id tiebreak
+    pairs = [(-r["score_micro"], r["doc_id"]) for r in out]
+    assert pairs == sorted(pairs)
+
+
+def test_bm25_rank_validation():
+    from geostatssolvers_jl_spark.webtext.ranking import bm25_rank_sql
+
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_rank_sql("spark", ())
+    with pytest.raises(ValueError, match="single unquoted"):
+        bm25_rank_sql("spark", ("ok", "two words"))
+    with pytest.raises(ValueError, match="single unquoted"):
+        bm25_rank_sql("spark", ("o'quote",))
+
+
+def test_lm_quality_separates_planted_gibberish(spark):
+    """The perplexity-tier quality filter must flag every Atbash-ciphered
+    document and no fluent one on the gate-shaped corpus
+    (sf0.001 documents — deterministic driver data, the same fluent
+    register the entry scores), with ≥1.2e6 micro per-trigram margin on
+    both sides of the default threshold.  (A random-word synthetic
+    corpus is the WRONG testbed here: its clean text already sits near
+    the model's entropy ceiling — measured clean −8.0e6 vs ciphered
+    −8.8e6 — so only genuinely fluent text exercises the threshold.)"""
+    import pyspark.sql.functions as F
+
+    from geostatssolvers_jl_spark.webtext.langmodel import (
+        DEFAULT_FLUENCY_MICRO, lm_quality,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    az = "abcdefghijklmnopqrstuvwxyz"
+    sdf = docs.select("doc_id", "text").unionAll(
+        docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.translate("text", az, az[::-1]).alias("text"),
+        )
+    )
+    out = lm_quality(spark, docs, sdf).collect()
+    assert len(out) == sdf.count()
+    margin = 1_200_000
+    for r in out:
+        if r["ntg"] == 0:
+            continue
+        per_tg = r["fluency_micro"] / r["ntg"]
+        if r["doc_id"] >= 1_000_000:
+            assert r["low_quality"] == 1, r
+            assert per_tg < DEFAULT_FLUENCY_MICRO - margin, r
+        else:
+            assert r["low_quality"] == 0, r
+            assert per_tg > DEFAULT_FLUENCY_MICRO + margin, r
+
+
+def test_lm_quality_no_trigram_doc_flags_low(spark):
+    """Coverage contract: sub-3-char docs keep their row and flag
+    low_quality=1 (no evidence of fluency), ntg=0."""
+    from geostatssolvers_jl_spark.webtext.langmodel import lm_quality
+
+    train = spark.createDataFrame(
+        [(0, "hello there friend how are you", "en"),
+         (1, "der die das und der oder", "de")],
+        "doc_id long, text string, lang string")
+    score = spark.createDataFrame(
+        [(7, "ab"), (8, ""), (9, "hello there friend")],
+        "doc_id long, text string")
+    by = {r["doc_id"]: r for r in lm_quality(spark, train, score).collect()}
+    assert set(by) == {7, 8, 9}
+    assert by[7]["low_quality"] == 1 and by[7]["ntg"] == 0
+    assert by[8]["low_quality"] == 1
+    assert by[9]["low_quality"] == 0
