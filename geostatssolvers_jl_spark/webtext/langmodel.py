@@ -157,24 +157,25 @@ WITH _cnt AS (
 ), _madj AS (
   SELECT m.lang, m.tg, m.lp - f.lp0 AS dlp
   FROM _model m JOIN _floor f ON m.lang = f.lang
-), _doc_n AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS ntg
-  FROM _tgs GROUP BY doc_id
 ), _match AS (
   SELECT /*+ BROADCAST(a) */
          g.doc_id, a.lang, CAST(sum(a.dlp) AS BIGINT) AS msum
   FROM _tgs g JOIN _madj a ON a.tg = g.tg
   GROUP BY g.doc_id, a.lang
 ), _full AS (
-  SELECT d.doc_id, f.lang,
-         coalesce(n.ntg, CAST(0 AS BIGINT)) AS ntg,
-         coalesce(n.ntg, CAST(0 AS BIGINT)) * f.lp0
+  -- ntg (the per-doc trigram count) is a pure projection of the score
+  -- corpus (length - 2, floored at 0): an earlier _doc_n CTE derived it
+  -- by re-aggregating _tgs, and Spark's CTE inlining ran the score-side
+  -- explode TWICE (once there, once in _match)
+  SELECT d.doc_id, f.lang, d.ntg,
+         d.ntg * f.lp0
               + coalesce(m.msum, CAST(0 AS BIGINT)) AS flu_micro,
-         f.pr + coalesce(n.ntg, CAST(0 AS BIGINT)) * f.lp0
+         f.pr + d.ntg * f.lp0
               + coalesce(m.msum, CAST(0 AS BIGINT)) AS score_micro
-  FROM (SELECT doc_id FROM {score_rel}) d
+  FROM (SELECT doc_id,
+               CAST(greatest(0, length(text) - 2) AS BIGINT) AS ntg
+        FROM {score_rel}) d
   CROSS JOIN _floor f
-  LEFT JOIN _doc_n n ON n.doc_id = d.doc_id
   LEFT JOIN _match m ON m.doc_id = d.doc_id AND m.lang = f.lang
 ), _ranked AS (
   SELECT doc_id, lang, ntg, flu_micro, score_micro,
@@ -275,7 +276,8 @@ FROM _ranked WHERE rk = 1"""
 
 def langid_model(spark, train_df: DataFrame,
                  score_df: DataFrame | None = None,
-                 vocab_topk: int | None = DEFAULT_VOCAB_TOPK) -> DataFrame:
+                 vocab_topk: int | None = DEFAULT_VOCAB_TOPK,
+                 model: DataFrame | None = None) -> DataFrame:
     """Library wrapper: train on ``train_df`` (doc_id, text, lang), score
     ``score_df`` (defaults to the training corpus).  Computes the
     (lang, tg, c) count table in one explode scan, prunes it
@@ -289,50 +291,57 @@ def langid_model(spark, train_df: DataFrame,
         spark, train_df, score_df, vocab_topk,
         lambda trel, srel, crel: langid_model_sql(
             "spark", trel, srel, cnt_rel=crel),
+        model=model,
     )
 
 
 def lm_quality(spark, train_df: DataFrame,
                score_df: DataFrame | None = None,
                vocab_topk: int | None = DEFAULT_VOCAB_TOPK,
-               threshold_micro: int = DEFAULT_FLUENCY_MICRO) -> DataFrame:
+               threshold_micro: int = DEFAULT_FLUENCY_MICRO,
+               model: DataFrame | None = None) -> DataFrame:
     """Library wrapper for `lm_quality_sql` — same local-model
-    materialization as `langid_model` (one explode scan trains both)."""
+    materialization as `langid_model` (one explode scan trains both;
+    ``model=`` from `train_trigram_model` skips it entirely)."""
     return _run_with_local_model(
         spark, train_df, score_df, vocab_topk,
         lambda trel, srel, crel: lm_quality_sql(
             "spark", trel, srel, cnt_rel=crel,
             threshold_micro=threshold_micro),
+        model=model,
     )
 
 
-def _run_with_local_model(spark, train_df: DataFrame,
-                          score_df: DataFrame | None,
-                          vocab_topk: int | None, build_sql) -> DataFrame:
+def _spread(df):
+    # a small corpus read from one parquet file arrives as ONE
+    # partition, and the explode → model join → per-doc aggregation
+    # chain then runs single-threaded (measured: that stage was 8.7
+    # of the ~7-9 s per call at sf0.1).  Repartition narrow inputs
+    # up to the session's parallelism; wide inputs pass through
+    # untouched (no gratuitous shuffle at scale).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def train_trigram_model(spark, train_df: DataFrame,
+                        vocab_topk: int | None = DEFAULT_VOCAB_TOPK
+                        ) -> DataFrame:
+    """Train once, score many: the pruned ``(lang, tg, c)`` count table
+    as a LOCAL DataFrame (≤ |langs| × vocab_topk rows on any corpus
+    size — the only part of the model whose computation scans text).
+    Pass it as ``model=`` to `langid_model` / `lm_quality` to skip the
+    per-call training explode; the caller owns consistency (the same
+    ``vocab_topk`` story applies to every scorer reusing the model).
+    Priors and the Laplace floor are NOT part of this artifact — they
+    derive from cheap column aggregates of the train corpus inside the
+    scoring query."""
     seq = next(_VIEW_SEQ)
-    trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
-    crel = f"_lm_cnt_{seq}"
-
-    def _spread(df):
-        # a small corpus read from one parquet file arrives as ONE
-        # partition, and the explode → model join → per-doc aggregation
-        # chain then runs single-threaded (measured: that stage was 8.7
-        # of the ~7-9 s per call at sf0.1).  Repartition narrow inputs
-        # up to the session's parallelism; wide inputs pass through
-        # untouched (no gratuitous shuffle at scale).
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, target // 2):
-            return df.repartition(target)
-        return df
-
-    train_df = _spread(train_df)
-    if score_df is not None:
-        score_df = _spread(score_df)
-    train_df.createOrReplaceTempView(trel)
-    (score_df if score_df is not None else train_df) \
-        .createOrReplaceTempView(srel)
-    cnt = spark.sql(pruned_count_sql("spark", trel, vocab_topk))
-    rows = cnt.collect()
+    trel = f"_lm_fit_{seq}"
+    _spread(train_df).createOrReplaceTempView(trel)
+    rows = spark.sql(pruned_count_sql("spark", trel, vocab_topk)).collect()
+    spark.catalog.dropTempView(trel)
     if not rows:
         # an empty model would make the scoring cross-join emit ZERO
         # rows — silently violating the one-row-per-scored-document
@@ -342,7 +351,21 @@ def _run_with_local_model(spark, train_df: DataFrame,
             "training corpus yields no trigrams (every document is "
             "shorter than 3 characters) — cannot train langid_model"
         )
-    local = spark.createDataFrame(rows, "lang string, tg string, c bigint")
+    return spark.createDataFrame(rows, "lang string, tg string, c bigint")
+
+
+def _run_with_local_model(spark, train_df: DataFrame,
+                          score_df: DataFrame | None,
+                          vocab_topk: int | None, build_sql,
+                          model: DataFrame | None = None) -> DataFrame:
+    seq = next(_VIEW_SEQ)
+    trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
+    crel = f"_lm_cnt_{seq}"
+    _spread(train_df).createOrReplaceTempView(trel)
+    (_spread(score_df) if score_df is not None else spark.table(trel)) \
+        .createOrReplaceTempView(srel)
+    local = (model if model is not None
+             else train_trigram_model(spark, train_df, vocab_topk))
     local.createOrReplaceTempView(crel)
     out = spark.sql(build_sql(trel, srel, crel))
     # spark.sql resolves views eagerly at analysis, so dropping them now

@@ -1355,3 +1355,20 @@ def test_lm_quality_no_trigram_doc_flags_low(spark):
     assert by[7]["low_quality"] == 1 and by[7]["ntg"] == 0
     assert by[8]["low_quality"] == 1
     assert by[9]["low_quality"] == 0
+
+
+def test_trained_model_reuse_identical(spark):
+    """Train-once/score-many: passing `train_trigram_model`'s artifact
+    via ``model=`` must produce byte-identical output to per-call
+    training, for both scoring tails."""
+    from geostatssolvers_jl_spark.webtext.langmodel import (
+        langid_model, lm_quality, train_trigram_model,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_trigram_model(spark, docs)
+    assert model.count() > 0
+    for fn in (langid_model, lm_quality):
+        a = sorted(map(tuple, fn(spark, docs).collect()))
+        b = sorted(map(tuple, fn(spark, docs, model=model).collect()))
+        assert a == b, fn.__name__
