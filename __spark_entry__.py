@@ -540,6 +540,117 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(bm25_rank_sql("spark", BM25_TERMS))
 
 
+# ---- variography front end (r6 continuation): data → γ̂(h) → model ----
+# the pipeline the reference delegates to Variography.jl; the engine's
+# own `variography.py` makes it distributed (ring-replicated tile
+# equi-join — never the O(n²) pair space)
+
+VARIO_MAXLAG, VARIO_NLAGS = 60.0, 12  # width 5.0 (exact binary)
+# 2^15: dividing γ by a power of two is EXACT in FP, so the scaled
+# empirical table is still bit-identical across engines while the fit's
+# aggregate sums stay O(1)-magnitude (raw n_chars γ ~ 4e4 pushes w·γ²
+# sums to ~1e13, where cross-engine summation-order noise ~1e-2 breaks
+# round-6 hashing of the SSE output)
+VARIO_GAMMA_SCALE = 32768.0
+VARIO_RANGES = tuple(
+    round(4.0 * (120.0 / 4.0) ** (k / 15.0), 4) for k in range(16)
+)
+
+
+def _vario_pts_rel() -> str:
+    """Geocoded pages as planar (x, y) points with z = n_chars."""
+    return (f"(SELECT data_id, lon AS x, lat AS y, z "
+            f"FROM {_pages_xyz()} _pxy)")
+
+
+def _vario_emp_sql(tiled: bool) -> str:
+    from geostatssolvers_jl_spark.variography import empirical_variogram_sql
+
+    return empirical_variogram_sql(
+        _vario_pts_rel(), VARIO_MAXLAG, VARIO_NLAGS, tiled=tiled)
+
+
+def q_variogram_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matheron empirical variogram of page n_chars over planar lon/lat
+    (`variography.empirical_variogram_sql`) via the ring-replicated tile
+    equi-join; the oracle recomputes it from the BRUTE-FORCE O(n²) pair
+    join — value-equality proves the tiled join lossless."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(_vario_emp_sql(tiled=True))
+
+
+def _vario_fit_over(emp_rel: str) -> str:
+    from geostatssolvers_jl_spark.variography import fit_variogram_sql
+
+    scaled = (f"(SELECT lag, npairs, gamma / {VARIO_GAMMA_SCALE!r} "
+              f"AS gamma FROM {emp_rel} _se)")
+    fit = fit_variogram_sql(scaled, VARIO_RANGES)
+    # _s suffix: nugget/sill/sse are in γ/2^15 units (see
+    # VARIO_GAMMA_SCALE note); range stays in coordinate units
+    return (f"SELECT model, range, nugget AS nugget_s, sill AS sill_s, "
+            f"sse AS sse_s FROM ({fit}) _f")
+
+
+def q_variogram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WLS variogram model selection (`variography.fit_variogram_sql`):
+    spherical/exponential/gaussian × 16 ranges, closed-form
+    nugget/partial-sill per candidate, argmin — over the MATERIALIZED
+    tiled empirical table (estimate-once/fit-many; the ≤ nlags-row
+    relation is the natural reuse point).  Oracle: brute-force empirical
+    + the same grid fit."""
+    _register(spark, sf_dir, ("documents",))
+    emp = _materialize(
+        spark,
+        _vario_emp_sql(tiled=True) + f"\n-- source: {sf_dir}",
+        "_mat_vario_emp",
+    )
+    return spark.sql(_vario_fit_over(emp))
+
+
+def q_nscore_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-score transform of n_chars (`transforms.nscore_sql`) in
+    the DISTRIBUTED two-pass form (bucket histogram + offsets + ranked
+    per-bucket windows); the oracle uses the single-window global-rank
+    form — equality proves the two-pass rank is the same total order."""
+    from geostatssolvers_jl_spark.transforms import nscore_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(nscore_sql(f"{_pages_xyz()} _nsp", bucket_width=500.0))
+
+
+def q_decluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-declustering weights on the res-3 tile grid
+    (`transforms.decluster_weights_sql`, groupBy + broadcast count
+    relation); the oracle recomputes w = n/(m·c) with window functions
+    — an independent formulation."""
+    from geostatssolvers_jl_spark.transforms import decluster_weights_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(decluster_weights_sql(f"{_pages_xyz()} _dcp", 3))
+
+
+def _nscore_oracle() -> str:
+    from geostatssolvers_jl_spark.transforms import nscore_sql
+
+    return nscore_sql(f"{_pages_xyz()} _nso", bucket_width=None)
+
+
+def _decluster_oracle() -> str:
+    cell = tiling.cell_expr("lon", "lat", 3)
+    return f"""
+SELECT data_id, cell, cell_n,
+       round(n / (m * CAST(cell_n AS DOUBLE)), 6) + 0.0 AS w, z
+FROM (
+  SELECT data_id, {cell} AS cell, CAST(z AS DOUBLE) AS z,
+         CAST(count(*) OVER (PARTITION BY {cell}) AS BIGINT) AS cell_n,
+         CAST(count(*) OVER () AS DOUBLE) AS n
+  FROM {_pages_xyz()} _p
+) _w CROSS JOIN (
+  SELECT CAST(count(*) AS DOUBLE) AS m
+  FROM (SELECT DISTINCT {cell} AS c FROM {_pages_xyz()} _q) _d
+) _m"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     _register(spark, sf_dir, ("embeddings",))
@@ -2626,6 +2737,13 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _zonal_stats_oracle(),
         "zonal_stats_concave": _zonal_stats_concave_oracle(),
         "zonal_stats_join": _zonal_stats_join_oracle(),
+        # variography: oracle uses the BRUTE-FORCE pair join (tiled-join
+        # losslessness proof) / the single-window global rank (two-pass
+        # rank proof) / a window reformulation of the weights
+        "variogram_empirical": _vario_emp_sql(tiled=False),
+        "variogram_fit": _vario_fit_over(f"({_vario_emp_sql(tiled=False)})"),
+        "nscore_transform": _nscore_oracle(),
+        "decluster_weights": _decluster_oracle(),
         "token_count_subword": _token_subword_oracle(),
         "ann_cosine": ann,
         "units_affine": (
@@ -3293,6 +3411,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: concave zones + zone-table broadcast form (past-window)
         "zonal_stats_concave": q_zonal_stats_concave,
         "zonal_stats_join": q_zonal_stats_join,
+        # r6 continuation: variography front end + transforms
+        "variogram_empirical": q_variogram_empirical,
+        "variogram_fit": q_variogram_fit,
+        "nscore_transform": q_nscore_transform,
+        "decluster_weights": q_decluster_weights,
         # rows-only (stochastic / no SQL equivalent; see docstrings for
         # their value anchors)
         "multimodal_decode": q_multimodal_decode,

@@ -137,6 +137,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "token_count_subword", "zonal_stats_join",
         "multimodal_decode_real", "ann_topk_ivf",
         "bm25_rank", "lm_quality",
+        "variogram_empirical", "variogram_fit", "nscore_transform",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages
