@@ -629,6 +629,18 @@ def q_decluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(decluster_weights_sql(f"{_pages_xyz()} _dcp", 3))
 
 
+def _loo_idw_oracle() -> str:
+    from geostatssolvers_jl_spark.validation import loo_idw_sql
+
+    return loo_idw_sql(_pages_xyz(), HAV_DD, k=5)
+
+
+def _substring_dedup_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.dedup import dup_span_sql
+
+    return dup_span_sql("duck", "documents", L=30)
+
+
 def _nscore_oracle() -> str:
     from geostatssolvers_jl_spark.transforms import nscore_sql
 
@@ -649,6 +661,31 @@ FROM (
   SELECT CAST(count(*) AS DOUBLE) AS m
   FROM (SELECT DISTINCT {cell} AS c FROM {_pages_xyz()} _q) _d
 ) _m"""
+
+
+HAV_DD = Haversine(6371.0).sql(("q.lon", "q.lat"), ("d.lon", "d.lat"))
+
+
+def q_loo_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out IDW cross-validation (`validation.loo_idw_sql`) of
+    page n_chars under haversine — the A8 error-rate surface as a
+    model-validation operator: every page estimated from its 5 nearest
+    OTHER pages, per-point (z, zhat, err) rows."""
+    from geostatssolvers_jl_spark.validation import loo_idw_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(loo_idw_sql(_pages_xyz(), HAV_DD, k=5))
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring spans (`dedup.dup_span_sql`, the distributed
+    shingle-hash form of Lee et al. 2021 span dedup): per-document
+    merged duplicate-window coverage over the corpus, one row per doc.
+    The oracle runs the DuckDB-dialect twin of the same algebra."""
+    from geostatssolvers_jl_spark.webtext.dedup import dup_span_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(dup_span_sql("spark", "documents", L=30))
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2744,6 +2781,8 @@ def oracle_sql() -> dict[str, str]:
         "variogram_fit": _vario_fit_over(f"({_vario_emp_sql(tiled=False)})"),
         "nscore_transform": _nscore_oracle(),
         "decluster_weights": _decluster_oracle(),
+        "loo_idw_cv": _loo_idw_oracle(),
+        "substring_dedup": _substring_dedup_oracle(),
         "token_count_subword": _token_subword_oracle(),
         "ann_cosine": ann,
         "units_affine": (
@@ -3416,6 +3455,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_fit": q_variogram_fit,
         "nscore_transform": q_nscore_transform,
         "decluster_weights": q_decluster_weights,
+        # r6 continuation: cross-validation + substring-span dedup
+        "loo_idw_cv": q_loo_idw_cv,
+        "substring_dedup": q_substring_dedup,
         # rows-only (stochastic / no SQL equivalent; see docstrings for
         # their value anchors)
         "multimodal_decode": q_multimodal_decode,

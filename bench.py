@@ -138,6 +138,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "multimodal_decode_real", "ann_topk_ivf",
         "bm25_rank", "lm_quality",
         "variogram_empirical", "variogram_fit", "nscore_transform",
+        "loo_idw_cv", "substring_dedup",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages

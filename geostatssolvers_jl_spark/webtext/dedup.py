@@ -323,3 +323,94 @@ def simhash_sql(dialect: str, docs_rel: str = "documents",
         f"_v AS (SELECT doc_id, {votes} FROM _h GROUP BY doc_id) "
         f"SELECT doc_id, {packed} AS simhash FROM _v"
     )
+
+
+def dup_span_sql(dialect: str, docs_rel: str = "documents",
+                 L: int = 30, min_count: int = 2) -> str:
+    """Duplicate-SUBSTRING detection (per-doc summary) — the span-level
+    rung of the dedup ladder below document-level MinHash: find every
+    position whose L-char window occurs >= ``min_count`` times in the
+    corpus (any document, any offset — self-repetition counts), merge
+    overlapping/adjacent windows per document into maximal spans, and
+    report ``(doc_id, n_dup_spans, dup_chars)`` for every document
+    (LEFT JOIN keeps clean/short docs at 0 — the one-row-per-document
+    coverage contract).
+
+    This is the distributed shingle-hash approximation of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): one position-explode
+    scan, one shuffle keyed by the window text (a corpus-wide
+    group-count — the scale cost; at 10^12 docs the group key would be
+    a 64-bit hash of the window, same plan shape), one broadcast-able
+    duplicate-window relation joined back, and a per-doc window merge
+    (lag + running break-count island detection).  Windows have equal
+    length, so spans merge exactly when the position gap <= L.
+    """
+    ctes = _dup_span_ctes(dialect, docs_rel, L, min_count)
+    return f"""{ctes}, _per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_chars
+  FROM _spans GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(p.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       coalesce(p.dup_chars, CAST(0 AS BIGINT)) AS dup_chars
+FROM {docs_rel} d LEFT JOIN _per_doc p ON d.doc_id = p.doc_id"""
+
+
+def dup_span_detail_sql(dialect: str, docs_rel: str = "documents",
+                        L: int = 30, min_count: int = 2) -> str:
+    """Span-level form of `dup_span_sql`: one row per merged duplicate
+    span ``(doc_id, span_start, span_end)`` (1-based, end-exclusive) —
+    the relation a span-REMOVAL pass consumes."""
+    ctes = _dup_span_ctes(dialect, docs_rel, L, min_count)
+    return f"""{ctes}
+SELECT doc_id, s AS span_start, e AS span_end
+FROM _spans"""
+
+
+def _dup_span_ctes(dialect: str, docs_rel: str, L: int,
+                   min_count: int) -> str:
+    """Shared CTE chain through ``_spans`` (merged duplicate spans)."""
+    if L < 2:
+        raise ValueError("dup_span: window length L must be >= 2")
+    if min_count < 2:
+        raise ValueError("dup_span: min_count must be >= 2")
+    npos = f"(length(text) - {L} + 1)"
+    if dialect == "spark":
+        ex = (
+            f"SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+            f"substr(text, pos, {L}) AS sh "
+            f"FROM {docs_rel} "
+            f"LATERAL VIEW explode(CASE WHEN length(text) >= {L} THEN "
+            f"sequence(1, {npos}) ELSE array() END) _e AS pos"
+        )
+    else:
+        ex = (
+            f"SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+            f"substr(text, CAST(pos AS INT), {L}) AS sh "
+            f"FROM {docs_rel}, LATERAL (SELECT unnest(generate_series("
+            f"1, greatest(0, {npos}))) AS pos) _e "
+            f"WHERE length(text) >= {L}"
+        )
+    return f"""
+WITH _pos AS (
+  {ex}
+), _dup AS (
+  SELECT sh FROM _pos GROUP BY sh HAVING count(*) >= {int(min_count)}
+), _hits AS (
+  SELECT p.doc_id, p.pos FROM _pos p JOIN _dup d ON p.sh = d.sh
+), _brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+              ORDER BY pos) <= {L} THEN 0 ELSE 1 END AS brk
+  FROM _hits
+), _isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM _brk
+), _spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {L} AS e
+  FROM _isl GROUP BY doc_id, island
+)"""
