@@ -579,6 +579,23 @@ def q_variogram_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_vario_emp_sql(tiled=True))
 
 
+def _vario_dir_sql(tiled: bool) -> str:
+    from geostatssolvers_jl_spark.variography import (
+        directional_variogram_sql,
+    )
+
+    return directional_variogram_sql(
+        _vario_pts_rel(), VARIO_MAXLAG, VARIO_NLAGS, tiled=tiled)
+
+
+def q_variogram_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional (axial-sector) empirical variogram — the anisotropy
+    diagnostic (`variography.directional_variogram_sql`; sectors via
+    multiply-compares, never atan2).  Tiled join; brute-force oracle."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(_vario_dir_sql(tiled=True))
+
+
 def _vario_fit_over(emp_rel: str) -> str:
     from geostatssolvers_jl_spark.variography import fit_variogram_sql
 
@@ -2778,6 +2795,7 @@ def oracle_sql() -> dict[str, str]:
         # losslessness proof) / the single-window global rank (two-pass
         # rank proof) / a window reformulation of the weights
         "variogram_empirical": _vario_emp_sql(tiled=False),
+        "variogram_directional": _vario_dir_sql(tiled=False),
         "variogram_fit": _vario_fit_over(f"({_vario_emp_sql(tiled=False)})"),
         "nscore_transform": _nscore_oracle(),
         "decluster_weights": _decluster_oracle(),
@@ -3452,6 +3470,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_join": q_zonal_stats_join,
         # r6 continuation: variography front end + transforms
         "variogram_empirical": q_variogram_empirical,
+        "variogram_directional": q_variogram_directional,
         "variogram_fit": q_variogram_fit,
         "nscore_transform": q_nscore_transform,
         "decluster_weights": q_decluster_weights,

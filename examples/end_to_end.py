@@ -108,12 +108,34 @@ def main() -> None:
     n_pages = pagesdf.count()
     stage("georef", t0, pages=n_pages)
 
+    # ---- 3b. variography — fit the model FROM the data --------------
+    # (the front end the reference delegates to Variography.jl: tiled
+    # Matheron empirical variogram + WLS fit; the fitted model feeds
+    # the kriging stage below instead of a hand-picked one)
+    t0 = time.time()
+    from geostatssolvers_jl_spark.variography import (
+        empirical_variogram, fit_variogram,
+    )
+
+    emp = empirical_variogram(
+        spark, pagesdf.selectExpr("data_id", "lon AS x", "lat AS y", "z"),
+        maxlag=60.0, nlags=12)
+    fitted_deg = fit_variogram(emp)
+    # empirical lags are planar DEGREES; the kriging below runs under
+    # haversine KM — rescale the fitted range (1° ≈ 111.19 km at the
+    # equator; the demo-grade conversion, anisotropy ignored)
+    fitted = type(fitted_deg)(range=fitted_deg.range * 111.19,
+                              sill=fitted_deg.sill,
+                              nugget=fitted_deg.nugget)
+    stage("variography", t0, model=type(fitted).__name__,
+          range_km=round(fitted.range, 1))
+
     # ---- 4. estimate -------------------------------------------------
     t0 = time.time()
     grid = CartesianGrid.from_extent((-180.0, -90.0), (180.0, 90.0), (90, 45))
     sol = solve_kriging(
         pagesdf, grid.spark_df(spark),
-        model=KrigingModel(variogram=GaussianVariogram(range=2000.0, sill=1e4)),
+        model=KrigingModel(variogram=fitted),
         data_coord_cols=["lon", "lat"], maxneighbors=8,
         metric=Haversine(6371.0),
     )

@@ -74,9 +74,11 @@ def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
     )
     dist = ("sqrt((p._x - q._x) * (p._x - q._x) + "
             "(p._y - q._y) * (p._y - q._y))")
+    cols = (f"{dist} AS h, p._z - q._z AS dz, "
+            f"p._x - q._x AS ddx, p._y - q._y AS ddy")
     if not tiled:
         return (
-            f"SELECT {dist} AS h, p._z - q._z AS dz "
+            f"SELECT {cols} "
             f"FROM ({base}) p JOIN ({base}) q ON p._id < q._id"
         )
     tx = f"CAST(floor(_x / {w!r}) AS BIGINT)"
@@ -89,7 +91,7 @@ def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
     # OTHER side's replica lands on the same joined row, which the
     # inequality dedupes because it appears with p and q SWAPPED).
     return (
-        f"SELECT {dist} AS h, p._z - q._z AS dz "
+        f"SELECT {cols} "
         f"FROM (SELECT _p.*, _p._tx + _d.dx AS _jx, _p._ty + _d.dy AS _jy "
         f"      FROM ({pts}) _p CROSS JOIN {_RING9} _d) p "
         f"JOIN ({pts}) q ON q._tx = p._jx AND q._ty = p._jy "
@@ -143,6 +145,78 @@ def empirical_variogram(spark, points_df, maxlag: float, nlags: int = 10,
     out = spark.sql(empirical_variogram_sql(
         rel, maxlag, nlags, coord_cols=coord_cols, val_col=val_col,
         id_col=id_col, tiled=tiled))
+    spark.catalog.dropTempView(rel)
+    return out
+
+
+# tan(22.5°) / tan(67.5°): azimuth-sector boundaries spelled as pure
+# multiply-compares — no atan2 (whose cross-engine last-ulp could flip a
+# boundary pair's sector).  Sectors are AXIAL (γ(h) = γ(−h); all terms
+# below are invariant under (ddx, ddy) → (−ddx, −ddy)).
+_TAN22 = 0.41421356237309503
+_TAN67 = 2.414213562373095
+
+_SECTORS = ("EW", "NE", "NS", "NW")
+
+
+def _sector_expr(ddx: str = "ddx", ddy: str = "ddy") -> str:
+    adx = f"abs({ddx})"
+    ady = f"abs({ddy})"
+    return (
+        f"CASE WHEN {ady} <= {_TAN22!r} * {adx} THEN 'EW' "
+        f"WHEN {ady} >= {_TAN67!r} * {adx} THEN 'NS' "
+        f"WHEN ({ddx}) * ({ddy}) > 0.0 THEN 'NE' ELSE 'NW' END"
+    )
+
+
+def directional_variogram_sql(points_rel: str, maxlag: float,
+                              nlags: int = 10, *,
+                              coord_cols: tuple[str, str] = ("x", "y"),
+                              val_col: str = "z", id_col: str = "data_id",
+                              tiled: bool = True,
+                              round_to: int = 6) -> str:
+    """Directional (axial-sector) empirical variogram — the anisotropy
+    diagnostic that feeds the engine's `Anisotropic` metric support.
+
+    Pairs classify into four 45°-wide axial sectors (EW, NE, NS, NW —
+    boundaries at 22.5° spelled as multiply-compares, so both engines
+    classify identically).  Output:
+    ``(sector, bin, lag, npairs, gamma)`` per non-empty (sector, bin).
+    An anisotropic field shows different apparent ranges per sector
+    (e.g. γ_NS ≪ γ_EW for a field varying only in x).
+    """
+    if nlags < 1:
+        raise ValueError("empirical_variogram: nlags must be >= 1")
+    if not maxlag > 0.0:
+        raise ValueError("empirical_variogram: maxlag must be > 0")
+    width = float(maxlag) / int(nlags)
+    pairs = _pair_sql(points_rel, maxlag, tiled=tiled,
+                      coord_cols=coord_cols, val_col=val_col,
+                      id_col=id_col)
+    bin_ = (f"least(CAST({int(nlags) - 1} AS BIGINT), "
+            f"CAST(floor(h / {width!r}) AS BIGINT))")
+    return f"""
+WITH _pairs AS (
+  SELECT h, dz, ddx, ddy FROM ({pairs}) _pr
+  WHERE h > 0.0 AND h < {float(maxlag)!r}
+), _binned AS (
+  SELECT {_sector_expr()} AS sector, CAST({bin_} AS INT) AS bin,
+         dz * dz AS d2
+  FROM _pairs
+)
+SELECT sector, bin, (CAST(bin AS DOUBLE) + 0.5) * {width!r} AS lag,
+       CAST(count(*) AS BIGINT) AS npairs,
+       round(sum(d2) / (2.0 * count(*)), {int(round_to)}) + 0.0 AS gamma
+FROM _binned GROUP BY sector, bin"""
+
+
+def directional_variogram(spark, points_df, maxlag: float, nlags: int = 10,
+                          **kw):
+    """Library wrapper for `directional_variogram_sql`."""
+    seq = next(_VIEW_SEQ)
+    rel = f"_vgram_pts_{seq}"
+    points_df.createOrReplaceTempView(rel)
+    out = spark.sql(directional_variogram_sql(rel, maxlag, nlags, **kw))
     spark.catalog.dropTempView(rel)
     return out
 

@@ -131,6 +131,76 @@ def test_validation_errors(spark):
         fit_variogram([{"lag": 1.0, "npairs": 3, "gamma": 0.5}])
 
 
+def test_directional_sectors_and_partition(spark):
+    """Hand-placed pairs classify into the right axial sectors; per bin
+    the four sectors PARTITION the omnidirectional pairs (npairs sums
+    match and the pair-weighted gammas recombine)."""
+    from geostatssolvers_jl_spark.variography import (
+        directional_variogram_sql,
+    )
+
+    # one center point + 4 satellites at axial/diagonal offsets
+    pts = pd.DataFrame({
+        "data_id": [0, 1, 2, 3, 4, 5],
+        "x": [0.0, 3.0, 0.0, 2.0, -2.0, 10.0],
+        "y": [0.0, 0.0, 3.0, 2.0, 2.0, 0.4],
+        "z": [0.0, 2.0, 4.0, 6.0, 8.0, 0.0],
+    })
+    con = _duck(pts)
+    d = con.sql(directional_variogram_sql("pts", 5.0, 1, tiled=False)
+                + " ORDER BY sector").df()
+    by = d.set_index("sector")
+    # (0,1): ddy=0 → EW; (0,2): ddx=0 → NS; (0,3): 45° +slope → NE;
+    # (0,4): 45° −slope → NW; (1,5) is nearly axial (dy/dx=0.057) → EW
+    assert set(by.index) == {"EW", "NE", "NS", "NW"}
+
+    # partition property on a random cloud
+    pts = _rand_pts(19, 300, span=(-40.0, 40.0))
+    con = _duck(pts)
+    omni = con.sql(empirical_variogram_sql("pts", 20.0, 8, tiled=False)
+                   + " ORDER BY bin").df().set_index("bin")
+    sect = con.sql(directional_variogram_sql("pts", 20.0, 8, tiled=False)
+                   ).df()
+    grp = sect.groupby("bin")
+    assert (grp.npairs.sum() == omni.npairs).all()
+    recomb = grp.apply(
+        lambda g: (g.gamma * g.npairs).sum() / g.npairs.sum(),
+        include_groups=False)
+    assert np.allclose(recomb, omni.gamma, atol=1e-5)
+
+    # spark == duckdb on the same SQL (tiled form)
+    sql = directional_variogram_sql("pts", 20.0, 8, tiled=True)
+    spark.createDataFrame(pts).createOrReplaceTempView("pts")
+    a = spark.sql(sql + " ORDER BY sector, bin").toPandas()
+    b = con.sql(sql + " ORDER BY sector, bin").df()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    spark.catalog.dropTempView("pts")
+
+
+def test_directional_detects_anisotropy():
+    """A field varying only in x: γ_EW sees the full structure while
+    γ_NS stays near zero — the diagnostic the operator exists for."""
+    from geostatssolvers_jl_spark.variography import (
+        directional_variogram_sql,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 600
+    x = rng.uniform(0, 200, n)
+    y = rng.uniform(0, 200, n)
+    pts = pd.DataFrame({
+        "data_id": np.arange(n), "x": x, "y": y,
+        "z": np.sin(x / 10.0),
+    })
+    con = _duck(pts)
+    d = con.sql(directional_variogram_sql("pts", 30.0, 6, tiled=False)
+                ).df()
+    g = d.groupby("sector").apply(
+        lambda s: (s.gamma * s.npairs).sum() / s.npairs.sum(),
+        include_groups=False)
+    assert g["EW"] > 10.0 * g["NS"], dict(g)
+
+
 # ----------------------------------------------------------------- fitting
 
 
