@@ -25,6 +25,8 @@ def knn_pairs_sql(
     did: str = "data_id",
     value_cols: tuple[str, ...] = ("z",),
     radius: float | None = None,
+    where_extra: str | None = None,
+    broadcast_data: bool = False,
 ) -> str:
     """Exact kNN join as cross join + window top-k (J1/J2 of SURVEY §2.3).
 
@@ -32,13 +34,26 @@ def knn_pairs_sql(
     Deterministic: ties broken by data id.  The declarative form — Catalyst
     broadcasts the small side; the big-big path uses the tiled engine
     instead (`neighbors.knn_join_tiled`).
+
+    ``where_extra``: additional predicate over ``q.``/``d.`` columns
+    (e.g. self-exclusion for LOO CV).  ``broadcast_data``: emit a
+    ``/*+ BROADCAST(d) */`` hint — without it Spark can plan a
+    CartesianProduct that recomputes the build side per stream task;
+    DuckDB parses the hint as a comment.
     """
     vals = ", ".join(f"d.{c} AS {c}" for c in value_cols)
     if vals:
         vals = ", " + vals
-    where_r = f"WHERE {dist_sql} <= {radius!r} " if radius is not None else ""
+    conds = []
+    if radius is not None:
+        conds.append(f"{dist_sql} <= {radius!r}")
+    if where_extra:
+        conds.append(where_extra)
+    where_r = f"WHERE {' AND '.join(conds)} " if conds else ""
+    hint = "/*+ BROADCAST(d) */ " if broadcast_data else ""
     inner = (
-        f"SELECT q.{qid} AS {qid}, d.{did} AS {did}, {dist_sql} AS dist{vals} "
+        f"SELECT {hint}q.{qid} AS {qid}, d.{did} AS {did}, "
+        f"{dist_sql} AS dist{vals} "
         f"FROM {queries_rel} q CROSS JOIN {data_rel} d {where_r}"
     )
     ranked = (

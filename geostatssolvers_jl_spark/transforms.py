@@ -121,9 +121,15 @@ def nscore_sql(points_rel: str, *, val_col: str = "z",
     Both forms produce the identical total order (ties broken by id).
     A single massive tie-value still lands in one bucket — callers
     with known heavy atoms should pre-split on (z, hash(id)) ranges.
+
+    NULL values are EXCLUDED in both forms (a NULL has no rank; the
+    P1 non-missing contract) — without the shared filter the bucketed
+    form would silently drop NULL rows from the output while still
+    counting them in the rank denominator, and the global form would
+    fabricate a score at an engine-dependent NULLS FIRST/LAST end.
     """
     base = (f"SELECT {id_col} AS data_id, CAST({val_col} AS DOUBLE) AS z "
-            f"FROM {points_rel}")
+            f"FROM {points_rel} WHERE {val_col} IS NOT NULL")
     if bucket_width is None:
         return f"""
 WITH _r AS (

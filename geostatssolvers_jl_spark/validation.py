@@ -21,40 +21,33 @@ error-rate surface is SURVEY §2.4 A8).  Two forms, Spark-first:
 from __future__ import annotations
 
 from .operators.idw import idw_agg_sql
+from .oracle import knn_pairs_sql
 
 
 def loo_knn_pairs_sql(points_rel: str, dist_sql: str, k: int,
                       val_col: str = "z", spread: int = 64) -> str:
     """Self-excluding kNN pair relation
     ``(target_id, data_id, dist, z, rank)``: for every point, its k
-    nearest neighbors among the OTHER points.  ``dist_sql`` references
-    ``q.<col>`` / ``d.<col>`` like `oracle.knn_pairs_sql`.
+    nearest neighbors among the OTHER points — `oracle.knn_pairs_sql`
+    with queries = data, a ``target_id`` alias on the query side, and
+    the self-exclusion predicate (ONE ranking/tie-break source of
+    truth for every kNN consumer).
 
-    ``spread``: REPARTITION hint on the stream (q) side — a
-    one-parquet-file input otherwise drives the whole broadcast
-    nested-loop join on ONE task (measured 35 s → 3 s at 5k×5k pairs).
-    Spark honors the hint; DuckDB parses ``/*+ … */`` as a comment, so
-    the shared text stays two-dialect."""
-    q_side = points_rel
-    if spread:
-        q_side = (f"(SELECT /*+ REPARTITION({int(spread)}) */ * "
-                  f"FROM {points_rel} _qs)")
-    # BROADCAST(d): without it Spark plans a CartesianProduct whose
-    # every stream task recomputes the build side (measured 100 s at
-    # 5k×5k); with it the join is a BroadcastNestedLoopJoin over the
-    # repartitioned stream side
-    inner = (
-        f"SELECT /*+ BROADCAST(d) */ "
-        f"q.data_id AS target_id, d.data_id AS data_id, "
-        f"{dist_sql} AS dist, d.{val_col} AS {val_col} "
-        f"FROM {q_side} q CROSS JOIN {points_rel} d "
-        f"WHERE q.data_id <> d.data_id"
+    Plan hints (comments to DuckDB — the text stays two-dialect):
+    ``spread`` REPARTITIONs the stream side (a one-parquet-file input
+    otherwise drives the whole join on ONE task; measured 35 s → 5 s
+    at 5k×5k pairs) and BROADCAST(d) prevents Spark's CartesianProduct
+    plan, whose every stream task recomputes the build side
+    (measured 100 s at the same shape)."""
+    hint = f"/*+ REPARTITION({int(spread)}) */ " if spread else ""
+    q_side = (f"(SELECT {hint}*, data_id AS target_id "
+              f"FROM {points_rel} _qs)")
+    return knn_pairs_sql(
+        q_side, points_rel, dist_sql, k, qid="target_id",
+        value_cols=(val_col,),
+        where_extra="q.data_id <> d.data_id",
+        broadcast_data=True,
     )
-    ranked = (
-        f"SELECT *, row_number() OVER (PARTITION BY target_id "
-        f"ORDER BY dist, data_id) AS rank FROM ({inner}) _c"
-    )
-    return f"SELECT * FROM ({ranked}) _r WHERE rank <= {int(k)}"
 
 
 def loo_idw_sql(points_rel: str, dist_sql: str, k: int,
@@ -90,16 +83,23 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM {loo_rel}"""
 
 
-def kfold_cv(points_df, solver_fn, k: int = 5, id_col: str = "data_id"):
+def kfold_cv(points_df, solver_fn, k: int = 5, id_col: str = "data_id",
+             val_col: str = "z"):
     """Solver-agnostic k-fold CV: fold = deterministic id hash, each
     fold estimated by ``solver_fn(train_df, test_df) -> DataFrame``
-    (must return ``(data_id, zhat)``); per-fold frames union into one
-    result.  Each solver call is fully distributed; k is small.
+    (must return ``(id_col, zhat)``); per-fold frames union into one
+    ``(id_col, val_col, zhat, err)`` result.  Each solver call is
+    fully distributed; k is small.
 
     Uses ``pmod(hash(id), k)`` — the engine's standard deterministic
     splitter (raw ``id % k`` is biased on aligned id spaces)."""
     if k < 2:
         raise ValueError("kfold_cv: k must be >= 2")
+    if "_fold" in points_df.columns:
+        raise ValueError(
+            "kfold_cv: points_df already carries a `_fold` column — "
+            "rename it (the splitter would silently overwrite it)"
+        )
     from pyspark.sql import functions as F
 
     tagged = points_df.withColumn(
@@ -110,7 +110,7 @@ def kfold_cv(points_df, solver_fn, k: int = 5, id_col: str = "data_id"):
         train = tagged.filter(F.col("_fold") != fold).drop("_fold")
         est = solver_fn(train, test)
         part = test.join(est, id_col).select(
-            id_col, "z", F.col("zhat"),
-            (F.col("zhat") - F.col("z")).alias("err"))
+            id_col, val_col, F.col("zhat"),
+            (F.col("zhat") - F.col(val_col)).alias("err"))
         out = part if out is None else out.unionByName(part)
     return out

@@ -186,9 +186,9 @@ def directional_variogram_sql(points_rel: str, maxlag: float,
     (e.g. γ_NS ≪ γ_EW for a field varying only in x).
     """
     if nlags < 1:
-        raise ValueError("empirical_variogram: nlags must be >= 1")
+        raise ValueError("directional_variogram: nlags must be >= 1")
     if not maxlag > 0.0:
-        raise ValueError("empirical_variogram: maxlag must be > 0")
+        raise ValueError("directional_variogram: maxlag must be > 0")
     width = float(maxlag) / int(nlags)
     pairs = _pair_sql(points_rel, maxlag, tiled=tiled,
                       coord_cols=coord_cols, val_col=val_col,

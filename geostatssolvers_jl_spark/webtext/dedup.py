@@ -393,13 +393,19 @@ def _dup_span_ctes(dialect: str, docs_rel: str, L: int,
             f"1, greatest(0, {npos}))) AS pos) _e "
             f"WHERE length(text) >= {L}"
         )
+    # the duplicate test is a window count on ONE pass of _pos —
+    # a GROUP-BY-sh CTE joined back to _pos would be re-inlined by
+    # Spark and run the explode scan TWICE (the engine's documented
+    # CTE-inlining trap; same shuffle key either way)
     return f"""
 WITH _pos AS (
   {ex}
-), _dup AS (
-  SELECT sh FROM _pos GROUP BY sh HAVING count(*) >= {int(min_count)}
 ), _hits AS (
-  SELECT p.doc_id, p.pos FROM _pos p JOIN _dup d ON p.sh = d.sh
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY sh) AS sh_n
+    FROM _pos
+  ) _w WHERE sh_n >= {int(min_count)}
 ), _brk AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id

@@ -124,6 +124,17 @@ def test_kfold_cv_idw(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kfold_cv(sdf, solver, k=1)
+    with pytest.raises(ValueError, match="_fold"):
+        kfold_cv(sdf.withColumn("_fold", sdf.data_id), solver, k=3)
+
+    # non-default value column name flows through end to end
+    out3 = kfold_cv(sdf.withColumnRenamed("z", "temp"),
+                    lambda tr, te: solver(
+                        tr.withColumnRenamed("temp", "z"),
+                        te.withColumnRenamed("temp", "z")),
+                    k=4, val_col="temp").toPandas() \
+        .sort_values("data_id").reset_index(drop=True)
+    assert np.allclose(out3.err, out.err)
 
 
 # ------------------------------------------------- duplicate substrings
@@ -200,6 +211,18 @@ def test_dup_span_disjoint_spans_not_merged():
     spans0 = d[d.doc_id == 0]
     assert len(spans0) == 2
     assert spans0.iloc[0].span_end <= spans0.iloc[1].span_start
+
+
+def test_dup_span_single_explode_plan(spark):
+    """The duplicate test is a window count on one pass — the executed
+    Spark plan must contain exactly ONE Generate (explode) node (a
+    GROUP-BY CTE joined back would re-inline and scan twice)."""
+    docs = _span_docs()
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    plan = spark.sql(dup_span_sql("spark", L=20)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan
+    spark.catalog.dropTempView("documents")
 
 
 def test_dup_span_validation():

@@ -400,6 +400,37 @@ def test_nscore_bucketed_equals_global(spark):
         nscore_sql("pts", bucket_width=0.0)
 
 
+def test_nscore_null_values_excluded_both_forms(spark):
+    """NULL values are excluded from the transform in BOTH rank forms
+    (regression: the bucketed form used to drop NULL rows from the
+    output while still counting them in the rank denominator n, and
+    the global form fabricated a score at an engine-dependent NULL
+    sort end)."""
+    pts = pd.DataFrame({
+        "data_id": [0, 1, 2, 3],
+        "z": [1.0, 2.0, np.nan, 4.0],
+    })
+    con = duckdb.connect()
+    con.register("pts", pts)
+    g = con.sql(nscore_sql("pts") + " ORDER BY data_id").df()
+    b = con.sql(nscore_sql("pts", bucket_width=5.0)
+                + " ORDER BY data_id").df()
+    pd.testing.assert_frame_equal(b, g)
+    assert g.data_id.tolist() == [0, 1, 3]
+    # denominator counts only the 3 non-NULL rows: u = (rk - .5)/3
+    assert np.allclose(sorted(g.u), [0.5 / 3, 1.5 / 3, 2.5 / 3],
+                       atol=1e-6)
+
+
+def test_directional_error_messages():
+    from geostatssolvers_jl_spark.variography import (
+        directional_variogram_sql,
+    )
+
+    with pytest.raises(ValueError, match="directional_variogram: max"):
+        directional_variogram_sql("pts", 0.0, 5)
+
+
 def test_decluster_hand_fixture(spark):
     """5 points, 2 occupied cells (4+1): w = n/(m·c) = 5/(2·4), 5/(2·1);
     declustered mean de-weights the cluster."""

@@ -54,6 +54,10 @@ def main() -> None:
     dz = z[iu[0]] - z[iu[1]]
     m = (d > 0) & (d < maxlag)
     bins = np.minimum(9, np.floor(d[m] / (maxlag / 10)).astype(int))
+    # totals FIRST: per-row checks alone would miss a bin the tiled
+    # join dropped entirely (it would simply be absent from emp_sub)
+    assert int(emp_sub.npairs.sum()) == int(m.sum()), \
+        (int(emp_sub.npairs.sum()), int(m.sum()))
     for _, row in emp_sub.iterrows():
         sel = bins == row.bin
         assert int(sel.sum()) == int(row.npairs), (row.bin, sel.sum(),
