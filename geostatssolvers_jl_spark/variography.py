@@ -149,6 +149,27 @@ def empirical_variogram(spark, points_df, maxlag: float, nlags: int = 10,
     return out
 
 
+def indicator_variogram_sql(points_rel: str, threshold: float,
+                            maxlag: float, nlags: int = 10, *,
+                            coord_cols: tuple[str, str] = ("x", "y"),
+                            val_col: str = "z", id_col: str = "data_id",
+                            tiled: bool = True,
+                            round_to: int = 6) -> str:
+    """Empirical INDICATOR variogram γ_I(h) at a threshold: the
+    variogram of 1(z ≤ t) — the spatial-connectivity diagnostic behind
+    indicator kriging (γ_I is exactly the transition probability
+    structure of the exceedance set).  The indicator is a projection,
+    so this is `empirical_variogram_sql` over a rewritten relation —
+    indicator values are 0/1 integers, making γ̂_I FP-exact across
+    engines by construction (dz² ∈ {0, 1})."""
+    ind = (f"(SELECT {id_col}, {coord_cols[0]}, {coord_cols[1]}, "
+           f"CASE WHEN CAST({val_col} AS DOUBLE) <= {float(threshold)!r} "
+           f"THEN 1.0 ELSE 0.0 END AS _ind FROM {points_rel} _ip)")
+    return empirical_variogram_sql(
+        ind, maxlag, nlags, coord_cols=coord_cols, val_col="_ind",
+        id_col=id_col, tiled=tiled, round_to=round_to)
+
+
 # tan(22.5°) / tan(67.5°): azimuth-sector boundaries spelled as pure
 # multiply-compares — no atan2 (whose cross-engine last-ulp could flip a
 # boundary pair's sector).  Sectors are AXIAL (γ(h) = γ(−h); all terms

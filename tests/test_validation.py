@@ -232,6 +232,49 @@ def test_dup_span_validation():
         dup_span_sql("duck", min_count=1)
 
 
+def test_dup_span_property_vs_python():
+    """Property (hypothesis): on ANY small corpus over a tiny alphabet
+    (duplicates ubiquitous by construction) the SQL output equals a
+    direct pure-python implementation — window counting, position
+    marking, island merging, short-doc handling, all of it."""
+    from hypothesis import given, settings, strategies as st
+
+    L = 4
+
+    def py_ref(texts):
+        from collections import Counter
+        cnt = Counter()
+        for t in texts:
+            for p in range(len(t) - L + 1):
+                cnt[t[p:p + L]] += 1
+        rows = []
+        for i, t in enumerate(texts):
+            pos = [p for p in range(len(t) - L + 1)
+                   if cnt[t[p:p + L]] >= 2]
+            spans = []
+            for p in pos:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + L)
+                else:
+                    spans.append([p, p + L])
+            rows.append((i, len(spans), sum(e - s for s, e in spans)))
+        return rows
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet="ab ", max_size=16),
+                    min_size=1, max_size=6))
+    def check(texts):
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({
+            "doc_id": range(len(texts)), "text": texts}))
+        got = [tuple(r) for r in con.sql(
+            dup_span_sql("duck", L=L) + " ORDER BY doc_id"
+        ).fetchall()]
+        assert got == py_ref(texts), texts
+
+    check()
+
+
 def test_dup_span_on_real_corpus(spark):
     """sf0.001 documents: the known exact-duplicate docs are flagged
     ~fully duplicated; every doc gets exactly one row."""

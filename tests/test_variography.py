@@ -400,6 +400,95 @@ def test_nscore_bucketed_equals_global(spark):
         nscore_sql("pts", bucket_width=0.0)
 
 
+def test_indicator_variogram(spark):
+    """γ_I of 1(z ≤ t): hand fixture (dz² ∈ {0,1} → exact halves), plus
+    the sill sanity p(1−p) on a random cloud at far lags."""
+    from geostatssolvers_jl_spark.variography import (
+        indicator_variogram_sql,
+    )
+
+    pts = pd.DataFrame({
+        "data_id": [0, 1, 2],
+        "x": [0.0, 1.0, 3.0], "y": [0.0, 0.0, 0.0],
+        "z": [10.0, 14.0, 8.0],
+    })
+    con = _duck(pts)
+    # t=10: indicators (1, 0, 1); pairs (0,1) dz²=1, (1,2) dz²=1,
+    # (0,2) dz²=0 → γ_I = 0.5, 0.5, 0.0
+    out = con.sql(indicator_variogram_sql("pts", 10.0, 4.0, 4,
+                                          tiled=False)
+                  + " ORDER BY bin").df()
+    assert out.gamma.tolist() == [0.5, 0.5, 0.0]
+
+    pts = _rand_pts(37, 400)
+    con = _duck(pts)
+    med = float(pts.z.median())
+    sql = indicator_variogram_sql("pts", med, 60.0, 6, tiled=True)
+    d = con.sql(sql + " ORDER BY bin").df()
+    # uncorrelated values: γ_I(h) ≈ p(1−p) ≈ 0.25 at the median cut
+    assert all(abs(g - 0.25) < 0.05 for g in d.gamma), d.gamma.tolist()
+    spark.createDataFrame(pts).createOrReplaceTempView("pts")
+    a = spark.sql(sql + " ORDER BY bin").toPandas()
+    pd.testing.assert_frame_equal(a, d, check_dtype=False)
+    spark.catalog.dropTempView("pts")
+
+
+def test_nscore_sgs_backtransform_workflow(spark):
+    """The classic simulation workflow: nscore the (skewed) data →
+    condition SGS in Gaussian space → back-transform realizations —
+    hard data must round-trip exactly through the whole loop and
+    back-transformed values must live in the original units' range."""
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+    from geostatssolvers_jl_spark.simulation.seqsim import (
+        SGSParams,
+        solve_sgs,
+    )
+    from geostatssolvers_jl_spark.transforms import nscore, nscore_back_np
+
+    rng = np.random.default_rng(41)
+    n = 40
+    # one point per cell by construction (collision-free conditioning)
+    picks = rng.choice(28 * 28, size=n, replace=False)
+    raw = pd.DataFrame({
+        "data_id": np.arange(n),
+        "x": (picks % 28 + 2) + 0.5,
+        "y": (picks // 28 + 2) + 0.5,
+        "z": np.exp(rng.normal(2.0, 0.8, n)),   # lognormal (skewed)
+    })
+    sdf = spark.createDataFrame(raw)
+    ns = nscore(spark, sdf).toPandas()
+    scored = raw.merge(ns[["data_id", "y"]].rename(columns={"y": "g"}),
+                       on="data_id")
+    gdata = spark.createDataFrame(
+        scored[["data_id", "x", "y", "z", "g"]]
+        .rename(columns={"z": "orig", "g": "z"}))
+
+    grid = CartesianGrid((32, 32), (0.0, 0.0), (1.0, 1.0))
+    sol = solve_sgs(
+        spark, grid, nreals=2,
+        params=SGSParams(variogram=GaussianVariogram(range=6.0)),
+        data=gdata.select("data_id", "x", "y", "z"),
+        data_coord_cols=["x", "y"], seed=7,
+    ).toPandas()
+
+    back = nscore_back_np(sol["z"].to_numpy(),
+                          scored["z"].to_numpy(), scored["g"].to_numpy())
+    assert back.min() >= scored.z.min() - 1e-9   # tails clamp
+    assert back.max() <= scored.z.max() + 1e-9
+    # conditioning: the snapped hard cells carry the exact Gaussian
+    # value, so the back-transform returns the exact original z there
+    xy = scored[["x", "y"]].to_numpy()
+    ix = np.clip(np.floor(xy[:, 0]).astype(int), 0, 31)
+    iy = np.clip(np.floor(xy[:, 1]).astype(int), 0, 31)
+    cells = ix + 32 * iy
+    sol_map = sol[sol.real_id == 0].set_index("cell_id")["z"]
+    for i, r in scored.reset_index(drop=True).iterrows():
+        zc = nscore_back_np(np.array([sol_map.loc[int(cells[i])]]),
+                            scored["z"].to_numpy(),
+                            scored["g"].to_numpy())[0]
+        assert abs(zc - r.z) < 1e-6, (r.data_id, zc, r.z)
+
+
 def test_nscore_null_values_excluded_both_forms(spark):
     """NULL values are excluded from the transform in BOTH rank forms
     (regression: the bucketed form used to drop NULL rows from the
