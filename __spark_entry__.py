@@ -3359,15 +3359,33 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     they remain runnable and are re-verified by tools/check_oracle.py."""
     return {
         # ---- sources, tiling, joins (north-rule core) ----
+        # second r6 rotation (the continuation session): the sixteen
+        # round-6 entries that had never been inside a driver CORRECTNESS
+        # window (multimodal_*_real x4, ann_topk_ivf, bm25_rank,
+        # lm_quality, zonal_stats_concave/join, the variography five,
+        # loo_idw_cv, substring_dedup) rotate IN; rotated OUT — all
+        # driver-green in r1-r5 rows and re-verified past-window by
+        # tools/check_oracle.py, each family keeping an in-window anchor:
+        # knn_join + knn_join_tiled_salted (knn_join_tiled anchors the
+        # kNN-join contract; the salted skew path keeps pytest coverage),
+        # pip_polygon (PIP anchored by the three zonal entries),
+        # fftgs/lugs/sgs moments + lugs_aniso (each solver keeps its
+        # conditioning anchor; aniso anchored by variogram_directional),
+        # events_top_users (events_hourly + events_sessions), token_count
+        # (token_count_subword), text_quality (lm_quality), langid
+        # (langid_model), ngram_jaccard + dedup_minhash_lsh
+        # (dedup_verified is the banded-LSH + jaccard-verify superset),
+        # ann_cosine (ann_topk_lsh + ann_topk_ivf), multimodal_invariants
+        # (the four *_real entries), split_assign (url_canonical +
+        # contamination).
         "pages_bridge": q_pages_bridge,
         "tile_assign": q_tile_assign,
-        "knn_join": q_knn_join,
         "knn_join_tiled": q_knn_join_tiled,
-        "knn_join_tiled_salted": q_knn_join_tiled_salted,
-        "pip_polygon": q_pip_polygon,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,
         "units_affine": q_units_affine,
+        "zonal_stats_concave": q_zonal_stats_concave,
+        "zonal_stats_join": q_zonal_stats_join,
         # ---- estimation: one anchor per solver/strategy/drift family ----
         # r6 window rotation (VERDICT r5 item 1): the six round-5 entries
         # that had never been inside a driver CORRECTNESS window
@@ -3387,14 +3405,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kriging_fixture_global": q_kriging_fixture_global,
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_custom_weight": q_lwr_custom_weight,
-        # ---- simulation invariants (conditioning exactness + moments) ----
+        "loo_idw_cv": q_loo_idw_cv,
+        # ---- variography front end + transforms (r6 continuation) ----
+        "variogram_empirical": q_variogram_empirical,
+        "variogram_directional": q_variogram_directional,
+        "variogram_fit": q_variogram_fit,
+        "nscore_transform": q_nscore_transform,
+        "decluster_weights": q_decluster_weights,
+        # ---- simulation invariants (conditioning exactness) ----
         "sgs_conditioning": q_sgs_conditioning,
         "fftgs_conditioning": q_fftgs_conditioning,
-        "fftgs_moments": q_fftgs_moments,
         "lugs_conditioning": q_lugs_conditioning,
-        "lugs_moments": q_lugs_moments,
-        "lugs_aniso_moments": q_lugs_aniso_moments,
-        "sgs_moments": q_sgs_moments,
         "spdegs_moments": q_spdegs_moments,
         "cookie_cutter": q_cookie_cutter,
         # ---- learning, change-of-support, streaming ----
@@ -3402,33 +3423,48 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_support": q_change_support,
         "error_rate": q_error_rate,
         "events_hourly": q_events_hourly,
-        "events_top_users": q_events_top_users,
+        "events_sessions": q_events_sessions,
         # ---- LLM-data-pipeline operators ----
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "text_quality": q_text_quality,
-        "langid": q_langid,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_verified": q_dedup_verified,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "ann_cosine": q_ann_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
-        "multimodal_invariants": q_multimodal_invariants,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_components": q_dedup_components,
+        "substring_dedup": q_substring_dedup,
         "url_canonical": q_url_canonical,
-        "split_assign": q_split_assign,
         "contamination": q_contamination,
-        # r6 rotation IN (never driver-verified before this round)
         "langid_model": q_langid_model,
-        "events_sessions": q_events_sessions,
         "zonal_stats": q_zonal_stats,
         "token_count_subword": q_token_count_subword,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
+        "bm25_rank": q_bm25_rank,
+        "lm_quality": q_lm_quality,
+        # ---- real stdlib codec round-trips (r6) ----
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_features_real": q_multimodal_features_real,
+        "multimodal_audio_real": q_multimodal_audio_real,
+        "multimodal_video_real": q_multimodal_video_real,
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
+        "knn_join": q_knn_join,
+        "knn_join_tiled_salted": q_knn_join_tiled_salted,
+        "pip_polygon": q_pip_polygon,
+        "fftgs_moments": q_fftgs_moments,
+        "lugs_moments": q_lugs_moments,
+        "lugs_aniso_moments": q_lugs_aniso_moments,
+        "sgs_moments": q_sgs_moments,
+        "events_top_users": q_events_top_users,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "multimodal_invariants": q_multimodal_invariants,
+        "split_assign": q_split_assign,
         "fingerprint": q_fingerprint,
         "idw_fixture": q_idw_fixture,
         "idw_pages": q_idw_pages,
@@ -3454,29 +3490,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_bands": q_minhash_bands,
         "ann_lsh_bucket": q_ann_lsh_bucket,
-        # r6: REAL stdlib codec round-trip + feature pipeline,
-        # oracle-anchored (past-window)
-        "multimodal_decode_real": q_multimodal_decode_real,
-        "multimodal_features_real": q_multimodal_features_real,
-        "multimodal_audio_real": q_multimodal_audio_real,
-        "multimodal_video_real": q_multimodal_video_real,
-        # r6: IVF ANN second scale path (past-window)
-        "ann_topk_ivf": q_ann_topk_ivf,
-        # r6 continuation: BM25 retrieval + LM-perplexity quality tier
-        "bm25_rank": q_bm25_rank,
-        "lm_quality": q_lm_quality,
-        # r6: concave zones + zone-table broadcast form (past-window)
-        "zonal_stats_concave": q_zonal_stats_concave,
-        "zonal_stats_join": q_zonal_stats_join,
-        # r6 continuation: variography front end + transforms
-        "variogram_empirical": q_variogram_empirical,
-        "variogram_directional": q_variogram_directional,
-        "variogram_fit": q_variogram_fit,
-        "nscore_transform": q_nscore_transform,
-        "decluster_weights": q_decluster_weights,
-        # r6 continuation: cross-validation + substring-span dedup
-        "loo_idw_cv": q_loo_idw_cv,
-        "substring_dedup": q_substring_dedup,
         # rows-only (stochastic / no SQL equivalent; see docstrings for
         # their value anchors)
         "multimodal_decode": q_multimodal_decode,

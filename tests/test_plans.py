@@ -173,21 +173,35 @@ def test_registry_window_all_oracle_anchored():
     window = q[:50]
     missing = [n for n in window if n not in oracles]
     assert missing == [], f"oracle-less entries inside the window: {missing}"
-    # family anchors that must never drift past slot 50 again
+    # family anchors that must never drift past slot 50 again (second r6
+    # rotation: one anchor per solver/family, plus every round-6 entry
+    # that had never had a driver-green row)
     for anchor in (
-        "sgs_conditioning", "fftgs_conditioning", "fftgs_moments",
-        "lugs_conditioning", "lugs_moments", "lugs_aniso_moments",
-        "sgs_moments", "spdegs_moments", "cookie_cutter",
+        # one conditioning anchor per simulation solver
+        "sgs_conditioning", "fftgs_conditioning", "lugs_conditioning",
+        "spdegs_moments", "cookie_cutter",
+        # learning / change-of-support / streaming
         "pointwise_accuracy", "change_support", "error_rate",
-        "events_hourly", "events_top_users", "kriging_fixture_global",
-        "kriging_local_fixture", "lwr_custom_weight",
-        "idw_pages_tiled", "knn_join_tiled_salted",
-        "dedup_minhash_lsh", "ann_topk_lsh", "multimodal_invariants",
-        "kriging_pages_exactness_tiled", "dedup_components",
-        "url_canonical", "split_assign", "contamination",
-        # r6 rotation: the six round-5 entries get driver-green this round
-        "langid_model", "events_sessions", "zonal_stats",
-        "token_count_subword", "redact_pii", "repetition_ratio",
+        "events_hourly", "events_sessions",
+        # estimation: one anchor per solver x strategy
+        "kriging_fixture_global", "kriging_local_fixture",
+        "lwr_custom_weight", "idw_pages_tiled",
+        "kriging_pages_exactness_tiled", "loo_idw_cv",
+        # north-rule joins
+        "knn_join_tiled", "zonal_stats", "zonal_stats_concave",
+        "zonal_stats_join",
+        # variography front end
+        "variogram_empirical", "variogram_directional", "variogram_fit",
+        "nscore_transform", "decluster_weights",
+        # LLM-pipeline anchors
+        "dedup_exact", "dedup_verified", "simhash", "dedup_embedding",
+        "ann_topk_lsh", "ann_topk_ivf", "dedup_components",
+        "substring_dedup", "url_canonical", "contamination",
+        "langid_model", "token_count_subword", "redact_pii",
+        "repetition_ratio", "bm25_rank", "lm_quality",
+        # real stdlib codec round-trips
+        "multimodal_decode_real", "multimodal_features_real",
+        "multimodal_audio_real", "multimodal_video_real",
     ):
         assert anchor in window, f"{anchor} fell out of the driver window"
 
