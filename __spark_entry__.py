@@ -705,6 +705,58 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dup_span_sql("spark", "documents", L=30))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline (`curation.curation_report_sql`):
+    language-ID → quality gate → exact dedup → split assignment →
+    per-(lang, split) manifest, composed as ONE declarative SQL pipeline
+    with a single wide shuffle (the dedup window on md5(text)); every
+    other stage is a projection or the terminal langs × splits agg.
+    The manifest a user materializes before a training run."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        curation_report_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(curation_report_sql("spark"))
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage retention counts for the curation pipeline (raw →
+    unique → quality-passing → per-split) — the observability row a
+    production job checkpoints; same one-shuffle plan as the report."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        curation_funnel_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(curation_funnel_sql("spark"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic k-per-stratum sample
+    (`curation.stratified_sample_sql`): md5-of-id order inside each lang
+    stratum, growth-stable — the eval-subset draw of a data pipeline."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        stratified_sample_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(stratified_sample_sql("spark", k=20))
+
+
+def q_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-lang p50/p90/p99 of document length via explicit
+    nearest-rank arithmetic (`curation.quantile_thresholds_sql`) — the
+    calibration step before a quality-threshold filter; engine quantile
+    functions are banned (interpolation halfway behaviors diverge)."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        quantile_thresholds_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(quantile_thresholds_sql("spark"))
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     _register(spark, sf_dir, ("embeddings",))
@@ -2648,6 +2700,25 @@ def _oracle_grid(grid: CartesianGrid) -> str:
     return grid.duck_sql()
 
 
+def _curation_oracle(which: str) -> str:
+    """DuckDB twins of the curation pipeline entries — the SAME builder
+    functions with dialect='duck', so entry and oracle can only diverge
+    where the dialects genuinely do (md5-bucket arithmetic)."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        curation_funnel_sql,
+        curation_report_sql,
+        quantile_thresholds_sql,
+        stratified_sample_sql,
+    )
+
+    return {
+        "report": lambda: curation_report_sql("duck"),
+        "funnel": lambda: curation_funnel_sql("duck"),
+        "sample": lambda: stratified_sample_sql("duck", k=20),
+        "quantiles": lambda: quantile_thresholds_sql("duck"),
+    }[which]()
+
+
 def oracle_sql() -> dict[str, str]:
     world = _oracle_grid(WORLD_GRID)
     fix = _oracle_grid(FIX_GRID)
@@ -2801,6 +2872,10 @@ def oracle_sql() -> dict[str, str]:
         "decluster_weights": _decluster_oracle(),
         "loo_idw_cv": _loo_idw_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
+        "corpus_curation": _curation_oracle("report"),
+        "curation_funnel": _curation_oracle("funnel"),
+        "sample_stratified": _curation_oracle("sample"),
+        "quantile_thresholds": _curation_oracle("quantiles"),
         "token_count_subword": _token_subword_oracle(),
         "ann_cosine": ann,
         "units_affine": (
@@ -3449,6 +3524,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_real": q_multimodal_video_real,
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
+        # r6 continuation: curation pipeline (r7 rotation candidates)
+        "corpus_curation": q_corpus_curation,
+        "curation_funnel": q_curation_funnel,
+        "sample_stratified": q_sample_stratified,
+        "quantile_thresholds": q_quantile_thresholds,
         "knn_join": q_knn_join,
         "knn_join_tiled_salted": q_knn_join_tiled_salted,
         "pip_polygon": q_pip_polygon,

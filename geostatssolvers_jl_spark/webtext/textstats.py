@@ -43,24 +43,47 @@ def fingerprint_expr(text: str = "text", n: int = 32) -> str:
     return f"(({s}) % {FP_PRIME})"
 
 
-def langid_sql(docs_rel: str = "documents") -> str:
-    markers = {
-        "en": ["the", "and"], "de": ["der", "und"],
-        "fr": ["le", "et"], "es": ["el", "y"],
-    }
-    sc_cols = ", ".join(
-        "(" + " + ".join(phrase_count_expr("text", w) for w in ws) + f") AS s_{l}"
-        for l, ws in markers.items()
+LANGID_MARKERS = {
+    "en": ["the", "and"], "de": ["der", "und"],
+    "fr": ["le", "et"], "es": ["el", "y"],
+}
+
+
+def langid_score_cols(text: str = "text") -> str:
+    """``s_<lang>`` marker-count columns (one per language)."""
+    return ", ".join(
+        "(" + " + ".join(phrase_count_expr(text, w) for w in ws)
+        + f") AS s_{l}"
+        for l, ws in LANGID_MARKERS.items()
     )
-    best = (
+
+
+def langid_best_expr() -> str:
+    """Deterministic argmax over the ``s_*`` columns (first-wins ties,
+    marker-dict order — both engines evaluate the CASE identically)."""
+    return (
         "CASE "
         "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
         "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
         "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
     )
+
+
+def quality_ok_expr(text: str = "text") -> str:
+    """The heuristic keep/drop gate shared by the text_quality entry and
+    the curation pipeline: ≥50 whitespace tokens and ≥200 bytes."""
+    toks = token_count_expr(text)
     return (
-        f"SELECT doc_id, {best} AS pred_lang, s_en, s_de, s_fr, s_es "
-        f"FROM (SELECT doc_id, {sc_cols} FROM {docs_rel}) _s"
+        f"CASE WHEN {toks} >= 50 AND length({text}) >= 200 "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+def langid_sql(docs_rel: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, {langid_best_expr()} AS pred_lang, "
+        f"s_en, s_de, s_fr, s_es "
+        f"FROM (SELECT doc_id, {langid_score_cols()} FROM {docs_rel}) _s"
     )
 
 

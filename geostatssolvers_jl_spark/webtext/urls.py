@@ -140,22 +140,34 @@ FROM (
 GROUP BY 1"""
 
 
+def split_bucket_expr(dialect: str, id_expr: str = "doc_id") -> str:
+    """md5-of-id bucket in [0, 100): the deterministic split key shared
+    by ``split_assign_sql`` and the curation pipeline (stable under
+    re-runs, partition-count changes, and corpus growth)."""
+    if dialect == "spark":
+        return (f"CAST(conv(substr(md5(CAST({id_expr} AS STRING)), 1, 4), "
+                f"16, 10) AS BIGINT) % 100")
+    return (f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)) "
+            f"AS BIGINT) % 100")
+
+
+def split_case_expr(bucket: str, train_pct: int = 98,
+                    val_pct: int = 1) -> str:
+    return (f"CASE WHEN {bucket} < {train_pct} THEN 'train' "
+            f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' "
+            f"ELSE 'test' END")
+
+
 def split_assign_sql(dialect: str, docs_rel: str = "documents",
                      train_pct: int = 98, val_pct: int = 1) -> str:
     """Deterministic train/val/test assignment: md5-of-id bucket in
     [0, 100) → stable under re-runs, partition-count changes, and corpus
     growth (a doc's split never changes when other docs arrive) — the
     property random() splits lack.  Output (doc_id, bucket, split)."""
-    if dialect == "spark":
-        b = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) "
-             "AS BIGINT) % 100")
-    else:
-        b = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
-             "AS BIGINT) % 100")
+    b = split_bucket_expr(dialect)
     return (
         f"SELECT doc_id, {b} AS bucket, "
-        f"CASE WHEN {b} < {train_pct} THEN 'train' "
-        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END "
+        f"{split_case_expr(b, train_pct, val_pct)} "
         f"AS split FROM {docs_rel}"
     )
 

@@ -1372,3 +1372,111 @@ def test_trained_model_reuse_identical(spark):
         a = sorted(map(tuple, fn(spark, docs).collect()))
         b = sorted(map(tuple, fn(spark, docs, model=model).collect()))
         assert a == b, fn.__name__
+
+
+def test_curation_funnel_consistency(spark):
+    """Funnel invariants over real corpus data: raw ≥ unique ≥ curated,
+    curated = train+val+test, and the per-(lang, split) report sums to
+    the funnel's curated counts exactly."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        curation_funnel_sql, curation_report_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("cur_docs")
+    try:
+        f = spark.sql(curation_funnel_sql("spark", "cur_docs")).collect()[0]
+        assert f["n_raw"] >= f["n_unique"] >= f["n_curated"]
+        assert f["n_curated"] == f["n_train"] + f["n_val"] + f["n_test"]
+        rep = spark.sql(curation_report_sql("spark", "cur_docs")).collect()
+        assert sum(r["n_docs"] for r in rep) == f["n_curated"]
+        assert sum(r["total_tokens"] for r in rep) == f["curated_tokens"]
+    finally:
+        spark.catalog.dropTempView("cur_docs")
+
+
+def test_curation_dedup_drops_exact_copies(spark):
+    """Planted exact duplicates must collapse to one survivor (and the
+    quality gate must keep the long fluent text used here)."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        curation_funnel_sql,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog and runs on " * 10)
+    rows = [(i, body) for i in range(6)] + [(10, body + "tail marker")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("cur_dups")
+    try:
+        f = spark.sql(curation_funnel_sql("spark", "cur_dups")).collect()[0]
+        assert f["n_raw"] == 7
+        assert f["n_unique"] == 2   # one survivor per distinct text
+        assert f["n_curated"] == 2  # both texts pass the quality gate
+    finally:
+        spark.catalog.dropTempView("cur_dups")
+
+
+def test_stratified_sample_exact_k_and_stability(spark):
+    """Exactly min(k, stratum size) rows per stratum; adding documents
+    to ANOTHER stratum never changes a stratum's selection (the
+    growth-stability the md5 order buys)."""
+    from geostatssolvers_jl_spark.webtext.curation import (
+        stratified_sample_sql,
+    )
+
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "de")
+            for i in range(60)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("strat_docs")
+    grown = rows + [(1000 + i, f"new {i}", "fr") for i in range(40)]
+    spark.createDataFrame(grown, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("strat_docs_grown")
+    try:
+        base = spark.sql(
+            stratified_sample_sql("spark", "strat_docs", k=10)).collect()
+        per = {}
+        for r in base:
+            per.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert {k: len(v) for k, v in per.items()} == {"en": 10, "de": 10}
+        g = spark.sql(
+            stratified_sample_sql("spark", "strat_docs_grown", k=10)
+        ).collect()
+        per_g = {}
+        for r in g:
+            per_g.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert per_g["en"] == per["en"] and per_g["de"] == per["de"]
+        assert len(per_g["fr"]) == 10
+    finally:
+        spark.catalog.dropTempView("strat_docs")
+        spark.catalog.dropTempView("strat_docs_grown")
+
+
+def test_quantile_thresholds_match_numpy(spark):
+    """The nearest-rank quantile (v at ceil(p*n)) must equal numpy's
+    'inverted_cdf' method per group, including the n=1 and all-equal
+    edge strata."""
+    import numpy as np
+    from geostatssolvers_jl_spark.webtext.curation import (
+        quantile_thresholds_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, "x" * int(v), g) for i, (v, g) in enumerate(
+        [(rng.integers(1, 500), "a") for _ in range(137)]
+        + [(rng.integers(1, 500), "b") for _ in range(23)]
+        + [(42, "solo")] + [(7, "flat")] * 9)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("quant_docs")
+    try:
+        got = {r["lang"]: r for r in spark.sql(
+            quantile_thresholds_sql("spark", "quant_docs")).collect()}
+        vals = {}
+        for _, t, g in rows:
+            vals.setdefault(g, []).append(len(t))
+        for g, vs in vals.items():
+            for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+                want = int(np.quantile(np.array(vs), p,
+                                       method="inverted_cdf"))
+                assert got[g][col] == want, (g, col, got[g][col], want)
+            assert got[g]["n"] == len(vs)
+    finally:
+        spark.catalog.dropTempView("quant_docs")
