@@ -3453,12 +3453,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_cosine (ann_topk_lsh + ann_topk_ivf), multimodal_invariants
         # (the four *_real entries), split_assign (url_canonical +
         # contamination).
+        # third r6 rotation: the four curation-pipeline entries (added
+        # after the second rotation, so never driver-seen) rotate IN;
+        # rotated OUT — driver-green in every round since r1, families
+        # still anchored: tile_assign (tiling anchored by knn_join_tiled
+        # + idw_pages_tiled + the zonal entries), nearest_snap (the snap
+        # join runs inside every *_pages estimation entry), delimited_read
+        # and units_affine (plumbing, r1-r6 green + pytest).
         "pages_bridge": q_pages_bridge,
-        "tile_assign": q_tile_assign,
         "knn_join_tiled": q_knn_join_tiled,
-        "nearest_snap": q_nearest_snap,
-        "delimited_read": q_delimited_read,
-        "units_affine": q_units_affine,
         "zonal_stats_concave": q_zonal_stats_concave,
         "zonal_stats_join": q_zonal_stats_join,
         # ---- estimation: one anchor per solver/strategy/drift family ----
@@ -3522,13 +3525,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_real": q_multimodal_features_real,
         "multimodal_audio_real": q_multimodal_audio_real,
         "multimodal_video_real": q_multimodal_video_real,
-        # ==== slot 51+: parameter variants & rows-only (past the driver
-        # window; still green under tools/check_oracle.py) ====
-        # r6 continuation: curation pipeline (r7 rotation candidates)
+        # ---- corpus-curation pipeline (r6 continuation) ----
         "corpus_curation": q_corpus_curation,
         "curation_funnel": q_curation_funnel,
         "sample_stratified": q_sample_stratified,
         "quantile_thresholds": q_quantile_thresholds,
+        # ==== slot 51+: parameter variants & rows-only (past the driver
+        # window; still green under tools/check_oracle.py) ====
+        "tile_assign": q_tile_assign,
+        "nearest_snap": q_nearest_snap,
+        "delimited_read": q_delimited_read,
+        "units_affine": q_units_affine,
         "knn_join": q_knn_join,
         "knn_join_tiled_salted": q_knn_join_tiled_salted,
         "pip_polygon": q_pip_polygon,

@@ -202,6 +202,9 @@ def test_registry_window_all_oracle_anchored():
         # real stdlib codec round-trips
         "multimodal_decode_real", "multimodal_features_real",
         "multimodal_audio_real", "multimodal_video_real",
+        # corpus-curation pipeline (third r6 rotation)
+        "corpus_curation", "curation_funnel", "sample_stratified",
+        "quantile_thresholds",
     ):
         assert anchor in window, f"{anchor} fell out of the driver window"
 
