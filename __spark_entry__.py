@@ -1194,6 +1194,55 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(bucket_sql("spark"))
 
 
+def _mat_km_assign(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized Lloyd assignment (vec_id, cid, d2_r) under the
+    deterministic pivot quantizer — shared by the `kmeans_assign` entry
+    and as the step entry's `assign_rel` (inlined, Spark's CTE inlining
+    would re-run the O(n·k) distance fold; the `ivf_ranked_sql`
+    lesson).  sf-keyed like `_mat_sig`."""
+    from geostatssolvers_jl_spark.webtext.clustering import (
+        kmeans_assign_sql,
+    )
+
+    return _materialize(
+        spark,
+        kmeans_assign_sql("spark", pivot_mod=31)
+        + f"\n-- source: {sf_dir}",
+        "km_assign_mat",
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd assignment step of distributed k-means (r6 continuation):
+    every vector's nearest centroid under the deterministic pivot
+    quantizer (vec_id % 31 = 0), plus the rounded squared distance.
+    The distance fold is the bit-identical `_sqdist_sql` spelling, so
+    the integer argmin is hash-exact cross-engine
+    (`clustering.kmeans_assign_sql`); the production trainer
+    (`clustering.kmeans_fit_spark`) runs this same assignment as a
+    numpy gemm inside one mapInPandas scan."""
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        f"SELECT vec_id, cid, d2_r FROM {_mat_km_assign(spark, sf_dir)}"
+    )
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd UPDATE in portable SQL: the new centroid value per
+    (cluster, dimension) as the member mean, long form (k×d rows — the
+    model, not the corpus) plus cluster sizes.  Assignment comes from
+    the shared materialized view; the oracle recomputes the identical
+    step with inline CTEs (DuckDB evaluates them once)."""
+    from geostatssolvers_jl_spark.webtext.clustering import (
+        kmeans_step_sql,
+    )
+
+    _register(spark, sf_dir, ("embeddings",))
+    return spark.sql(kmeans_step_sql(
+        "spark", pivot_mod=31,
+        assign_rel=_mat_km_assign(spark, sf_dir)))
+
+
 def _events_sessions_oracle() -> str:
     from geostatssolvers_jl_spark.streaming.sessions import sessionize_sql
 
@@ -3368,6 +3417,10 @@ def _webtext_oracles() -> dict[str, str]:
         ngram_jaccard_sql,
         simhash_sql,
     )
+    from geostatssolvers_jl_spark.webtext.clustering import (
+        kmeans_assign_sql as _km_assign_sql,
+        kmeans_step_sql as _km_step_sql,
+    )
     from geostatssolvers_jl_spark.webtext.similarity import (
         ann_topk_ivf_sql,
         ann_topk_lsh_sql,
@@ -3391,6 +3444,8 @@ def _webtext_oracles() -> dict[str, str]:
         "ann_topk_lsh": ann_topk_lsh_sql("duck", k=3),
         "ann_topk_ivf": ann_topk_ivf_sql("duck", k=3, nprobe=6,
                                          pivot_mod=51),
+        "kmeans_assign": _km_assign_sql("duck", pivot_mod=31),
+        "kmeans_step": _km_step_sql("duck", pivot_mod=31),
         "ann_lsh_bucket": bucket_sql("duck"),
         "fingerprint": (
             f"SELECT doc_id, {fingerprint_expr('text')} AS fp, "
@@ -3459,8 +3514,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still anchored: tile_assign (tiling anchored by knn_join_tiled
         # + idw_pages_tiled + the zonal entries), nearest_snap (the snap
         # join runs inside every *_pages estimation entry), delimited_read
-        # and units_affine (plumbing, r1-r6 green + pytest).
-        "pages_bridge": q_pages_bridge,
+        # and units_affine (plumbing, r1-r6 green + pytest); the k-means
+        # pair displaces pages_bridge (r1-r5 green; the georef bridge is
+        # exercised value-exactly inside every in-window *_pages entry)
+        # and events_hourly (r1-r5 green; streaming family anchored by
+        # events_sessions).
         "knn_join_tiled": q_knn_join_tiled,
         "zonal_stats_concave": q_zonal_stats_concave,
         "zonal_stats_join": q_zonal_stats_join,
@@ -3500,7 +3558,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pointwise_accuracy": q_pointwise_accuracy,
         "change_support": q_change_support,
         "error_rate": q_error_rate,
-        "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         # ---- LLM-data-pipeline operators ----
         "dedup_exact": q_dedup_exact,
@@ -3509,6 +3566,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_step": q_kmeans_step,
         "dedup_components": q_dedup_components,
         "substring_dedup": q_substring_dedup,
         "url_canonical": q_url_canonical,
@@ -3532,6 +3591,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_thresholds": q_quantile_thresholds,
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
+        "pages_bridge": q_pages_bridge,
+        "events_hourly": q_events_hourly,
         "tile_assign": q_tile_assign,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,

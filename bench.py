@@ -140,7 +140,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "variogram_empirical", "variogram_fit", "nscore_transform",
         "loo_idw_cv", "substring_dedup",
         "corpus_curation", "curation_funnel", "sample_stratified",
-        "quantile_thresholds",
+        "quantile_thresholds", "kmeans_assign", "kmeans_step",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages

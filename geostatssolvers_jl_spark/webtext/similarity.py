@@ -571,14 +571,24 @@ def ann_topk_ivf(spark, emb_df, k: int = 3,
                  n_centroids: int | None = None,
                  nprobe: int | None = None,
                  sample_cap: int = 4096, seed: int = 0,
-                 dim: int = DIM):
-    """Production IVF ANN: k-means centroids from a bounded
-    deterministic sample (every ``ceil(n/sample_cap)``-th vec_id —
-    ≤ sample_cap rows collected, however large the corpus), landed as a
-    LOCAL relation, then the shared IVF SQL against it.  Cell count and
-    probe width default to planner.choose_ivf(n) ≈ (√n, √n/8)."""
+                 dim: int = DIM, trainer: str = "sample",
+                 trainer_iters: int = 8):
+    """Production IVF ANN: k-means centroids landed as a LOCAL relation,
+    then the shared IVF SQL against it.  Cell count and probe width
+    default to planner.choose_ivf(n) ≈ (√n, √n/8).
+
+    ``trainer``: ``"sample"`` (default) fits numpy Lloyd on a bounded
+    deterministic hash-mod sample (≤ sample_cap rows collected, however
+    large the corpus) — the cheap tier, quantizer quality bounded by
+    the sample.  ``"spark"`` fits `clustering.kmeans_fit_spark` on the
+    FULL corpus (one mapInPandas scan + one model-sized shuffle per
+    iteration, seeded from the same sample) — the scale tier when the
+    corpus no longer resembles any 4096-row sample.  Both land the same
+    k×d relation; the SQL downstream is identical."""
     from ..planner import choose_ivf
 
+    if trainer not in ("sample", "spark"):
+        raise ValueError(f"unknown trainer {trainer!r}")
     n = emb_df.count()
     if n_centroids is None:
         n_centroids = choose_ivf(n)[0]
@@ -605,6 +615,15 @@ def ann_topk_ivf(spark, emb_df, k: int = 3,
     ).collect()
     cent = kmeans_centroids_np(
         [r["e"] for r in sample], n_centroids, seed=seed)
+    if trainer == "spark":
+        from .clustering import kmeans_fit_spark
+
+        # seed the full-corpus Lloyd from the sample tier's centroids:
+        # identical corpora give identical starts, and the distributed
+        # iterations then see every vector, not just the sample
+        cent = kmeans_fit_spark(
+            spark, emb_df, n_centroids=len(cent), iters=trainer_iters,
+            init=cent, dim=dim).centroids
     local = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cid long, c array<double>",

@@ -182,7 +182,7 @@ def test_registry_window_all_oracle_anchored():
         "spdegs_moments", "cookie_cutter",
         # learning / change-of-support / streaming
         "pointwise_accuracy", "change_support", "error_rate",
-        "events_hourly", "events_sessions",
+        "events_sessions",
         # estimation: one anchor per solver x strategy
         "kriging_fixture_global", "kriging_local_fixture",
         "lwr_custom_weight", "idw_pages_tiled",
@@ -195,7 +195,8 @@ def test_registry_window_all_oracle_anchored():
         "nscore_transform", "decluster_weights",
         # LLM-pipeline anchors
         "dedup_exact", "dedup_verified", "simhash", "dedup_embedding",
-        "ann_topk_lsh", "ann_topk_ivf", "dedup_components",
+        "ann_topk_lsh", "ann_topk_ivf", "kmeans_assign", "kmeans_step",
+        "dedup_components",
         "substring_dedup", "url_canonical", "contamination",
         "langid_model", "token_count_subword", "redact_pii",
         "repetition_ratio", "bm25_rank", "lm_quality",
