@@ -540,6 +540,17 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(bm25_rank_sql("spark", BM25_TERMS))
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction (`webtext/ranking.py`):
+    top-5 terms per document, micro-quantized scores so ranking
+    compares BIGINTs (the bm25 recipe); one tokenize pass, posting-list
+    shuffles only."""
+    from geostatssolvers_jl_spark.webtext.ranking import tfidf_topterms_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(tfidf_topterms_sql("spark"))
+
+
 # ---- variography front end (r6 continuation): data → γ̂(h) → model ----
 # the pipeline the reference delegates to Variography.jl; the engine's
 # own `variography.py` makes it distributed (ring-replicated tile
@@ -586,6 +597,41 @@ def _vario_dir_sql(tiled: bool) -> str:
 
     return directional_variogram_sql(
         _vario_pts_rel(), VARIO_MAXLAG, VARIO_NLAGS, tiled=tiled)
+
+
+def _vario_xpts_rel() -> str:
+    """Two co-located integer-valued variables per page: z = n_chars,
+    z2 = whitespace token count — both exact in FP, so the cross
+    moments hash identically across engines and across the
+    tiled/brute pair-join forms."""
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        token_count_expr,
+    )
+
+    return (
+        f"(SELECT p.data_id, p.lon AS x, p.lat AS y, "
+        f"CAST(d.n_chars AS DOUBLE) AS z, "
+        f"CAST({token_count_expr('d.text')} AS DOUBLE) AS z2 "
+        f"FROM {_geo_pages_rel()} p JOIN documents d "
+        f"ON p.data_id = d.doc_id)"
+    )
+
+
+def _vario_cross_sql(tiled: bool) -> str:
+    from geostatssolvers_jl_spark.variography import cross_variogram_sql
+
+    return cross_variogram_sql(
+        _vario_xpts_rel(), VARIO_MAXLAG, VARIO_NLAGS, tiled=tiled)
+
+
+def q_variogram_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical cross-variogram of (n_chars, token count) over planar
+    lon/lat (`variography.cross_variogram_sql`) — the
+    co-regionalization front end for co-simulation.  Tiled ring join;
+    the oracle recomputes from the brute-force O(n²) pair join, so
+    value-equality again proves the tiled join lossless."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(_vario_cross_sql(tiled=True))
 
 
 def q_variogram_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,6 +1356,12 @@ def _bm25_rank_oracle() -> str:
     from geostatssolvers_jl_spark.webtext.ranking import bm25_rank_sql
 
     return bm25_rank_sql("duckdb", BM25_TERMS)
+
+
+def _tfidf_topterms_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.ranking import tfidf_topterms_sql
+
+    return tfidf_topterms_sql("duckdb")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2908,6 +2960,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_model": _langid_model_oracle(),
         "lm_quality": _lm_quality_oracle(),
         "bm25_rank": _bm25_rank_oracle(),
+        "tfidf_topterms": _tfidf_topterms_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "zonal_stats_concave": _zonal_stats_concave_oracle(),
         "zonal_stats_join": _zonal_stats_join_oracle(),
@@ -2916,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         # rank proof) / a window reformulation of the weights
         "variogram_empirical": _vario_emp_sql(tiled=False),
         "variogram_directional": _vario_dir_sql(tiled=False),
+        "variogram_cross": _vario_cross_sql(tiled=False),
         "variogram_fit": _vario_fit_over(f"({_vario_emp_sql(tiled=False)})"),
         "nscore_transform": _nscore_oracle(),
         "decluster_weights": _decluster_oracle(),
@@ -3545,6 +3599,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- variography front end + transforms (r6 continuation) ----
         "variogram_empirical": q_variogram_empirical,
         "variogram_directional": q_variogram_directional,
+        "variogram_cross": q_variogram_cross,
         "variogram_fit": q_variogram_fit,
         "nscore_transform": q_nscore_transform,
         "decluster_weights": q_decluster_weights,
@@ -3557,12 +3612,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- learning, change-of-support, streaming ----
         "pointwise_accuracy": q_pointwise_accuracy,
         "change_support": q_change_support,
-        "error_rate": q_error_rate,
         "events_sessions": q_events_sessions,
         # ---- LLM-data-pipeline operators ----
         "dedup_exact": q_dedup_exact,
         "dedup_verified": q_dedup_verified,
-        "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3578,6 +3631,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "bm25_rank": q_bm25_rank,
+        "tfidf_topterms": q_tfidf_topterms,
         "lm_quality": q_lm_quality,
         # ---- real stdlib codec round-trips (r6) ----
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -3593,6 +3647,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; still green under tools/check_oracle.py) ====
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
+        "error_rate": q_error_rate,
+        "simhash": q_simhash,
         "tile_assign": q_tile_assign,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,

@@ -57,7 +57,7 @@ _RING9 = (
 
 def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
               coord_cols: tuple[str, str], val_col: str,
-              id_col: str) -> str:
+              id_col: str, val2_col: str | None = None) -> str:
     """Pair relation ``(h, dz)`` for all point pairs with 0 < h < maxlag.
 
     ``tiled=True`` is the scale path (ring-replicate + equi-join);
@@ -67,14 +67,17 @@ def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
     """
     cx, cy = coord_cols
     w = float(maxlag)
+    z2sel = (f", CAST({val2_col} AS DOUBLE) AS _z2"
+             if val2_col is not None else "")
     base = (
         f"SELECT {id_col} AS _id, CAST({cx} AS DOUBLE) AS _x, "
-        f"CAST({cy} AS DOUBLE) AS _y, CAST({val_col} AS DOUBLE) AS _z "
-        f"FROM {points_rel}"
+        f"CAST({cy} AS DOUBLE) AS _y, CAST({val_col} AS DOUBLE) AS _z"
+        f"{z2sel} FROM {points_rel}"
     )
     dist = ("sqrt((p._x - q._x) * (p._x - q._x) + "
             "(p._y - q._y) * (p._y - q._y))")
-    cols = (f"{dist} AS h, p._z - q._z AS dz, "
+    z2col = (", p._z2 - q._z2 AS dz2" if val2_col is not None else "")
+    cols = (f"{dist} AS h, p._z - q._z AS dz{z2col}, "
             f"p._x - q._x AS ddx, p._y - q._y AS ddy")
     if not tiled:
         return (
@@ -168,6 +171,62 @@ def indicator_variogram_sql(points_rel: str, threshold: float,
     return empirical_variogram_sql(
         ind, maxlag, nlags, coord_cols=coord_cols, val_col="_ind",
         id_col=id_col, tiled=tiled, round_to=round_to)
+
+
+def cross_variogram_sql(points_rel: str, maxlag: float, nlags: int = 10,
+                        *, coord_cols: tuple[str, str] = ("x", "y"),
+                        val_col: str = "z", val2_col: str = "z2",
+                        id_col: str = "data_id", tiled: bool = True,
+                        round_to: int = 6) -> str:
+    """Empirical CROSS-variogram between two co-located variables
+    (Matheron form, γ̂₁₂(b) = Σ (z₁ᵢ−z₁ⱼ)(z₂ᵢ−z₂ⱼ) / (2·N_b)) — the
+    co-regionalization diagnostic that feeds the joint-correlation
+    input of co-simulation (`simulation.lugs.LUGSVariable`'s
+    ``correlation``; the reference takes it as a given parameter,
+    GeoStatsSolvers.jl `src/simulation/lu.jl:46`).  Same pair join,
+    same binning, same tiled/brute duality as
+    `empirical_variogram_sql`; the cross moment may be negative, and
+    ``+ 0.0`` normalizes a rounded -0.0 (the engine's -0.0 contract).
+    With integer-valued variables the dz·dz2 products and their sums
+    are FP-exact, so the tiled and brute forms hash identically."""
+    if nlags < 1:
+        raise ValueError("cross_variogram: nlags must be >= 1")
+    if not maxlag > 0.0:
+        raise ValueError("cross_variogram: maxlag must be > 0")
+    width = float(maxlag) / int(nlags)
+    pairs = _pair_sql(points_rel, maxlag, tiled=tiled,
+                      coord_cols=coord_cols, val_col=val_col,
+                      id_col=id_col, val2_col=val2_col)
+    bin_ = (f"least(CAST({int(nlags) - 1} AS BIGINT), "
+            f"CAST(floor(h / {width!r}) AS BIGINT))")
+    return f"""
+WITH _pairs AS (
+  SELECT h, dz, dz2 FROM ({pairs}) _pr
+  WHERE h > 0.0 AND h < {float(maxlag)!r}
+), _binned AS (
+  SELECT CAST({bin_} AS INT) AS bin, dz * dz2 AS dd FROM _pairs
+)
+SELECT bin, (CAST(bin AS DOUBLE) + 0.5) * {width!r} AS lag,
+       CAST(count(*) AS BIGINT) AS npairs,
+       round(sum(dd) / (2.0 * count(*)), {int(round_to)}) + 0.0
+         AS gamma_cross
+FROM _binned GROUP BY bin"""
+
+
+def cross_variogram(spark, points_df, maxlag: float, nlags: int = 10,
+                    *, coord_cols: tuple[str, str] = ("x", "y"),
+                    val_col: str = "z", val2_col: str = "z2",
+                    id_col: str = "data_id", tiled: bool = True):
+    """Library wrapper: empirical cross-variogram of ``points_df``
+    (id, x, y, value1, value2) as a DataFrame of non-empty lag bins."""
+    seq = next(_VIEW_SEQ)
+    rel = f"_xvgram_pts_{seq}"
+    points_df.createOrReplaceTempView(rel)
+    out = spark.sql(cross_variogram_sql(
+        rel, maxlag, nlags, coord_cols=coord_cols, val_col=val_col,
+        val2_col=val2_col, id_col=id_col, tiled=tiled))
+    spark.catalog.dropTempView(rel)
+    return out
 
 
 # tan(22.5°) / tan(67.5°): azimuth-sector boundaries spelled as pure

@@ -122,3 +122,56 @@ def bm25_rank(spark, docs_df, terms: tuple[str, ...],
     out = spark.sql(bm25_rank_sql("spark", terms, rel, k1, b, topk))
     spark.catalog.dropTempView(rel)
     return out
+
+
+def tfidf_topterms_sql(dialect: str, rel: str = "documents",
+                       topk: int = 5, min_len: int = 2) -> str:
+    """Per-document keyword extraction: the ``topk`` terms with the
+    highest tf-idf → (doc_id, term, tf, score_micro, rank).
+
+    Smooth idf (``ln((1 + N)/(1 + df)) + 1``) so corpus-universal terms
+    still score, times raw tf; the per-(doc, term) score is quantized
+    to integer micro-units BEFORE ranking (the `bm25_rank_sql` recipe),
+    so ranking compares BIGINTs — no float accumulation order to
+    diverge between engines; ties break on the term text.
+
+    Scale shape: one tokenize pass; ``_tf`` shuffles on (doc_id, term)
+    with map-side partial counts; df is a window over the distinct
+    (doc, term) relation (one row per posting — the posting list, not
+    the corpus); the final per-document top-k is a window keyed on
+    doc_id.  Nothing is driver-sized and no relation exceeds the
+    posting list."""
+    n_docs = f"(SELECT CAST(count(*) AS DOUBLE) FROM {rel})"
+    return f"""
+WITH _tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({word_select(dialect, rel, 'doc_id')}) _w
+  WHERE length(w) >= {int(min_len)}
+  GROUP BY doc_id, w
+), _tfd AS (
+  SELECT doc_id, term, tf,
+         CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+  FROM _tf
+), _sc AS (
+  SELECT doc_id, term, tf,
+         CAST(round((ln(({n_docs} + 1.0) / (df + 1.0)) + 1.0)
+              * CAST(tf AS DOUBLE) * 1000000) AS BIGINT) AS score_micro
+  FROM _tfd
+), _rk AS (
+  SELECT doc_id, term, tf, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, term) AS rank
+  FROM _sc
+)
+SELECT doc_id, term, tf, score_micro, rank
+FROM _rk WHERE rank <= {int(topk)}"""
+
+
+def tfidf_topterms(spark, docs_df, topk: int = 5, min_len: int = 2):
+    """Library wrapper: per-document top-``topk`` tf-idf keywords."""
+    seq = next(_VIEW_SEQ)
+    rel = f"_tfidf_docs_{seq}"
+    docs_df.createOrReplaceTempView(rel)
+    out = spark.sql(tfidf_topterms_sql("spark", rel, topk, min_len))
+    spark.catalog.dropTempView(rel)
+    return out

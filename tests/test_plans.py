@@ -181,7 +181,7 @@ def test_registry_window_all_oracle_anchored():
         "sgs_conditioning", "fftgs_conditioning", "lugs_conditioning",
         "spdegs_moments", "cookie_cutter",
         # learning / change-of-support / streaming
-        "pointwise_accuracy", "change_support", "error_rate",
+        "pointwise_accuracy", "change_support",
         "events_sessions",
         # estimation: one anchor per solver x strategy
         "kriging_fixture_global", "kriging_local_fixture",
@@ -191,15 +191,15 @@ def test_registry_window_all_oracle_anchored():
         "knn_join_tiled", "zonal_stats", "zonal_stats_concave",
         "zonal_stats_join",
         # variography front end
-        "variogram_empirical", "variogram_directional", "variogram_fit",
-        "nscore_transform", "decluster_weights",
+        "variogram_empirical", "variogram_directional", "variogram_cross",
+        "variogram_fit", "nscore_transform", "decluster_weights",
         # LLM-pipeline anchors
-        "dedup_exact", "dedup_verified", "simhash", "dedup_embedding",
+        "dedup_exact", "dedup_verified", "dedup_embedding",
         "ann_topk_lsh", "ann_topk_ivf", "kmeans_assign", "kmeans_step",
         "dedup_components",
         "substring_dedup", "url_canonical", "contamination",
         "langid_model", "token_count_subword", "redact_pii",
-        "repetition_ratio", "bm25_rank", "lm_quality",
+        "repetition_ratio", "bm25_rank", "tfidf_topterms", "lm_quality",
         # real stdlib codec round-trips
         "multimodal_decode_real", "multimodal_features_real",
         "multimodal_audio_real", "multimodal_video_real",

@@ -544,3 +544,65 @@ def test_decluster_hand_fixture(spark):
         .toPandas()
     pd.testing.assert_frame_equal(a, w, check_dtype=False)
     spark.catalog.dropTempView("pts")
+
+
+def test_cross_variogram_hand_computed():
+    """3 collinear points, one pair per bin — γ̂₁₂ matches hand
+    arithmetic, including a negative cross moment."""
+    from geostatssolvers_jl_spark.variography import cross_variogram_sql
+
+    pts = pd.DataFrame({
+        "data_id": [0, 1, 2],
+        "x": [0.0, 1.0, 3.0], "y": [0.0, 0.0, 0.0],
+        "z": [10.0, 14.0, 8.0],
+        "z2": [5.0, 3.0, 9.0],
+    })
+    # pairs: (0,1) h=1 dz=-4 dz2=2 → -8/2; (1,2) h=2 dz=6 dz2=-6 →
+    # -36/2; (0,2) h=3 dz=2 dz2=-4 → -8/2
+    con = _duck(pts)
+    out = con.sql(
+        cross_variogram_sql("pts", maxlag=4.0, nlags=4, tiled=False)
+        + " ORDER BY bin").df()
+    assert out.bin.tolist() == [1, 2, 3]
+    assert out.npairs.tolist() == [1, 1, 1]
+    assert out.gamma_cross.tolist() == [-4.0, -18.0, -4.0]
+
+
+def test_cross_variogram_self_equals_empirical_and_symmetry(spark):
+    """γ₁₂ of a variable with itself IS the ordinary variogram, and the
+    estimator is symmetric in (z, z2); tiled form equals brute."""
+    from geostatssolvers_jl_spark.variography import cross_variogram_sql
+
+    pts = _rand_pts(7, 400, span=(-60.0, 60.0))
+    pts["z2"] = pts["z"]
+    con = _duck(pts)
+    self_cross = con.sql(cross_variogram_sql("pts", 25.0, 10, tiled=True)
+                         + " ORDER BY bin").df()
+    emp = con.sql(empirical_variogram_sql("pts", 25.0, 10, tiled=True)
+                  + " ORDER BY bin").df()
+    assert self_cross.gamma_cross.tolist() == emp.gamma.tolist()
+
+    rng = np.random.default_rng(11)
+    pts["z2"] = np.floor(rng.normal(0, 10, len(pts)))
+    con2 = _duck(pts)
+    a = con2.sql(cross_variogram_sql("pts", 25.0, 10, tiled=True)
+                 + " ORDER BY bin").df()
+    b = con2.sql(cross_variogram_sql(
+        "pts", 25.0, 10, tiled=False, val_col="z2", val2_col="z")
+        + " ORDER BY bin").df()
+    pd.testing.assert_frame_equal(a, b)
+
+    spark.createDataFrame(pts).createOrReplaceTempView("xpts")
+    s = spark.sql(cross_variogram_sql("xpts", 25.0, 10, tiled=True)
+                  + " ORDER BY bin").toPandas()
+    pd.testing.assert_frame_equal(s, a, check_dtype=False)
+    spark.catalog.dropTempView("xpts")
+
+
+def test_cross_variogram_validation():
+    from geostatssolvers_jl_spark.variography import cross_variogram_sql
+
+    with pytest.raises(ValueError, match="nlags"):
+        cross_variogram_sql("pts", 10.0, 0)
+    with pytest.raises(ValueError, match="maxlag"):
+        cross_variogram_sql("pts", 0.0)

@@ -1480,3 +1480,53 @@ def test_quantile_thresholds_match_numpy(spark):
             assert got[g]["n"] == len(vs)
     finally:
         spark.catalog.dropTempView("quant_docs")
+
+
+def test_tfidf_topterms_semantics(spark):
+    """Keyword extraction: a document's distinctive term outranks a
+    corpus-ubiquitous one even at lower tf; min_len drops short tokens;
+    per-doc rank is dense 1..k with term tie-break."""
+    from geostatssolvers_jl_spark.webtext.ranking import tfidf_topterms
+
+    rows = [(i, "common words appear everywhere always")
+            for i in range(20)]
+    rows.append((100, "common common common zebra a x"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topterms(spark, df, topk=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d = sorted(by_doc[100], key=lambda r: r["rank"])
+    # zebra (tf=1, df=1: idf = ln(22/2)+1 ≈ 3.40) outscores common
+    # (tf=3, df=21: idf = 1.0, score 3.0): idf dominance
+    assert d[0]["term"] == "zebra" and d[1]["term"] == "common"
+    # min_len=2 dropped the single-char tokens
+    assert all(len(r["term"]) >= 2 for r in out)
+    # doc 100 has only two qualifying terms — rank stays dense
+    assert [r["rank"] for r in d] == [1, 2]
+    # filler docs: all 5 distinct terms qualify, topk truncates to 3
+    filler = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert len(filler) == 3
+    scores = [r["score_micro"] for r in filler]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_tfidf_topterms_hand_computed(spark):
+    """Exact micro-unit check of the smooth-idf formula on a 3-doc
+    corpus (1-unit tolerance for round-vs-banker's halfway)."""
+    import math
+
+    from geostatssolvers_jl_spark.webtext.ranking import tfidf_topterms
+
+    corpus = [(0, "aa aa bb"), (1, "bb cc"), (2, "cc cc cc")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r["score_micro"]
+           for r in tfidf_topterms(spark, df, topk=5).collect()}
+    dfreq = {"aa": 1, "bb": 2, "cc": 2}
+    tf = {(0, "aa"): 2, (0, "bb"): 1, (1, "bb"): 1, (1, "cc"): 1,
+          (2, "cc"): 3}
+    for key, t in tf.items():
+        idf = math.log(4.0 / (dfreq[key[1]] + 1.0)) + 1.0
+        exp = round(idf * t * 1e6)
+        assert abs(out[key] - exp) <= 1, (key, out[key], exp)
+    assert set(out) == set(tf)
