@@ -540,6 +540,19 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(bm25_rank_sql("spark", BM25_TERMS))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (`webtext/graph.py`): 5 unrolled iterations
+    over the deterministic synthetic link set, BIGINT micro-unit ranks
+    so every per-edge floor and per-node sum is order-independent —
+    hash-exact cross-engine with zero rounding tolerance.  Per
+    iteration: one equi-join shuffle keyed on src + one groupBy(dst)
+    partial-agg sum; state is one (node, rank) relation."""
+    from geostatssolvers_jl_spark.webtext.graph import pagerank_sql
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(pagerank_sql("spark"))
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tf-idf keyword extraction (`webtext/ranking.py`):
     top-5 terms per document, micro-quantized scores so ranking
@@ -1362,6 +1375,12 @@ def _tfidf_topterms_oracle() -> str:
     from geostatssolvers_jl_spark.webtext.ranking import tfidf_topterms_sql
 
     return tfidf_topterms_sql("duckdb")
+
+
+def _pagerank_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.graph import pagerank_sql
+
+    return pagerank_sql("duckdb")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2961,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": _lm_quality_oracle(),
         "bm25_rank": _bm25_rank_oracle(),
         "tfidf_topterms": _tfidf_topterms_oracle(),
+        "pagerank": _pagerank_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "zonal_stats_concave": _zonal_stats_concave_oracle(),
         "zonal_stats_join": _zonal_stats_join_oracle(),
@@ -3611,7 +3631,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_cutter": q_cookie_cutter,
         # ---- learning, change-of-support, streaming ----
         "pointwise_accuracy": q_pointwise_accuracy,
-        "change_support": q_change_support,
         "events_sessions": q_events_sessions,
         # ---- LLM-data-pipeline operators ----
         "dedup_exact": q_dedup_exact,
@@ -3632,6 +3651,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "bm25_rank": q_bm25_rank,
         "tfidf_topterms": q_tfidf_topterms,
+        "pagerank": q_pagerank,
         "lm_quality": q_lm_quality,
         # ---- real stdlib codec round-trips (r6) ----
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -3649,6 +3669,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,
         "simhash": q_simhash,
+        "change_support": q_change_support,
         "tile_assign": q_tile_assign,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,

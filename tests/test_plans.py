@@ -180,8 +180,8 @@ def test_registry_window_all_oracle_anchored():
         # one conditioning anchor per simulation solver
         "sgs_conditioning", "fftgs_conditioning", "lugs_conditioning",
         "spdegs_moments", "cookie_cutter",
-        # learning / change-of-support / streaming
-        "pointwise_accuracy", "change_support",
+        # learning / streaming
+        "pointwise_accuracy",
         "events_sessions",
         # estimation: one anchor per solver x strategy
         "kriging_fixture_global", "kriging_local_fixture",
@@ -199,7 +199,8 @@ def test_registry_window_all_oracle_anchored():
         "dedup_components",
         "substring_dedup", "url_canonical", "contamination",
         "langid_model", "token_count_subword", "redact_pii",
-        "repetition_ratio", "bm25_rank", "tfidf_topterms", "lm_quality",
+        "repetition_ratio", "bm25_rank", "tfidf_topterms", "pagerank",
+        "lm_quality",
         # real stdlib codec round-trips
         "multimodal_decode_real", "multimodal_features_real",
         "multimodal_audio_real", "multimodal_video_real",
