@@ -540,6 +540,34 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(bm25_rank_sql("spark", BM25_TERMS))
 
 
+# frozen quality model: `classifier.train_quality_model` fitted on the
+# sf0.01 corpus (80 GD iterations, lr=1.0, loss 0.693 → 0.070,
+# distillation accuracy 0.992 vs the heuristic label), raw-space
+# coefficients folded via LogRegModel.raw_weights().  Constants like
+# BM25_TERMS: the entry is a pure deterministic projection of them.
+LOGREG_QUALITY_W = {
+    "f_len": 21.248704, "f_toks": 11.733, "f_wlen": 1.561873,
+    "f_space": 88.58712,
+}
+LOGREG_QUALITY_B = -36.115508
+
+
+def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-classifier scoring (`webtext/classifier.py`):
+    logistic regression over the engine's exact shared-SQL text
+    features, frozen model, pure projection — probability rounded,
+    prediction thresholding the unrounded double.  The distributed
+    batch-GD trainer (one aggregation per iteration, k-float driver
+    artifact) is pinned in pytest."""
+    from geostatssolvers_jl_spark.webtext.classifier import (
+        logreg_score_sql,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(logreg_score_sql(
+        "spark", weights=LOGREG_QUALITY_W, bias=LOGREG_QUALITY_B))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph PageRank (`webtext/graph.py`): 5 unrolled iterations
     over the deterministic synthetic link set, BIGINT micro-unit ranks
@@ -1381,6 +1409,15 @@ def _pagerank_oracle() -> str:
     from geostatssolvers_jl_spark.webtext.graph import pagerank_sql
 
     return pagerank_sql("duckdb")
+
+
+def _logreg_score_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.classifier import (
+        logreg_score_sql,
+    )
+
+    return logreg_score_sql("duckdb", weights=LOGREG_QUALITY_W,
+                            bias=LOGREG_QUALITY_B)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": _bm25_rank_oracle(),
         "tfidf_topterms": _tfidf_topterms_oracle(),
         "pagerank": _pagerank_oracle(),
+        "logreg_score": _logreg_score_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "zonal_stats_concave": _zonal_stats_concave_oracle(),
         "zonal_stats_join": _zonal_stats_join_oracle(),
@@ -3633,7 +3671,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pointwise_accuracy": q_pointwise_accuracy,
         "events_sessions": q_events_sessions,
         # ---- LLM-data-pipeline operators ----
-        "dedup_exact": q_dedup_exact,
         "dedup_verified": q_dedup_verified,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -3652,6 +3689,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "tfidf_topterms": q_tfidf_topterms,
         "pagerank": q_pagerank,
+        "logreg_score": q_logreg_score,
         "lm_quality": q_lm_quality,
         # ---- real stdlib codec round-trips (r6) ----
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -3670,6 +3708,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate": q_error_rate,
         "simhash": q_simhash,
         "change_support": q_change_support,
+        "dedup_exact": q_dedup_exact,
         "tile_assign": q_tile_assign,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,

@@ -141,7 +141,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "loo_idw_cv", "substring_dedup",
         "corpus_curation", "curation_funnel", "sample_stratified",
         "quantile_thresholds", "kmeans_assign", "kmeans_step",
-        "tfidf_topterms", "variogram_cross", "pagerank",
+        "tfidf_topterms", "variogram_cross", "pagerank", "logreg_score",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages

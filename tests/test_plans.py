@@ -194,13 +194,13 @@ def test_registry_window_all_oracle_anchored():
         "variogram_empirical", "variogram_directional", "variogram_cross",
         "variogram_fit", "nscore_transform", "decluster_weights",
         # LLM-pipeline anchors
-        "dedup_exact", "dedup_verified", "dedup_embedding",
+        "dedup_verified", "dedup_embedding",
         "ann_topk_lsh", "ann_topk_ivf", "kmeans_assign", "kmeans_step",
         "dedup_components",
         "substring_dedup", "url_canonical", "contamination",
         "langid_model", "token_count_subword", "redact_pii",
         "repetition_ratio", "bm25_rank", "tfidf_topterms", "pagerank",
-        "lm_quality",
+        "logreg_score", "lm_quality",
         # real stdlib codec round-trips
         "multimodal_decode_real", "multimodal_features_real",
         "multimodal_audio_real", "multimodal_video_real",
