@@ -2209,6 +2209,57 @@ def _kriging_pages_exactness_oracle() -> str:
     )
 
 
+def _cokriging_exactness_oracle() -> str:
+    return (
+        f"SELECT cell_id, round(z0, 1) + 0.0 AS z, "
+        f"CAST(0.0 AS DOUBLE) AS z_variance "
+        f"FROM ({_exactness_queries_sql()}) _q"
+    )
+
+
+def q_cokriging_exactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary CO-kriging exactness (`operators/cokriging.py`, engine
+    addition beyond the reference's single-variable KrigingSolver):
+    primary n_chars + a secondary token-count covariate on every third
+    page, queried AT the primary locations — co-kriging exactly
+    interpolates its primary data, so the oracle is each datum with
+    zero variance (the `kriging_pages_exactness` twin).  EXPONENTIAL
+    structures: a Gaussian covariance over thousands of dense points is
+    catastrophically ill-conditioned (measured: the 5k-point global
+    inverse returned 1.3e5 deviations; exponential gives 7.7e-7 at
+    sf0.01 / 4.6e-3 at sf0.1, so round(z, 1) has ≥10× margin; variance
+    rounds at 0 decimals — reg-driven, ≤0.09 measured)."""
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CoKrigingModel, solve_cokriging,
+    )
+    from geostatssolvers_jl_spark.variogram import ExponentialVariogram
+    from geostatssolvers_jl_spark.webtext.textstats import (
+        token_count_expr,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    pages = spark.sql(f"SELECT * FROM {_pages_xyz()} _p")
+    sec = spark.sql(
+        f"SELECT p.data_id, p.lon, p.lat, "
+        f"CAST({token_count_expr('d.text')} AS DOUBLE) AS z2 "
+        f"FROM {_geo_pages_rel()} p JOIN documents d "
+        f"ON p.data_id = d.doc_id WHERE d.doc_id % 3 = 0")
+    queries = spark.sql(_exactness_queries_sql()).select(
+        "cell_id", "cx", "cy")
+    sol = solve_cokriging(
+        pages, sec, queries,
+        model=CoKrigingModel(
+            variogram=ExponentialVariogram(range=2000.0, sill=10000.0),
+            variogram2=ExponentialVariogram(range=2000.0, sill=400.0),
+            cross=ExponentialVariogram(range=2000.0, sill=1000.0)),
+        var="z", var2="z2", data_coord_cols=["lon", "lat"],
+        metric=Haversine(6371.0),
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 1) + 0.0 AS z",
+        "round(z_variance, 0) + 0.0 AS z_variance")
+
+
 def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging over geocoded pages (the flagship pipeline).
 
@@ -2970,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
             ["1.0", "(cx * cy / 1000.0)"]
         ),
         "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
+        "cokriging_exactness": _cokriging_exactness_oracle(),
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "lwr_weighted": _lwr_weighted_oracle(),
@@ -3649,8 +3701,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lwr_fixture (lwr_custom_weight anchors LWR; tiled strategy
         # anchored by idw_pages_tiled + kriging_pages_exactness_tiled).
         "idw_pages_tiled": q_idw_pages_tiled,
-        "kriging_local_fixture": q_kriging_local_fixture,
         "kriging_fixture_global": q_kriging_fixture_global,
+        "cokriging_exactness": q_cokriging_exactness,
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_custom_weight": q_lwr_custom_weight,
         "loo_idw_cv": q_loo_idw_cv,
@@ -3709,6 +3761,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "change_support": q_change_support,
         "dedup_exact": q_dedup_exact,
+        "kriging_local_fixture": q_kriging_local_fixture,
         "tile_assign": q_tile_assign,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,

@@ -1,0 +1,134 @@
+"""Ordinary co-kriging (operators.cokriging): decoupling to ordinary
+kriging at zero cross-correlation, exact interpolation at primary
+data, variance reduction from an informative secondary, and the LMC
+validity guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geostatssolvers_jl_spark.grid import CartesianGrid
+from geostatssolvers_jl_spark.operators.cokriging import (
+    CoKrigingModel, solve_cokriging,
+)
+from geostatssolvers_jl_spark.operators.kriging import (
+    KrigingModel, solve_kriging,
+)
+from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+
+def _grid(spark, n=8):
+    return CartesianGrid(dims=(n, n), origin=(0.0, 0.0),
+                         spacing=(100.0 / n, 100.0 / n)).spark_df(spark)
+
+
+@pytest.fixture()
+def sec2d(spark):
+    """Secondary variable at OTHER locations (z2 loosely tracks z)."""
+    return spark.createDataFrame(
+        [(10, 30.0, 40.0, 0.8), (11, 60.0, 60.0, 0.5),
+         (12, 40.0, 70.0, 0.2), (13, 80.0, 30.0, 0.9)],
+        "data_id long, x double, y double, z2 double",
+    )
+
+
+def test_cokriging_decouples_at_zero_cross(spark, data2d_3pt, sec2d):
+    """cross sill = 0 ⇒ the secondary weights solve a homogeneous system
+    with Σλ₂ = 0 ⇒ λ₂ = 0 ⇒ the estimate IS ordinary kriging."""
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    co = solve_cokriging(
+        data2d_3pt, sec2d, _grid(spark),
+        model=CoKrigingModel(
+            variogram=g, variogram2=g,
+            cross=GaussianVariogram(range=35.0, sill=0.0)),
+        var="z", var2="z2",
+    ).orderBy("cell_id").collect()
+    ok = solve_kriging(
+        data2d_3pt, _grid(spark), var="z",
+        model=KrigingModel(variogram=g),
+    ).orderBy("cell_id").collect()
+    assert len(co) == len(ok) == 64
+    for a, b in zip(co, ok):
+        assert abs(a["z"] - b["z"]) < 1e-8, (a, b)
+        assert abs(a["z_variance"] - b["z_variance"]) < 1e-8
+
+
+def test_cokriging_exact_at_primary_data(spark, data2d_3pt, sec2d):
+    queries = data2d_3pt.selectExpr(
+        "data_id AS cell_id", "x AS cx", "y AS cy")
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    out = {
+        r["cell_id"]: r
+        for r in solve_cokriging(
+            data2d_3pt, sec2d, queries,
+            model=CoKrigingModel(
+                variogram=g, variogram2=g,
+                cross=GaussianVariogram(range=35.0, sill=0.6)),
+            var="z", var2="z2",
+        ).collect()
+    }
+    truth = {r["data_id"]: r["z"] for r in data2d_3pt.collect()}
+    for i, z in truth.items():
+        assert abs(out[i]["z"] - z) < 1e-4, (i, out[i]["z"], z)
+        assert out[i]["z_variance"] < 1e-4
+
+
+def test_cokriging_informative_secondary_reduces_variance(spark,
+                                                          data2d_3pt):
+    """A dense correlated secondary must not INCREASE estimation
+    variance anywhere, and must strictly reduce it away from the
+    primary data (the whole point of co-kriging)."""
+    rng = np.random.default_rng(5)
+    pts = [(100 + i, float(x), float(y),
+            float(np.sin(x / 30.0) + np.cos(y / 25.0)))
+           for i, (x, y) in enumerate(rng.uniform(0, 100, (40, 2)))]
+    sec = spark.createDataFrame(
+        pts, "data_id long, x double, y double, z2 double")
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    mk = dict(var="z", var2="z2")
+    co = {r["cell_id"]: r["z_variance"] for r in solve_cokriging(
+        data2d_3pt, sec, _grid(spark),
+        model=CoKrigingModel(variogram=g, variogram2=g,
+                             cross=GaussianVariogram(range=35.0,
+                                                     sill=0.7)),
+        **mk).collect()}
+    ok = {r["cell_id"]: r["z_variance"] for r in solve_kriging(
+        data2d_3pt, _grid(spark), var="z",
+        model=KrigingModel(variogram=g)).collect()}
+    assert all(co[c] <= ok[c] + 1e-8 for c in ok)
+    assert sum(1 for c in ok if co[c] < ok[c] - 1e-4) > len(ok) * 0.5
+
+
+def test_cokriging_validity_and_empty_guards(spark, data2d_3pt, sec2d):
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    with pytest.raises(ValueError, match="positive-definite"):
+        solve_cokriging(
+            data2d_3pt, sec2d, _grid(spark),
+            model=CoKrigingModel(
+                variogram=g, variogram2=g,
+                cross=GaussianVariogram(range=35.0, sill=1.5)),
+            var="z", var2="z2")
+    empty = spark.createDataFrame(
+        [], "data_id long, x double, y double, z2 double")
+    with pytest.raises(ValueError, match="secondary"):
+        solve_cokriging(
+            data2d_3pt, empty, _grid(spark),
+            model=CoKrigingModel(
+                variogram=g, variogram2=g,
+                cross=GaussianVariogram(range=35.0, sill=0.5)),
+            var="z", var2="z2")
+
+
+def test_cokriging_plan_zero_shuffle(spark, data2d_3pt, sec2d):
+    """The global co-kriging plan is the broadcast kernel: no Exchange
+    between the grid Range scan and the MapInPandas prediction."""
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    out = solve_cokriging(
+        data2d_3pt, sec2d, _grid(spark),
+        model=CoKrigingModel(
+            variogram=g, variogram2=g,
+            cross=GaussianVariogram(range=35.0, sill=0.5)),
+        var="z", var2="z2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

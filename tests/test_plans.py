@@ -184,7 +184,7 @@ def test_registry_window_all_oracle_anchored():
         "pointwise_accuracy",
         "events_sessions",
         # estimation: one anchor per solver x strategy
-        "kriging_fixture_global", "kriging_local_fixture",
+        "kriging_fixture_global", "cokriging_exactness",
         "lwr_custom_weight", "idw_pages_tiled",
         "kriging_pages_exactness_tiled", "loo_idw_cv",
         # north-rule joins
