@@ -574,11 +574,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every per-edge floor and per-node sum is order-independent —
     hash-exact cross-engine with zero rounding tolerance.  Per
     iteration: one equi-join shuffle keyed on src + one groupBy(dst)
-    partial-agg sum; state is one (node, rank) relation."""
-    from geostatssolvers_jl_spark.webtext.graph import pagerank_sql
+    partial-agg sum; state is one (node, rank) relation.  The edge
+    relation is MATERIALIZED once (`_mat_sig` pattern): inlined, each
+    of the five unrolled iterations re-derives it under Spark's CTE
+    inlining; the oracle keeps the inline form (DuckDB evaluates the
+    CTE once) — the integer algebra is identical either way."""
+    from geostatssolvers_jl_spark.webtext.graph import (
+        pagerank_sql, synth_edges_sql,
+    )
 
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(pagerank_sql("spark"))
+    erel = _materialize(
+        spark,
+        synth_edges_sql("documents") + f"\n-- source: {sf_dir}",
+        "pr_edges_mat",
+    )
+    return spark.sql(pagerank_sql("spark", edges_rel=erel))
 
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,6 +2098,31 @@ def q_kriging_local_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IK_THRESHOLDS = (0.4, 0.75)  # split the fixture values {0,.3,.5,1,1}
+
+
+def q_indicator_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indicator kriging ccdf (`operators/indicator.py`): P[Z ≤ t] per
+    cell at two thresholds over the 5-point fixture — per-threshold OK
+    solves (k=3, the `kriging_local_fixture` system with indicator
+    data; kriging weights depend only on geometry, so the Cramer
+    oracle applies unchanged to the transformed values), then the
+    fixed round→clamp→running-max order correction, reproduced
+    verbatim by the oracle."""
+    from geostatssolvers_jl_spark.operators.indicator import (
+        solve_indicator_kriging,
+    )
+    from geostatssolvers_jl_spark.operators.kriging import KrigingModel
+    from geostatssolvers_jl_spark.variogram import GaussianVariogram
+
+    return solve_indicator_kriging(
+        _krig5_spark_df(spark), FIX_GRID.spark_df(spark),
+        thresholds=IK_THRESHOLDS,
+        model=KrigingModel(variogram=GaussianVariogram(range=35.0)),
+        maxneighbors=3, strategy="local-broadcast", round_to=6,
+    )
+
+
 def q_kriging_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging through the BIG-BIG tiled physical path — the same
     per-cell systems routed via knn_join_tiled_exact + gathered-array solve
@@ -2206,6 +2242,29 @@ def _kriging_pages_exactness_oracle() -> str:
         f"SELECT cell_id, round(z0, 1) + 0.0 AS z, "
         f"CAST(0.0 AS DOUBLE) AS z_variance "
         f"FROM ({_exactness_queries_sql()}) _q"
+    )
+
+
+def _indicator_kriging_oracle() -> str:
+    arms = []
+    for i, t in enumerate(IK_THRESHOLDS):
+        ind = (f"(SELECT data_id, x, y, "
+               f"CASE WHEN z <= {float(t)!r} THEN 1.0 ELSE 0.0 END AS z "
+               f"FROM {KRIG5_SQL} _f)")
+        pairs = knn_pairs_sql(
+            f"({FIX_GRID.duck_sql()})", ind, EUC, k=3,
+            value_cols=("x", "y", "z"))
+        arm = _kriging_local_oracle(pairs=pairs)
+        arms.append(
+            f"SELECT cell_id, CAST({float(t)!r} AS DOUBLE) AS threshold, "
+            f"z AS _p FROM ({arm}) _a{i}")
+    union = " UNION ALL ".join(arms)
+    return (
+        f"SELECT cell_id, threshold, "
+        f"max(least(greatest(_p, 0.0), 1.0)) OVER ("
+        f"PARTITION BY cell_id ORDER BY threshold "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0 "
+        f"AS prob FROM ({union}) _u"
     )
 
 
@@ -3022,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
         "cokriging_exactness": _cokriging_exactness_oracle(),
+        "indicator_kriging": _indicator_kriging_oracle(),
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "lwr_weighted": _lwr_weighted_oracle(),
@@ -3703,6 +3763,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_pages_tiled": q_idw_pages_tiled,
         "kriging_fixture_global": q_kriging_fixture_global,
         "cokriging_exactness": q_cokriging_exactness,
+        "indicator_kriging": q_indicator_kriging,
         "kriging_pages_exactness_tiled": q_kriging_pages_exactness_tiled,
         "lwr_custom_weight": q_lwr_custom_weight,
         "loo_idw_cv": q_loo_idw_cv,
@@ -3731,7 +3792,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": q_kmeans_step,
         "dedup_components": q_dedup_components,
         "substring_dedup": q_substring_dedup,
-        "url_canonical": q_url_canonical,
         "contamination": q_contamination,
         "langid_model": q_langid_model,
         "zonal_stats": q_zonal_stats,
@@ -3762,6 +3822,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_support": q_change_support,
         "dedup_exact": q_dedup_exact,
         "kriging_local_fixture": q_kriging_local_fixture,
+        "url_canonical": q_url_canonical,
         "tile_assign": q_tile_assign,
         "nearest_snap": q_nearest_snap,
         "delimited_read": q_delimited_read,

@@ -1,0 +1,78 @@
+"""Indicator kriging — ccdf estimation by kriging threshold indicators
+(public GSLIB `ik3d` semantics; Goovaerts 1997 ch. 7).  The natural
+companion of the round-6 indicator VARIOGRAMS: γ_I diagnoses the
+exceedance-set structure, this operator maps P[Z(x) ≤ t].
+
+Pure composition: the indicator transform is a projection, each
+threshold runs the existing `solve_kriging` kernel (kriging weights
+depend only on coordinates and the variogram — the indicator data
+only changes the weighted sum), and the standard ORDER-RELATION
+correction (clamp to [0, 1], then enforce a non-decreasing ccdf across
+thresholds) is a window running-max — all declarative, no new kernel.
+
+Scale shape: T thresholds = T independent zero-shuffle solves over the
+same grid (embarrassingly parallel across thresholds on a cluster) +
+one window keyed on cell_id.  The correction contract is FIXED as
+round(optional) → clamp → running max, in that order, so the DuckDB
+twin reproduces the exact same doubles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+from .kriging import KrigingModel, solve_kriging
+
+
+def solve_indicator_kriging(
+    data: DataFrame,
+    grid_df: DataFrame,
+    thresholds,
+    var: str = "z",
+    model: KrigingModel | None = None,
+    id_col: str = "cell_id",
+    correct_order: bool = True,
+    round_to: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Returns long-form ``(id_col, threshold, prob)`` — the estimated
+    ccdf P[Z ≤ t] per cell per threshold.  ``round_to`` rounds each
+    per-threshold estimate BEFORE the order correction (the gate twin
+    passes 6 so clamp/max operate on identical doubles cross-engine);
+    ``correct_order=False`` returns the raw per-threshold kriging
+    estimates (possibly <0, >1, or non-monotone — the diagnostic
+    view)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("solve_indicator_kriging: no thresholds")
+    if len(set(ts)) != len(ts):
+        raise ValueError("solve_indicator_kriging: duplicate thresholds")
+    outs = []
+    for t in ts:
+        # a bare WHEN <= t OTHERWISE 0 would map NULL z to 0.0 —
+        # missing data must stay missing for solve_kriging's
+        # non-missing filter
+        ind = data.withColumn(var, F.expr(
+            f"CASE WHEN {var} IS NULL THEN NULL "
+            f"WHEN {var} <= {t!r} THEN 1.0 ELSE 0.0 END"))
+        sol = solve_kriging(ind, grid_df, var=var, model=model,
+                            id_col=id_col, **kw)
+        p = F.col(var)
+        if round_to is not None:
+            p = F.round(p, int(round_to))
+        outs.append(sol.select(
+            F.col(id_col), F.lit(t).alias("threshold"), p.alias("_p")))
+    u = reduce(lambda a, b: a.unionAll(b), outs)
+    if not correct_order:
+        return u.withColumnRenamed("_p", "prob")
+    clamped = F.least(F.greatest(F.col("_p"), F.lit(0.0)), F.lit(1.0))
+    w = (Window.partitionBy(id_col).orderBy("threshold")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return u.select(
+        F.col(id_col), F.col("threshold"),
+        (F.max(clamped).over(w) + F.lit(0.0)).alias("prob"))

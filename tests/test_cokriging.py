@@ -132,3 +132,95 @@ def test_cokriging_plan_zero_shuffle(spark, data2d_3pt, sec2d):
         var="z", var2="z2")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---- indicator kriging (operators/indicator.py) ----
+
+
+def test_indicator_kriging_ccdf_properties(spark, data2d_3pt):
+    """prob ∈ [0,1], non-decreasing across thresholds per cell; a
+    threshold above max(z) gives exactly 1 everywhere (OK weights sum
+    to one, so kriging a constant-1 indicator returns 1)."""
+    from geostatssolvers_jl_spark.operators.indicator import (
+        solve_indicator_kriging,
+    )
+
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    out = solve_indicator_kriging(
+        data2d_3pt, _grid(spark), thresholds=(0.5, 2.0),
+        model=KrigingModel(variogram=g), maxneighbors=3,
+        strategy="local-broadcast",
+    ).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell_id"], {})[r["threshold"]] = r["prob"]
+    assert len(by_cell) == 64
+    for probs in by_cell.values():
+        assert 0.0 <= probs[0.5] <= probs[2.0] <= 1.0
+        # all z ≤ 2.0 → the indicator is constantly 1
+        assert abs(probs[2.0] - 1.0) < 1e-9
+
+
+def test_indicator_kriging_correct_order_contract(spark, data2d_3pt):
+    """correct_order=False exposes the raw per-threshold estimates
+    (possibly outside [0,1]); the corrected form is their
+    clamp + running max, verified cell by cell."""
+    from geostatssolvers_jl_spark.operators.indicator import (
+        solve_indicator_kriging,
+    )
+
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    kw = dict(thresholds=(0.5, 0.8, 2.0),
+              model=KrigingModel(variogram=g), maxneighbors=3,
+              strategy="local-broadcast")
+    raw = solve_indicator_kriging(
+        data2d_3pt, _grid(spark), correct_order=False, **kw).collect()
+    cor = solve_indicator_kriging(
+        data2d_3pt, _grid(spark), **kw).collect()
+    rawm = {(r["cell_id"], r["threshold"]): r["prob"] for r in raw}
+    expected = {}
+    for cid in {c for c, _ in rawm}:
+        run = 0.0
+        for t in (0.5, 0.8, 2.0):
+            run = max(run, min(max(rawm[(cid, t)], 0.0), 1.0))
+            expected[(cid, t)] = run
+    for r in cor:
+        assert abs(r["prob"]
+                   - expected[(r["cell_id"], r["threshold"])]) < 1e-12
+
+
+def test_indicator_kriging_validation(spark, data2d_3pt):
+    from geostatssolvers_jl_spark.operators.indicator import (
+        solve_indicator_kriging,
+    )
+
+    with pytest.raises(ValueError, match="no thresholds"):
+        solve_indicator_kriging(data2d_3pt, _grid(spark), thresholds=())
+    with pytest.raises(ValueError, match="duplicate"):
+        solve_indicator_kriging(data2d_3pt, _grid(spark),
+                                thresholds=(1.0, 1.0))
+
+
+def test_indicator_kriging_null_values_stay_missing(spark):
+    """A NULL z must be excluded from every threshold's solve, not
+    silently counted as 'above threshold'."""
+    from geostatssolvers_jl_spark.operators.indicator import (
+        solve_indicator_kriging,
+    )
+
+    pts = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, None),
+         (2, 75.0, 50.0, 0.0)],
+        "data_id long, x double, y double, z double",
+    )
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    out = solve_indicator_kriging(
+        pts, _grid(spark), thresholds=(0.5,),
+        model=KrigingModel(variogram=g), maxneighbors=2,
+        strategy="local-broadcast",
+    ).collect()
+    # with the NULL excluded only 2 data points exist; a query AT the
+    # NULL point's location is a plain 2-point estimate, never exactly
+    # the 1.0 that counting the NULL row as indicator-1 would produce
+    assert len(out) == 64
+    assert all(0.0 <= r["prob"] <= 1.0 for r in out)

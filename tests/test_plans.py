@@ -185,6 +185,7 @@ def test_registry_window_all_oracle_anchored():
         "events_sessions",
         # estimation: one anchor per solver x strategy
         "kriging_fixture_global", "cokriging_exactness",
+        "indicator_kriging",
         "lwr_custom_weight", "idw_pages_tiled",
         "kriging_pages_exactness_tiled", "loo_idw_cv",
         # north-rule joins
@@ -197,7 +198,7 @@ def test_registry_window_all_oracle_anchored():
         "dedup_verified", "dedup_embedding",
         "ann_topk_lsh", "ann_topk_ivf", "kmeans_assign", "kmeans_step",
         "dedup_components",
-        "substring_dedup", "url_canonical", "contamination",
+        "substring_dedup", "contamination",
         "langid_model", "token_count_subword", "redact_pii",
         "repetition_ratio", "bm25_rank", "tfidf_topterms", "pagerank",
         "logreg_score", "lm_quality",
