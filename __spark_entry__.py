@@ -592,6 +592,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(pagerank_sql("spark", edges_rel=erel))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (≥0.5% of all occurrences) via the Misra–Gries
+    sketch-prune + exact-recount plan (`webtext/heavyhitters.py`): the
+    sketch guarantee makes false negatives impossible and the recount
+    discards false positives, so the result EQUALS the brute GROUP BY
+    oracle while the Spark plan shuffles only partition summaries and
+    candidate counts — never the vocabulary."""
+    from geostatssolvers_jl_spark.webtext.heavyhitters import (
+        heavy_hitters,
+    )
+
+    _register(spark, sf_dir, ("documents",))
+    return heavy_hitters(spark, spark.table("documents"), phi=0.005)
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tf-idf keyword extraction (`webtext/ranking.py`):
     top-5 terms per document, micro-quantized scores so ranking
@@ -1429,6 +1444,14 @@ def _logreg_score_oracle() -> str:
 
     return logreg_score_sql("duckdb", weights=LOGREG_QUALITY_W,
                             bias=LOGREG_QUALITY_B)
+
+
+def _heavy_hitters_oracle() -> str:
+    from geostatssolvers_jl_spark.webtext.heavyhitters import (
+        heavy_hitters_oracle_sql,
+    )
+
+    return heavy_hitters_oracle_sql("duckdb", phi=0.005)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3131,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topterms": _tfidf_topterms_oracle(),
         "pagerank": _pagerank_oracle(),
         "logreg_score": _logreg_score_oracle(),
+        "heavy_hitters": _heavy_hitters_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "zonal_stats_concave": _zonal_stats_concave_oracle(),
         "zonal_stats_join": _zonal_stats_join_oracle(),
@@ -3815,6 +3839,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_thresholds": q_quantile_thresholds,
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
+        # r7 rotation candidate (added after this round's window filled)
+        "heavy_hitters": q_heavy_hitters,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,

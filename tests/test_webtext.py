@@ -1530,3 +1530,77 @@ def test_tfidf_topterms_hand_computed(spark):
         exp = round(idf * t * 1e6)
         assert abs(out[key] - exp) <= 1, (key, out[key], exp)
     assert set(out) == set(tf)
+
+
+def test_heavy_hitters_equals_brute(spark):
+    """Sketch-prune + recount equals the brute GROUP BY + HAVING answer
+    across thresholds (the gate twin, run cross-engine)."""
+    import duckdb
+
+    from geostatssolvers_jl_spark.webtext.heavyhitters import (
+        heavy_hitters, heavy_hitters_oracle_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.01/documents.parquet'")
+    for phi in (0.02, 0.005):
+        got = {(r["token"], r["cnt"])
+               for r in heavy_hitters(spark, docs, phi=phi).collect()}
+        exp = set(map(tuple, con.execute(
+            heavy_hitters_oracle_sql("duckdb", phi=phi)).fetchall()))
+        assert got == exp, (phi, len(got), len(exp))
+
+
+def test_heavy_hitters_no_false_negatives_adversarial(spark):
+    """Vocabulary ≫ summary size with planted heavy tokens: the sketch
+    guarantee (every token ≥ φ·N survives pruning) must hold — the
+    output equals the exact answer even when the summaries overflow
+    constantly."""
+    rows = []
+    # 20k distinct one-off tokens + two planted heavy tokens
+    for i in range(2000):
+        uniq = " ".join(f"tok{i}_{j}" for j in range(10))
+        heavy = "alpha " * 3 + ("beta " if i % 2 == 0 else "")
+        rows.append((i, heavy + uniq))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from geostatssolvers_jl_spark.webtext.heavyhitters import heavy_hitters
+
+    out = {r["token"]: r["cnt"]
+           for r in heavy_hitters(spark, df, phi=0.02).collect()}
+    # alpha: 6000 of ~27k tokens (22%); beta: 1000 (3.7%); both ≥ 2%
+    assert set(out) == {"alpha", "beta"}, out
+    assert out["alpha"] == 6000 and out["beta"] == 1000
+
+
+def test_heavy_hitters_validation_and_empty(spark):
+    from geostatssolvers_jl_spark.webtext.heavyhitters import (
+        heavy_hitters, misra_gries_partials,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(spark, docs, phi=0.1).count() == 0
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(spark, docs, phi=0.0)
+    toks = spark.createDataFrame([("a",)] * 5, "w string")
+    with pytest.raises(ValueError, match="m must"):
+        misra_gries_partials(toks, 0)
+
+
+def test_misra_gries_partials_bounded(spark):
+    """Each partition emits at most m summary rows, however large its
+    vocabulary."""
+    from pyspark.sql import functions as F
+
+    from geostatssolvers_jl_spark.webtext.heavyhitters import (
+        misra_gries_partials,
+    )
+
+    toks = spark.range(50_000).selectExpr(
+        "CAST(pmod(id, 9000) AS STRING) AS w").repartition(4)
+    part = misra_gries_partials(toks, m=50)
+    sizes = (part.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").count().collect())
+    assert all(r["count"] <= 50 for r in sizes)
+    assert part.count() <= 4 * 50
