@@ -2342,6 +2342,36 @@ def q_cokriging_exactness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(z_variance, 0) + 0.0 AS z_variance")
 
 
+def q_cokriging_collocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly collocated MM1 co-kriging exactness
+    (`operators/cokriging.py` local tier): k=8 local systems + one
+    collocated-secondary row (a deterministic coordinate-derived raster
+    covariate), queried AT the page locations — exact interpolation
+    holds for ANY collocated secondary value (λ = eᵢ, λ₂ = 0 satisfies
+    the MM1 system), so the oracle is again each datum with zero
+    variance.  Zero-shuffle broadcast kernel, plan pinned in pytest."""
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CollocatedModel, solve_cokriging_collocated,
+    )
+    from geostatssolvers_jl_spark.variogram import ExponentialVariogram
+
+    _register(spark, sf_dir, ("documents",))
+    pages = spark.sql(f"SELECT * FROM {_pages_xyz()} _p")
+    queries = spark.sql(_exactness_queries_sql()).selectExpr(
+        "cell_id", "cx", "cy", "(cx + cy) / 10.0 AS y2")
+    sol = solve_cokriging_collocated(
+        pages, queries,
+        model=CollocatedModel(
+            variogram=ExponentialVariogram(range=2000.0, sill=10000.0),
+            rho=0.5, sec_variance=400.0, mean=3000.0, sec_mean=0.0),
+        var="z", secondary_col="y2", data_coord_cols=["lon", "lat"],
+        maxneighbors=8, metric=Haversine(6371.0),
+    )
+    return sol.selectExpr(
+        "cell_id", "round(z, 1) + 0.0 AS z",
+        "round(z_variance, 0) + 0.0 AS z_variance")
+
+
 def q_kriging_pages_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging over geocoded pages (the flagship pipeline).
 
@@ -3104,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kriging_pages_exactness": _kriging_pages_exactness_oracle(),
         "cokriging_exactness": _cokriging_exactness_oracle(),
+        "cokriging_collocated": _cokriging_exactness_oracle(),
         "indicator_kriging": _indicator_kriging_oracle(),
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
@@ -3839,8 +3870,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_thresholds": q_quantile_thresholds,
         # ==== slot 51+: parameter variants & rows-only (past the driver
         # window; still green under tools/check_oracle.py) ====
-        # r7 rotation candidate (added after this round's window filled)
+        # r7 rotation candidates (added after this round's window filled)
         "heavy_hitters": q_heavy_hitters,
+        "cokriging_collocated": q_cokriging_collocated,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,

@@ -142,7 +142,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "corpus_curation", "curation_funnel", "sample_stratified",
         "quantile_thresholds", "kmeans_assign", "kmeans_step",
         "tfidf_topterms", "variogram_cross", "pagerank", "logreg_score",
-        "heavy_hitters", "indicator_kriging",
+        "heavy_hitters", "indicator_kriging", "cokriging_collocated",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages

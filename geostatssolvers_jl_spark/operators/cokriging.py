@@ -48,6 +48,28 @@ from .kriging import _pairwise_cov
 
 
 @dataclass(frozen=True)
+class CollocatedModel:
+    """Markov-Model-1 collocated co-kriging parameters: primary
+    variogram (C11), cross-correlation ρ at lag 0, secondary variance
+    C22(0), and the two (simple-kriging) means.  Under MM1 the cross
+    covariance is proportional to the primary's:
+    C12(h) = ρ·√(C11(0)·C22(0)) · C11(h)/C11(0)."""
+
+    variogram: Variogram
+    rho: float
+    sec_variance: float
+    mean: float
+    sec_mean: float
+
+    def validate(self) -> None:
+        if not -1.0 <= self.rho <= 1.0:
+            raise ValueError(f"collocated rho must be in [-1, 1], "
+                             f"got {self.rho}")
+        if not self.sec_variance > 0.0:
+            raise ValueError("collocated sec_variance must be > 0")
+
+
+@dataclass(frozen=True)
 class CoKrigingModel:
     """γ₁₁ (primary), γ₂₂ (secondary), γ₁₂ (cross structure)."""
 
@@ -174,3 +196,139 @@ def solve_cokriging(
             })
 
     return grid_df.mapInPandas(run, schema=schema)
+
+
+def _solve_collocated_batch(model: CollocatedModel, qcoords, NC, zn,
+                            valid, dist, y2, metric: Distance,
+                            minneighbors: int):
+    """Stacked (k+1)×(k+1) collocated-SK systems per Arrow batch (the
+    `solve_systems` masking conventions: padded slots get unit diagonal
+    + zero rhs so their weights solve to exactly 0)."""
+    from .kriging import _batched_pairwise
+
+    B, k = zn.shape
+    step = 2048
+    if B > step:
+        mu = np.empty(B)
+        var_ = np.empty(B)
+        for s in range(0, B, step):
+            sl = slice(s, min(B, s + step))
+            mu[sl], var_[sl] = _solve_collocated_batch(
+                model, qcoords[sl], NC[sl], zn[sl], valid[sl],
+                dist[sl], y2[sl], metric, minneighbors)
+        return mu, var_
+    v = model.variogram
+    c11_0 = v.sill
+    c22_0 = float(model.sec_variance)
+    c12_0 = model.rho * np.sqrt(c11_0 * c22_0)
+    f = c12_0 / c11_0  # MM1 proportionality factor
+
+    nvalid = valid.sum(axis=1)
+    H = _batched_pairwise(NC, metric)
+    C = v.cov(H)
+    vmask = valid.astype(np.float64)
+    pair = vmask[:, :, None] * vmask[:, None, :]
+    C = np.where(pair > 0, C, 0.0)
+    ar = np.arange(k)
+    C[:, ar, ar] = np.where(valid, C[:, ar, ar] + 1e-10 * c11_0, 1.0)
+    fdist = np.where(valid, dist, 0.0)
+    c0 = np.where(valid, v.cov(fdist), 0.0)  # (B, k)
+
+    A = np.zeros((B, k + 1, k + 1))
+    A[:, :k, :k] = C
+    A[:, :k, k] = f * c0
+    A[:, k, :k] = f * c0
+    A[:, k, k] = c22_0 + 1e-10 * c22_0
+    rhs = np.concatenate([c0, np.full((B, 1), c12_0)], axis=1)
+
+    try:
+        sol = np.linalg.solve(A, rhs[:, :, None])[:, :, 0]
+    except np.linalg.LinAlgError:
+        sol = np.empty_like(rhs)
+        for b in range(B):
+            try:
+                sol[b] = np.linalg.solve(A[b], rhs[b])
+            except np.linalg.LinAlgError:
+                sol[b] = np.linalg.lstsq(A[b], rhs[b], rcond=None)[0]
+
+    w = sol[:, :k] * vmask
+    lam2 = sol[:, k]
+    mu = (model.mean
+          + np.einsum("bk,bk->b", w, (zn - model.mean) * vmask)
+          + lam2 * (y2 - model.sec_mean))
+    var_ = np.maximum(c11_0 - np.einsum("bi,bi->b", sol, rhs), 0.0)
+    few = nvalid < minneighbors
+    mu = np.where(few, np.nan, mu)
+    var_ = np.where(few, np.nan, var_)
+    return mu, var_
+
+
+def solve_cokriging_collocated(
+    data1: DataFrame | PointData,
+    grid_df: DataFrame,
+    model: CollocatedModel,
+    var: str = "z",
+    secondary_col: str = "y2",
+    data_coord_cols: list[str] | None = None,
+    query_coord_cols: list[str] | None = None,
+    maxneighbors: int = 8,
+    minneighbors: int = 1,
+    metric: Distance = Euclidean(),
+    radius: float | None = None,
+    id_col: str = "cell_id",
+) -> DataFrame:
+    """STRICTLY COLLOCATED simple co-kriging (Xu et al. 1992's standard
+    scalable form): the secondary variable is a RASTER COVARIATE —
+    ``secondary_col`` on the grid/query DataFrame itself (exhaustively
+    known at every estimation location, e.g. another solution raster
+    or a document-statistics surface) — so the local system only grows
+    by ONE row over ordinary local kriging and the physical plan is the
+    unchanged zero-shuffle broadcast kernel (kNN search + stacked
+    batched solves per Arrow batch).  This is the co-kriging tier that
+    scales to corpus-sized grids; `solve_cokriging` (full block system)
+    is the small-calibration-set exact tier.
+
+    Exactness: a query AT a primary datum returns that datum exactly
+    (λ = eᵢ, λ₂ = 0 satisfies the MM1 system regardless of the
+    collocated secondary's value there)."""
+    from ..neighbors import local_apply
+
+    data_coord_cols = data_coord_cols or ["x", "y"]
+    query_coord_cols = query_coord_cols or ["cx", "cy"]
+    model.validate()
+    if minneighbors < 1:
+        raise ValueError("minneighbors must be >= 1")
+    if isinstance(data1, DataFrame):
+        data1 = collect_points(
+            data1.filter(f"{var} IS NOT NULL"), data_coord_cols, [var],
+            id_col="data_id" if "data_id" in data1.columns else None)
+    if data1.n == 0:
+        raise ValueError(f"all samples of {var} are missing, aborting...")
+    k = min(maxneighbors, data1.n)
+    if minneighbors > k:
+        raise ValueError("invalid min/max number of neighbors")
+    schema = f"{id_col} long, {var} double, {var}_variance double"
+
+    def kernel(pdf, d, idx, dist, nvalid):
+        q = pdf[query_coord_cols].to_numpy(np.float64)
+        y2col = pdf[secondary_col]
+        if y2col.isna().any():
+            raise ValueError(
+                f"solve_cokriging_collocated: NULL {secondary_col} at "
+                f"estimation locations — the collocated secondary must "
+                f"be exhaustive (fail-loud contract)")
+        y2 = y2col.to_numpy(np.float64)
+        z_all = d.values[var].astype(np.float64)
+        safe_idx = np.maximum(idx, 0)
+        NC = d.coords[safe_idx]
+        zn = z_all[safe_idx]
+        mu, v = _solve_collocated_batch(
+            model, q, NC, zn, idx >= 0, dist, y2, metric, minneighbors)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(np.int64),
+            var: mu, f"{var}_variance": v,
+        })
+
+    return local_apply(
+        grid_df, data1, query_coord_cols, k, metric, kernel, schema,
+        radius)

@@ -224,3 +224,122 @@ def test_indicator_kriging_null_values_stay_missing(spark):
     # the 1.0 that counting the NULL row as indicator-1 would produce
     assert len(out) == 64
     assert all(0.0 <= r["prob"] <= 1.0 for r in out)
+
+
+# ---- collocated co-kriging (MM1 raster covariate) ----
+
+
+def _grid_with_covariate(spark, n=8):
+    g = _grid(spark, n)
+    # deterministic smooth covariate at every estimation location
+    return g.selectExpr("*", "sin(cx / 20.0) + cos(cy / 30.0) AS y2")
+
+
+def test_collocated_decouples_at_zero_rho(spark, data2d_3pt):
+    """ρ = 0 ⇒ λ₂ = 0 ⇒ the estimate IS simple kriging at the same
+    mean (the collocated row decouples)."""
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CollocatedModel, solve_cokriging_collocated,
+    )
+
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    co = solve_cokriging_collocated(
+        data2d_3pt, _grid_with_covariate(spark),
+        model=CollocatedModel(variogram=g, rho=0.0, sec_variance=1.0,
+                              mean=0.6, sec_mean=0.0),
+        maxneighbors=3,
+    ).orderBy("cell_id").collect()
+    sk = solve_kriging(
+        data2d_3pt, _grid(spark), var="z",
+        model=KrigingModel(variogram=g, mean=0.6), maxneighbors=3,
+        strategy="local-broadcast",
+    ).orderBy("cell_id").collect()
+    assert len(co) == len(sk) == 64
+    for a, b in zip(co, sk):
+        assert abs(a["z"] - b["z"]) < 1e-9
+        assert abs(a["z_variance"] - b["z_variance"]) < 1e-9
+
+
+def test_collocated_exact_at_primary_data(spark, data2d_3pt):
+    """λ = eᵢ, λ₂ = 0 satisfies the MM1 system at a datum — exact
+    whatever the collocated secondary holds there."""
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CollocatedModel, solve_cokriging_collocated,
+    )
+
+    queries = data2d_3pt.selectExpr(
+        "data_id AS cell_id", "x AS cx", "y AS cy",
+        "CAST(42.0 AS DOUBLE) AS y2")  # arbitrary secondary values
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    out = {r["cell_id"]: r for r in solve_cokriging_collocated(
+        data2d_3pt, queries,
+        model=CollocatedModel(variogram=g, rho=0.7, sec_variance=4.0,
+                              mean=0.6, sec_mean=40.0),
+        maxneighbors=3,
+    ).collect()}
+    for r in data2d_3pt.collect():
+        assert abs(out[r["data_id"]]["z"] - r["z"]) < 1e-4
+        assert out[r["data_id"]]["z_variance"] < 1e-4
+
+
+def test_collocated_secondary_reduces_variance(spark, data2d_3pt):
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CollocatedModel, solve_cokriging_collocated,
+    )
+
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    base = dict(maxneighbors=3)
+    mk = lambda rho: CollocatedModel(  # noqa: E731
+        variogram=g, rho=rho, sec_variance=1.0, mean=0.6, sec_mean=0.0)
+    v0 = {r["cell_id"]: r["z_variance"] for r in
+          solve_cokriging_collocated(
+              data2d_3pt, _grid_with_covariate(spark), model=mk(0.0),
+              **base).collect()}
+    v8 = {r["cell_id"]: r["z_variance"] for r in
+          solve_cokriging_collocated(
+              data2d_3pt, _grid_with_covariate(spark), model=mk(0.8),
+              **base).collect()}
+    assert all(v8[c] <= v0[c] + 1e-9 for c in v0)
+    assert sum(1 for c in v0 if v8[c] < v0[c] - 1e-6) > len(v0) * 0.9
+
+
+def test_collocated_validation_and_null_secondary(spark, data2d_3pt):
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CollocatedModel, solve_cokriging_collocated,
+    )
+
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    with pytest.raises(ValueError, match="rho"):
+        CollocatedModel(variogram=g, rho=1.5, sec_variance=1.0,
+                        mean=0.0, sec_mean=0.0).validate()
+    with pytest.raises(ValueError, match="sec_variance"):
+        CollocatedModel(variogram=g, rho=0.5, sec_variance=0.0,
+                        mean=0.0, sec_mean=0.0).validate()
+    bad_grid = _grid(spark).selectExpr(
+        "*", "CASE WHEN cell_id = 3 THEN NULL "
+             "ELSE CAST(1.0 AS DOUBLE) END AS y2")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception), match="NULL y2"):
+        solve_cokriging_collocated(
+            data2d_3pt, bad_grid,
+            model=CollocatedModel(variogram=g, rho=0.5,
+                                  sec_variance=1.0, mean=0.6,
+                                  sec_mean=0.0),
+            maxneighbors=3,
+        ).collect()
+
+
+def test_collocated_plan_zero_shuffle(spark, data2d_3pt):
+    from geostatssolvers_jl_spark.operators.cokriging import (
+        CollocatedModel, solve_cokriging_collocated,
+    )
+
+    g = GaussianVariogram(range=35.0, sill=1.0)
+    out = solve_cokriging_collocated(
+        data2d_3pt, _grid_with_covariate(spark),
+        model=CollocatedModel(variogram=g, rho=0.5, sec_variance=1.0,
+                              mean=0.6, sec_mean=0.0),
+        maxneighbors=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
