@@ -691,6 +691,30 @@ def _vario_cross_sql(tiled: bool) -> str:
         _vario_xpts_rel(), VARIO_MAXLAG, VARIO_NLAGS, tiled=tiled)
 
 
+def _vario_robust_sql(tiled: bool, estimator: str) -> str:
+    from geostatssolvers_jl_spark.variography import robust_variogram_sql
+
+    return robust_variogram_sql(
+        _vario_pts_rel(), VARIO_MAXLAG, VARIO_NLAGS, tiled=tiled,
+        estimator=estimator)
+
+
+def q_variogram_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cressie–Hawkins outlier-resistant empirical variogram
+    (`variography.robust_variogram_sql`) — same ring-replicated tile
+    join, brute-force oracle, fourth power spelled as explicit
+    multiplication (the engine's pow contract)."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(_vario_robust_sql(tiled=True, estimator="cressie"))
+
+
+def q_variogram_madogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order madogram ν̂(h) = mean|dz|/2 — the heavy-tail-safe
+    range/anisotropy diagnostic, same join/oracle duality."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(_vario_robust_sql(tiled=True, estimator="madogram"))
+
+
 def q_variogram_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical cross-variogram of (n_chars, token count) over planar
     lon/lat (`variography.cross_variogram_sql`) — the
@@ -3195,6 +3219,10 @@ def oracle_sql() -> dict[str, str]:
         "variogram_empirical": _vario_emp_sql(tiled=False),
         "variogram_directional": _vario_dir_sql(tiled=False),
         "variogram_cross": _vario_cross_sql(tiled=False),
+        "variogram_robust": _vario_robust_sql(tiled=False,
+                                              estimator="cressie"),
+        "variogram_madogram": _vario_robust_sql(tiled=False,
+                                                estimator="madogram"),
         "variogram_fit": _vario_fit_over(f"({_vario_emp_sql(tiled=False)})"),
         "nscore_transform": _nscore_oracle(),
         "decluster_weights": _decluster_oracle(),
@@ -3873,6 +3901,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 rotation candidates (added after this round's window filled)
         "heavy_hitters": q_heavy_hitters,
         "cokriging_collocated": q_cokriging_collocated,
+        "variogram_robust": q_variogram_robust,
+        "variogram_madogram": q_variogram_madogram,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,

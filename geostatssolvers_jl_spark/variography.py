@@ -173,6 +173,69 @@ def indicator_variogram_sql(points_rel: str, threshold: float,
         id_col=id_col, tiled=tiled, round_to=round_to)
 
 
+def robust_variogram_sql(points_rel: str, maxlag: float, nlags: int = 10,
+                         *, estimator: str = "cressie",
+                         coord_cols: tuple[str, str] = ("x", "y"),
+                         val_col: str = "z", id_col: str = "data_id",
+                         tiled: bool = True, round_to: int = 6) -> str:
+    """Outlier-resistant empirical variogram estimators over the same
+    pair join (public forms):
+
+    * ``"cressie"`` — Cressie & Hawkins 1980:
+      γ̂(b) = (mean √|dz|)⁴ / (2·(0.457 + 0.494/N_b)) — fourth power of
+      the mean root-difference, bias-corrected; a single squared
+      outlier that dominates Matheron's mean enters here at power ½.
+    * ``"madogram"`` — ν̂(b) = mean |dz| / 2 (Matheron 1987's first-order
+      structure function; same range/anisotropy diagnostics, finite
+      even under heavy tails).
+
+    The fourth power is spelled as explicit multiplication (m·m·m·m) —
+    ``pow()`` would reintroduce the cross-engine libm divergence the
+    engine's -0.0/pow contract rules out; sqrt/abs are IEEE-exact on
+    both engines, so only the bin mean is aggregation-order-dependent
+    and round-6 absorbs its ulp noise."""
+    if estimator not in ("cressie", "madogram"):
+        raise ValueError(f"unknown robust estimator {estimator!r}")
+    if nlags < 1:
+        raise ValueError("robust_variogram: nlags must be >= 1")
+    if not maxlag > 0.0:
+        raise ValueError("robust_variogram: maxlag must be > 0")
+    width = float(maxlag) / int(nlags)
+    pairs = _pair_sql(points_rel, maxlag, tiled=tiled,
+                      coord_cols=coord_cols, val_col=val_col,
+                      id_col=id_col)
+    bin_ = (f"least(CAST({int(nlags) - 1} AS BIGINT), "
+            f"CAST(floor(h / {width!r}) AS BIGINT))")
+    if estimator == "cressie":
+        m = "avg(sqrt(abs(dz)))"
+        gamma = (f"(({m}) * ({m}) * ({m}) * ({m})) "
+                 f"/ (2.0 * (0.457 + 0.494 / count(*)))")
+    else:
+        gamma = "avg(abs(dz)) / 2.0"
+    return f"""
+WITH _pairs AS (
+  SELECT h, dz FROM ({pairs}) _pr WHERE h > 0.0 AND h < {float(maxlag)!r}
+), _binned AS (
+  SELECT CAST({bin_} AS INT) AS bin, dz FROM _pairs
+)
+SELECT bin, (CAST(bin AS DOUBLE) + 0.5) * {width!r} AS lag,
+       CAST(count(*) AS BIGINT) AS npairs,
+       round({gamma}, {int(round_to)}) + 0.0 AS gamma_r
+FROM _binned GROUP BY bin"""
+
+
+def robust_variogram(spark, points_df, maxlag: float, nlags: int = 10,
+                     *, estimator: str = "cressie", **kw):
+    """Library wrapper for `robust_variogram_sql`."""
+    seq = next(_VIEW_SEQ)
+    rel = f"_rvgram_pts_{seq}"
+    points_df.createOrReplaceTempView(rel)
+    out = spark.sql(robust_variogram_sql(
+        rel, maxlag, nlags, estimator=estimator, **kw))
+    spark.catalog.dropTempView(rel)
+    return out
+
+
 def cross_variogram_sql(points_rel: str, maxlag: float, nlags: int = 10,
                         *, coord_cols: tuple[str, str] = ("x", "y"),
                         val_col: str = "z", val2_col: str = "z2",

@@ -606,3 +606,74 @@ def test_cross_variogram_validation():
         cross_variogram_sql("pts", 10.0, 0)
     with pytest.raises(ValueError, match="maxlag"):
         cross_variogram_sql("pts", 0.0)
+
+
+def test_robust_variogram_outlier_resistance():
+    """One corrupted datum (z ← z + 1000σ): Matheron's γ̂ explodes in
+    every bin touching it, Cressie–Hawkins and the madogram stay near
+    the clean-field values (the point of the robust estimators)."""
+    from geostatssolvers_jl_spark.variography import robust_variogram_sql
+
+    pts = _rand_pts(13, 300, span=(0.0, 100.0))
+    clean_con = _duck(pts)
+    clean = clean_con.sql(
+        robust_variogram_sql("pts", 25.0, 5, tiled=False)
+        + " ORDER BY bin").df()
+    dirty = pts.copy()
+    dirty.loc[0, "z"] = dirty["z"].std() * 1000.0
+    dirty_con = _duck(dirty)
+    d_ch = dirty_con.sql(
+        robust_variogram_sql("pts", 25.0, 5, tiled=False)
+        + " ORDER BY bin").df()
+    d_mat = dirty_con.sql(
+        empirical_variogram_sql("pts", 25.0, 5, tiled=False)
+        + " ORDER BY bin").df()
+    c_mat = clean_con.sql(
+        empirical_variogram_sql("pts", 25.0, 5, tiled=False)
+        + " ORDER BY bin").df()
+    # Matheron inflates by orders of magnitude, CH stays within ~3x
+    assert (d_mat.gamma / c_mat.gamma).max() > 100
+    assert (d_ch.gamma_r / clean.gamma_r).max() < 3.0
+
+
+def test_robust_variogram_parity_and_estimators(spark):
+    """Tiled ≡ brute for both robust estimators; Spark ≡ DuckDB; the
+    madogram of |dz| constant-2 data is exactly 1."""
+    from geostatssolvers_jl_spark.variography import robust_variogram_sql
+
+    pts = _rand_pts(17, 300, span=(-50.0, 50.0))
+    con = _duck(pts)
+    for est in ("cressie", "madogram"):
+        t = con.sql(robust_variogram_sql("pts", 25.0, 8, tiled=True,
+                                         estimator=est)
+                    + " ORDER BY bin").df()
+        b = con.sql(robust_variogram_sql("pts", 25.0, 8, tiled=False,
+                                         estimator=est)
+                    + " ORDER BY bin").df()
+        pd.testing.assert_frame_equal(t, b)
+    spark.createDataFrame(pts).createOrReplaceTempView("rpts")
+    s = spark.sql(robust_variogram_sql("rpts", 25.0, 8, tiled=True)
+                  + " ORDER BY bin").toPandas()
+    d = con.sql(robust_variogram_sql("pts", 25.0, 8, tiled=True)
+                + " ORDER BY bin").df()
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
+    spark.catalog.dropTempView("rpts")
+    # alternating ±1 field on a line: every |dz| ∈ {0, 2}
+    alt = pd.DataFrame({
+        "data_id": range(8),
+        "x": [float(i) for i in range(8)], "y": [0.0] * 8,
+        "z": [1.0 if i % 2 == 0 else -1.0 for i in range(8)],
+    })
+    acon = _duck(alt)
+    mado = acon.sql(robust_variogram_sql("pts", 1.5, 1, tiled=False,
+                                         estimator="madogram")).df()
+    assert mado.gamma_r.tolist() == [1.0]  # mean|dz|/2 = 2/2
+
+
+def test_robust_variogram_validation():
+    from geostatssolvers_jl_spark.variography import robust_variogram_sql
+
+    with pytest.raises(ValueError, match="unknown robust"):
+        robust_variogram_sql("pts", 10.0, 5, estimator="tukey")
+    with pytest.raises(ValueError, match="nlags"):
+        robust_variogram_sql("pts", 10.0, 0)
