@@ -2691,6 +2691,60 @@ def q_lugs_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential INDICATOR simulation, conditional (rows-only): the
+    categorical simulator the reference lacks (`simulation/sis.py`,
+    median-IK estimator, one RNG event per cell).  Value anchors:
+    `sis_conditioning` (exact categories at data cells) and
+    `sis_proportions` (label validity + marginal + spatial-structure
+    invariants)."""
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    data = spark.createDataFrame(
+        [(0, 25.0, 25.0, 1.0), (1, 50.0, 75.0, 0.0), (2, 75.0, 50.0, 1.0)],
+        "data_id long, x double, y double, z double",
+    )
+    return solve_sis(
+        spark, SIM_GRID, nreals=2,
+        params=SISParams(
+            variogram=SphericalVariogram(range=30.0, sill=0.25),
+            maxneighbors=8, path="multigrid"),
+        data=data, seed=11,
+    )
+
+
+def q_sis_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_sis(spark, sf_dir)
+    return _at_data_cells(spark, sim, SIM_GRID, _SIM3_VALUES)
+
+
+def q_sis_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIS ensemble anchor: every draw is a LABEL (z ∈ {0, 1} exactly —
+    a Gaussian fallback leak would break this instantly), the pooled
+    category-1 proportion sits in a wide honest window (measured
+    0.34 / 0.59 per real at the fixed seed — spatially correlated
+    fields have large per-realization proportion variance), and
+    adjacent cells agree ≫ the iid 0.5 rate (measured 0.897 — the
+    spatial-structure invariant)."""
+    sim = q_sis(spark, sf_dir).persist()
+    adj = sim.alias("a").join(
+        sim.alias("b"),
+        (F.col("a.real_id") == F.col("b.real_id"))
+        & (F.col("b.cell_id") == F.col("a.cell_id") + 1))
+    agree = adj.agg(F.avg(
+        (F.col("a.z") == F.col("b.z")).cast("double")).alias("r"))
+    return sim.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min((F.col("z") == 0.0) | (F.col("z") == 1.0))
+        .cast("int").alias("labels_valid"),
+        F.avg("z").between(0.25, 0.75).cast("int").alias("prop_in_window"),
+    ).crossJoin(agree.selectExpr(
+        "CAST(r >= 0.7 AS INT) AS spatially_structured"))
+
+
 def q_fftgs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 value anchor: the FFTGS sill/mean rescale (reference
     ``src/simulation/fft.jl:169-170``) makes per-realization sample mean
@@ -3264,6 +3318,11 @@ def oracle_sql() -> dict[str, str]:
         "kriging_fixture_global": _kriging_global_oracle(),
         "lwr_fixture": _lwr_fixture_oracle(),
         "sgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
+        "sis_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
+        "sis_proportions": (
+            "SELECT CAST(5000 AS BIGINT) AS n, 1 AS labels_valid, "
+            "1 AS prop_in_window, 1 AS spatially_structured"
+        ),
         "fftgs_conditioning": _cond_oracle(SIM_GRID, _SIM3_VALUES, 2),
         "fftgs_moments": _fftgs_moments_oracle(),
         "spdegs_moments": _spdegs_moments_oracle(),
@@ -3903,6 +3962,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cokriging_collocated": q_cokriging_collocated,
         "variogram_robust": q_variogram_robust,
         "variogram_madogram": q_variogram_madogram,
+        "sis_conditioning": q_sis_conditioning,
+        "sis_proportions": q_sis_proportions,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,
@@ -3964,6 +4025,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fftgs_sim": q_fftgs,
         "lugs_sim": q_lugs,
         "sgs_sim": q_sgs,
+        "sis_sim": q_sis,
         "spdegs_sim": q_spdegs,
         "pointwise_learn": q_pointwise_learn,
     }

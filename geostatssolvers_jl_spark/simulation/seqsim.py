@@ -60,6 +60,10 @@ class SGSParams:
     # (rng, query_xy, neigh_xy, neigh_z) -> drawn value.  None → the SGS
     # Simple-Kriging conditional Normal (sgs.jl:64-69).
     estimator: object | None = None
+    # few-neighbor fallback draw (rng -> value); None → the SGS marginal
+    # Normal(mean, sill).  Categorical estimators (SIS) must override it
+    # — a Gaussian draw is not a category.
+    marginal: object | None = None
     # ellipsoid (MetricBall) neighborhoods: Anisotropic((r1, r2)) with a
     # range-1 variogram = GeoStats `GaussianVariogram(MetricBall((r1,r2)))`
     # (test/simulation/lu.jl:59).  Coordinates are scaled ONCE per tile;
@@ -288,7 +292,9 @@ def _simulate_tile(
                 o = np.lexsort((sel, dist))[: params.maxneighbors]
                 sel, dist = sel[o], dist[o]
         if sel.size < params.minneighbors:
-            values[i] = mean + sigma * rng.standard_normal()
+            values[i] = (params.marginal(rng)
+                         if params.marginal is not None
+                         else mean + sigma * rng.standard_normal())
         elif params.estimator is not None:
             values[i] = params.estimator(rng, pts[i], pts[sel], values[sel])
         else:

@@ -770,3 +770,123 @@ def test_sgs_halo_validation(spark):
                   tiles=(2, 2), halo=-2)
     with _pt.raises(ValueError, match="TILED"):
         solve_sgs(spark, grid, nreals=1, params=params, seed=1, halo=4)
+
+
+# ---- sequential indicator simulation (simulation/sis.py) ----
+
+
+def _sis_fixture(spark):
+    from geostatssolvers_jl_spark.grid import CartesianGrid
+
+    data = spark.createDataFrame(
+        [(0, 5.0, 5.0, 1.0), (1, 15.0, 15.0, 0.0)],
+        "data_id long, x double, y double, z double")
+    return data, CartesianGrid((20, 20), (0.5, 0.5), (1.0, 1.0))
+
+
+def test_sis_labels_conditioning_determinism(spark):
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    data, grid = _sis_fixture(spark)
+    p = SISParams(variogram=SphericalVariogram(range=8.0, sill=0.25),
+                  maxneighbors=6)
+    a = solve_sis(spark, grid, nreals=2, params=p, data=data,
+                  seed=7).collect()
+    assert len(a) == 2 * 400
+    assert all(r["z"] in (0.0, 1.0) for r in a)
+    vals = {(r["real_id"], r["cell_id"]): r["z"] for r in a}
+    # conditioning: data cells hold their exact category in every real
+    snap = grid.snap_cell_expr(("x", "y"), "cell_id")
+    data.createOrReplaceTempView("_sis_d")
+    for row in spark.sql(
+            f"SELECT {snap} AS cell_id, z FROM _sis_d").collect():
+        for real in (0, 1):
+            assert vals[(real, row["cell_id"])] == row["z"]
+    b = solve_sis(spark, grid, nreals=2, params=p, data=data,
+                  seed=7).collect()
+    assert vals == {(r["real_id"], r["cell_id"]): r["z"] for r in b}
+    spark.catalog.dropTempView("_sis_d")
+
+
+def test_sis_marginal_proportions_respond(spark):
+    """Unconditional SIS at (0.9, 0.1) marginals: category 0 dominates;
+    at (0.1, 0.9) it flips."""
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    _, grid = _sis_fixture(spark)
+    vg = SphericalVariogram(range=4.0, sill=0.09)
+    hi0 = solve_sis(spark, grid, nreals=4, params=SISParams(
+        variogram=vg, proportions=(0.9, 0.1), maxneighbors=6),
+        seed=3).agg({"z": "avg"}).collect()[0][0]
+    hi1 = solve_sis(spark, grid, nreals=4, params=SISParams(
+        variogram=vg, proportions=(0.1, 0.9), maxneighbors=6),
+        seed=3).agg({"z": "avg"}).collect()[0][0]
+    assert hi0 < 0.35 and hi1 > 0.65, (hi0, hi1)
+
+
+def test_sis_spatial_structure_beats_iid(spark):
+    """Adjacent-cell agreement must exceed the iid rate for the same
+    marginals — the sequential conditioning is doing something."""
+    from pyspark.sql import functions as F
+
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    _, grid = _sis_fixture(spark)
+    sim = solve_sis(spark, grid, nreals=2, params=SISParams(
+        variogram=SphericalVariogram(range=10.0, sill=0.25),
+        maxneighbors=8), seed=5).persist()
+    adj = sim.alias("a").join(
+        sim.alias("b"),
+        (F.col("a.real_id") == F.col("b.real_id"))
+        & (F.col("b.cell_id") == F.col("a.cell_id") + 1))
+    r = float(adj.agg(F.avg(
+        (F.col("a.z") == F.col("b.z")).cast("double"))).collect()[0][0])
+    sim.unpersist()
+    assert r > 0.65, r  # iid two-category ≈ 0.5-0.58 at these marginals
+
+
+def test_sis_validation(spark):
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    data, grid = _sis_fixture(spark)
+    vg = SphericalVariogram(range=8.0, sill=0.25)
+    with pytest.raises(ValueError, match="differ in length"):
+        SISParams(variogram=vg, categories=(0.0, 1.0),
+                  proportions=(1.0,)).validate()
+    with pytest.raises(ValueError, match="at least 2"):
+        SISParams(variogram=vg, categories=(1.0,),
+                  proportions=(1.0,)).validate()
+    with pytest.raises(ValueError, match="sum to 1"):
+        SISParams(variogram=vg, proportions=(0.5, 0.4)).validate()
+    bad = spark.createDataFrame(
+        [(0, 5.0, 5.0, 3.0)], "data_id long, x double, y double, z double")
+    with pytest.raises(ValueError, match="outside the category set"):
+        solve_sis(spark, grid, nreals=1, params=SISParams(variogram=vg),
+                  data=bad)
+
+
+def test_sis_tiled_runs_and_conditions(spark):
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    data, grid = _sis_fixture(spark)
+    sim = solve_sis(spark, grid, nreals=1, params=SISParams(
+        variogram=SphericalVariogram(range=8.0, sill=0.25),
+        maxneighbors=6), data=data, seed=9, tiles=(2, 2), halo=4)
+    rows = sim.collect()
+    assert len(rows) == 400
+    assert all(r["z"] in (0.0, 1.0) for r in rows)
