@@ -91,6 +91,38 @@ def main() -> None:
     n_langs = pred.select("pred_lang").distinct().count()
     stage("langid", t0, docs=n_clean, langs=n_langs)
 
+    # ---- 1c. quality / keywords / topics / authority -----------------
+    # (r6 continuation: the trained-classifier + clustering + link-graph
+    # tier of the curation pipeline)
+    t0 = time.time()
+    from geostatssolvers_jl_spark.webtext.classifier import (
+        logreg_score_sql, train_quality_model,
+    )
+    from geostatssolvers_jl_spark.webtext.clustering import (
+        kmeans_fit_spark,
+    )
+    from geostatssolvers_jl_spark.webtext.graph import (
+        pagerank_sql, synth_edges_sql,
+    )
+    from geostatssolvers_jl_spark.webtext.heavyhitters import heavy_hitters
+    from geostatssolvers_jl_spark.webtext.ranking import tfidf_topterms
+
+    clean.createOrReplaceTempView("documents")
+    qm = train_quality_model(spark, iters=40, lr=1.0)
+    w, b = qm.raw_weights()
+    n_quality = spark.sql(logreg_score_sql(
+        "spark", weights=w, bias=b)).filter("pred = 1").count()
+    n_keywords = tfidf_topterms(spark, clean, topk=3).count()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    km = kmeans_fit_spark(spark, emb, n_centroids=8, iters=4)
+    n_hot = heavy_hitters(spark, clean, phi=0.01).count()
+    top_auth = spark.sql(pagerank_sql(
+        "spark", edges_rel=None)).orderBy("rank_micro",
+                                          ascending=False).first()
+    stage("curate+", t0, quality_keep=n_quality, keywords=n_keywords,
+          topics=int((km.sizes > 0).sum()), hot_tokens=n_hot,
+          top_authority=int(top_auth["doc_id"]))
+
     # ---- 2. split ----------------------------------------------------
     t0 = time.time()
     clean.createOrReplaceTempView("documents")  # downstream reads the view
@@ -176,6 +208,39 @@ def main() -> None:
     )
     n_sim = sim.count()
     stage("simulate", t0, rows=n_sim, reals=4)
+
+    # ---- 5b. categorical simulate + exceedance map (r6 continuation) -
+    t0 = time.time()
+    from geostatssolvers_jl_spark.operators.indicator import (
+        solve_indicator_kriging,
+    )
+    from geostatssolvers_jl_spark.simulation.sis import (
+        SISParams, solve_sis,
+    )
+    from geostatssolvers_jl_spark.variogram import SphericalVariogram
+
+    med = pagesdf.selectExpr("percentile(z, 0.5) AS m").collect()[0]["m"]
+    ccdf = solve_indicator_kriging(
+        pagesdf.selectExpr("data_id", "lon AS x", "lat AS y", "z"),
+        CartesianGrid((40, 20), (-180.0, -90.0), (9.0, 9.0))
+        .spark_df(spark),
+        thresholds=(med,),
+        model=KrigingModel(variogram=GaussianVariogram(
+            range=2000.0, sill=0.25)),
+        maxneighbors=8, strategy="local-broadcast",
+        metric=Haversine(6371.0), query_coord_cols=["cx", "cy"],
+        data_coord_cols=["x", "y"],
+    )
+    n_ccdf = ccdf.count()
+    sim_cat = solve_sis(
+        spark, CartesianGrid((40, 40)), nreals=2,
+        params=SISParams(
+            variogram=SphericalVariogram(range=6.0, sill=0.25),
+            maxneighbors=8),
+        seed=2,
+    )
+    n_cat = sim_cat.count()
+    stage("simulate-cat", t0, ccdf_cells=n_ccdf, sis_rows=n_cat)
 
     # ---- 6. sink -----------------------------------------------------
     t0 = time.time()
