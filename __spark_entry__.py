@@ -2170,6 +2170,30 @@ def q_indicator_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IK_ZMIN, IK_ZMAX = 0.0, 1.0  # the fixture's data extremes
+
+
+def q_etype_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-type (conditional-mean) estimate from the indicator-kriging
+    ccdf (GSLIB postik semantics, `operators/indicator.etype_sql`):
+    class-midpoint integration with data-extreme tails, pure
+    shared-dialect SQL over the ccdf relation — the oracle runs the
+    same text over its own Cramer-recomputed ccdf."""
+    from geostatssolvers_jl_spark.operators.indicator import etype_sql
+
+    ccdf = q_indicator_kriging(spark, sf_dir)
+    seq = next(_ETYPE_SEQ)
+    rel = f"_etype_ccdf_{seq}"
+    ccdf.createOrReplaceTempView(rel)
+    out = spark.sql(etype_sql(rel, IK_THRESHOLDS, IK_ZMIN, IK_ZMAX,
+                              quantized=True))
+    spark.catalog.dropTempView(rel)
+    return out
+
+
+_ETYPE_SEQ = __import__("itertools").count()
+
+
 def q_kriging_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging through the BIG-BIG tiled physical path — the same
     per-cell systems routed via knn_join_tiled_exact + gathered-array solve
@@ -2313,6 +2337,13 @@ def _indicator_kriging_oracle() -> str:
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0 "
         f"AS prob FROM ({union}) _u"
     )
+
+
+def _etype_oracle() -> str:
+    from geostatssolvers_jl_spark.operators.indicator import etype_sql
+
+    return etype_sql(f"({_indicator_kriging_oracle()})", IK_THRESHOLDS,
+                     IK_ZMIN, IK_ZMAX, quantized=True)
 
 
 def _cokriging_exactness_oracle() -> str:
@@ -3214,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "cokriging_exactness": _cokriging_exactness_oracle(),
         "cokriging_collocated": _cokriging_exactness_oracle(),
         "indicator_kriging": _indicator_kriging_oracle(),
+        "etype_estimate": _etype_oracle(),
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "lwr_weighted": _lwr_weighted_oracle(),
@@ -3964,6 +3996,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_madogram": q_variogram_madogram,
         "sis_conditioning": q_sis_conditioning,
         "sis_proportions": q_sis_proportions,
+        "etype_estimate": q_etype_estimate,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,

@@ -76,3 +76,70 @@ def solve_indicator_kriging(
     return u.select(
         F.col(id_col), F.col("threshold"),
         (F.max(clamped).over(w) + F.lit(0.0)).alias("prob"))
+
+
+def etype_sql(ccdf_rel: str, thresholds, zmin: float, zmax: float,
+              prob_col: str = "prob", round_to: int = 6,
+              quantized: bool = False) -> str:
+    """E-type estimate (GSLIB ``postik`` semantics): the conditional
+    mean implied by the estimated ccdf, with the class-midpoint
+    convention — bin (t_{i−1}, t_i] is represented by its midpoint,
+    the lower tail starts at ``zmin`` and the upper tail ends at
+    ``zmax`` (the data extremes, the modeler's tail contract).  Pure
+    shared-dialect SQL over the long-form (cell_id, threshold, prob)
+    relation, so the oracle twin is this same text over its own ccdf.
+
+    e(x) = Σᵢ (t_{i−1}+t_i)/2 · (F_i − F_{i−1})  +  (t_k+zmax)/2 · (1 − F_k)
+    with t_0 = zmin, F_0 = 0.
+
+    ``quantized=True`` emits BIGINT NANO-units instead
+    (``e_nano = round(e·1e9)`` exactly when the bin midpoints are exact
+    at 3 decimals): probabilities quantize to micro-units and midpoints
+    to milli-units FIRST, so the aggregation is pure integer arithmetic
+    — the float form's products of round-6 probs land on round-6
+    halfway points where Spark (half-up) and DuckDB (half-even)
+    disagree in the last digit (observed at the gate), which integers
+    cannot."""
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("etype_sql: no thresholds")
+    zmin, zmax = float(zmin), float(zmax)
+    if not (zmin <= ts[0] and ts[-1] <= zmax):
+        raise ValueError("etype_sql: thresholds must lie inside "
+                         "[zmin, zmax]")
+    tk = ts[-1]
+    prefix = f"""
+WITH _c AS (
+  SELECT cell_id, threshold, {prob_col} AS p FROM {ccdf_rel}
+), _d AS (
+  SELECT cell_id, threshold, p,
+         lag(p, 1, 0.0) OVER (PARTITION BY cell_id
+                              ORDER BY threshold) AS p0,
+         lag(threshold, 1, {zmin!r}) OVER (PARTITION BY cell_id
+                                           ORDER BY threshold) AS t0
+  FROM _c
+)"""
+    if quantized:
+        for a, b in zip([zmin] + ts, ts + [zmax]):
+            mid = (a + b) / 2.0 * 1000.0
+            if abs(mid - round(mid)) > 1e-9:
+                raise ValueError(
+                    f"etype_sql(quantized): bin midpoint {(a + b) / 2.0} "
+                    f"is not exact at 3 decimals — use the float form")
+        return prefix + f"""
+SELECT cell_id,
+       CAST(SUM(CAST(round((t0 + threshold) * 500.0) AS BIGINT)
+                * (CAST(round(p * 1000000.0) AS BIGINT)
+                   - CAST(round(p0 * 1000000.0) AS BIGINT)))
+            + (1000000 - MAX(CASE WHEN threshold = {tk!r} THEN
+                 CAST(round(p * 1000000.0) AS BIGINT) END))
+              * CAST(round(({tk!r} + {zmax!r}) * 500.0) AS BIGINT)
+            AS BIGINT) AS e_nano
+FROM _d GROUP BY cell_id"""
+    return prefix + f"""
+SELECT cell_id,
+       round(SUM((t0 + threshold) / 2.0 * (p - p0))
+             + (1.0 - MAX(CASE WHEN threshold = {tk!r} THEN p END))
+               * (({tk!r} + {zmax!r}) / 2.0),
+             {int(round_to)}) + 0.0 AS e_type
+FROM _d GROUP BY cell_id"""

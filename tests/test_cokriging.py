@@ -343,3 +343,46 @@ def test_collocated_plan_zero_shuffle(spark, data2d_3pt):
         maxneighbors=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_etype_hand_computed_and_quantized_agree(spark):
+    """Two cells with hand-computable ccdfs: e = Σ mid·Δp + tail; the
+    quantized BIGINT form equals the float form at nano scale."""
+    import duckdb
+
+    from geostatssolvers_jl_spark.operators.indicator import etype_sql
+
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW ccdf AS SELECT * FROM (VALUES
+        (0, 0.4, 0.25), (0, 0.75, 0.5),
+        (1, 0.4, 1.0), (1, 0.75, 1.0)) _v(cell_id, threshold, prob)""")
+    out = dict(con.execute(
+        etype_sql("ccdf", (0.4, 0.75), 0.0, 1.0)
+        + " ORDER BY cell_id").fetchall())
+    # cell 0: .2*.25 + .575*.25 + .875*.5 = 0.631250; cell 1: .2
+    assert out == {0: 0.63125, 1: 0.2}
+    q = dict(con.execute(
+        etype_sql("ccdf", (0.4, 0.75), 0.0, 1.0, quantized=True)
+        + " ORDER BY cell_id").fetchall())
+    assert q == {0: 631_250_000, 1: 200_000_000}
+    # spark agrees on the same relation
+    spark.createDataFrame(
+        [(0, 0.4, 0.25), (0, 0.75, 0.5), (1, 0.4, 1.0), (1, 0.75, 1.0)],
+        "cell_id long, threshold double, prob double",
+    ).createOrReplaceTempView("ccdf_s")
+    sq = {r["cell_id"]: r["e_nano"] for r in spark.sql(
+        etype_sql("ccdf_s", (0.4, 0.75), 0.0, 1.0,
+                  quantized=True)).collect()}
+    assert sq == q
+    spark.catalog.dropTempView("ccdf_s")
+
+
+def test_etype_validation():
+    from geostatssolvers_jl_spark.operators.indicator import etype_sql
+
+    with pytest.raises(ValueError, match="no thresholds"):
+        etype_sql("c", (), 0.0, 1.0)
+    with pytest.raises(ValueError, match="inside"):
+        etype_sql("c", (0.5,), 0.6, 1.0)
+    with pytest.raises(ValueError, match="not exact at 3"):
+        etype_sql("c", (1.0 / 3.0,), 0.0, 1.0, quantized=True)
