@@ -2760,20 +2760,30 @@ def q_sis_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields have large per-realization proportion variance), and
     adjacent cells agree ≫ the iid 0.5 rate (measured 0.897 — the
     spatial-structure invariant)."""
+    # eager single-row evaluation: the self-join + agg consume sim 3x,
+    # and a lazily-returned plan would either leak the persist or
+    # re-simulate per consumer (review finding on the same pattern)
     sim = q_sis(spark, sf_dir).persist()
-    adj = sim.alias("a").join(
-        sim.alias("b"),
-        (F.col("a.real_id") == F.col("b.real_id"))
-        & (F.col("b.cell_id") == F.col("a.cell_id") + 1))
-    agree = adj.agg(F.avg(
-        (F.col("a.z") == F.col("b.z")).cast("double")).alias("r"))
-    return sim.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min((F.col("z") == 0.0) | (F.col("z") == 1.0))
-        .cast("int").alias("labels_valid"),
-        F.avg("z").between(0.25, 0.75).cast("int").alias("prop_in_window"),
-    ).crossJoin(agree.selectExpr(
-        "CAST(r >= 0.7 AS INT) AS spatially_structured"))
+    try:
+        adj = sim.alias("a").join(
+            sim.alias("b"),
+            (F.col("a.real_id") == F.col("b.real_id"))
+            & (F.col("b.cell_id") == F.col("a.cell_id") + 1))
+        agree = adj.agg(F.avg(
+            (F.col("a.z") == F.col("b.z")).cast("double")).alias("r"))
+        row = sim.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min((F.col("z") == 0.0) | (F.col("z") == 1.0))
+            .cast("int").alias("labels_valid"),
+            F.avg("z").between(0.25, 0.75).cast("int")
+            .alias("prop_in_window"),
+        ).crossJoin(agree.selectExpr(
+            "CAST(r >= 0.7 AS INT) AS spatially_structured")).collect()
+    finally:
+        sim.unpersist()
+    return spark.createDataFrame(
+        row, "n long, labels_valid int, prop_in_window int, "
+             "spatially_structured int")
 
 
 def q_fftgs_moments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,6 +104,12 @@ def logreg_fit_spark(feat_df, feature_cols, label_col: str = "y",
         raise ValueError(
             "logreg_fit_spark: NULL label or feature values — filter or "
             "impute upstream (fail-loud contract)")
+    # count BEFORE the stats pass: avg() over an empty relation is NULL
+    # and float(None) would raise an opaque TypeError instead of the
+    # fail-loud ValueError (review finding)
+    n = df.count()
+    if n == 0:
+        raise ValueError("logreg_fit_spark: empty relation")
     means = stds = None
     if standardize:
         stats = df.agg(*(
@@ -120,9 +126,7 @@ def logreg_fit_spark(feat_df, feature_cols, label_col: str = "y",
         )
     df = df.persist()
     try:
-        n = df.count()
-        if n == 0:
-            raise ValueError("logreg_fit_spark: empty relation")
+        df.count()  # materialize the cache before the iteration loop
         w = {c: 0.0 for c in feature_cols}
         b = 0.0
         losses = []

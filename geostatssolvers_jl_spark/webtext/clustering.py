@@ -130,7 +130,7 @@ WITH _emb0 AS (
     return prefix + f"""
 SELECT a.cid, p.pos,
        COUNT(*) AS size,
-       round(AVG({elem}), 6) AS c_new_r
+       round(AVG({elem}), 6) + 0.0 AS c_new_r
 FROM _a a
 JOIN _emb0 v ON v.vec_id = a.vec_id
 CROSS JOIN (SELECT id AS pos FROM range({dim}) AS _r(id)) p

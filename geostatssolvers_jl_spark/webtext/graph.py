@@ -55,16 +55,20 @@ def synth_edges_sql(nodes_rel: str = "documents",
     ``out_degree`` in-edges and PageRank degenerates to the uniform
     vector, which any rank-preserving bug would also produce.  The
     quadratic mix spreads in-degrees (3..20 with in-degree-0 nodes at
-    n = 500), so the gate checks a non-trivial fixed point.  The
-    squared operand is reduced mod 2^20 first, bounding the product at
-    ~7.7e12 (no BIGINT overflow at any corpus size).  Self-links are
+    n = 500), so the gate checks a non-trivial fixed point.  BOTH mix
+    operands are modulus-reduced first — squared mod 2^20 (product
+    ≤ 7.7e12) and linear mod 999983 (product ≤ 2.7e15): an unreduced
+    ``src * 2654435761`` overflows BIGINT past src ≈ 3.5e9, where Spark
+    silently wraps and DuckDB raises (review finding); the coprime
+    moduli keep the joint period ≈ 1e12 ids.  Self-links are
     redirected to (src+1) % n so every node keeps a full out-degree."""
     return f"""
 SELECT src, CASE WHEN d0 = src THEN (src + 1) % n ELSE d0 END AS dst
 FROM (
   SELECT n.src, _k.k, n.n,
          (((n.src % 1048576) * (n.src % 1048576) * 7
-           + n.src * 2654435761 + _k.k * 40503) % n.n + n.n) % n.n AS d0
+           + (n.src % 999983) * 2654435761 + _k.k * 40503)
+          % n.n + n.n) % n.n AS d0
   FROM (SELECT doc_id AS src,
                (SELECT count(*) FROM {nodes_rel}) AS n
         FROM {nodes_rel}) n
@@ -125,7 +129,11 @@ def pagerank(spark, edges_df, iters: int = 10, n_nodes: int | None = None,
     iteration counts: the same micro-unit algebra, one persisted
     (node, rank) relation per round.  ``nodes_df``: optional one-column
     (doc_id) relation defining the node universe (defaults to every id
-    appearing as src or dst).  Returns (doc_id, rank_micro)."""
+    appearing as src or dst).  Returns (doc_id, rank_micro) backed by a
+    PERSISTED relation — unpersisting it here would force a full
+    re-run of every iteration's lineage on first use, so the CALLER
+    owns ``.unpersist()`` on the result when done (the edge/degree/node
+    caches ARE released here)."""
     from pyspark.sql import functions as F
 
     if iters < 1:

@@ -105,11 +105,16 @@ def heavy_hitters(spark, docs_df, phi: float = 0.001,
                 # would also work, but the tighter prune is free
                 .where(F.col("lb") > 0)
                 .select("token"))
-        exact = (toks.join(F.broadcast(cand),
-                           toks.w == cand.token, "inner")
-                 .groupBy("token").agg(F.count("*").alias("cnt"))
-                 .where(F.col("cnt") >= F.lit(thresh)))
-        return exact
+        # evaluate EAGERLY while toks is still cached: the result is
+        # ≤ 1/φ rows by definition (a bounded driver artifact), and a
+        # lazy return would re-tokenize the corpus per downstream
+        # action after the finally-unpersist (review finding)
+        rows = (toks.join(F.broadcast(cand),
+                          toks.w == cand.token, "inner")
+                .groupBy("token").agg(F.count("*").alias("cnt"))
+                .where(F.col("cnt") >= F.lit(thresh))
+                .collect())
+        return spark.createDataFrame(rows, "token string, cnt long")
     finally:
         toks.unpersist()
         spark.catalog.dropTempView(rel)

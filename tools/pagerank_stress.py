@@ -27,7 +27,7 @@ def main():
     nodes = spark.range(n).selectExpr("id AS doc_id")
     ks = ", ".join(str(k) for k in range(1, m + 1))
     mix = (f"((src % 1048576) * (src % 1048576) * 7 "
-           f"+ src * 2654435761 + k * 40503) % {n}")
+           f"+ (src % 999983) * 2654435761 + k * 40503) % {n}")
     edges = spark.range(n).selectExpr(
         "id AS src",
         f"explode(array({ks})) AS k",
