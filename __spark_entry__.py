@@ -2194,6 +2194,30 @@ def q_etype_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ETYPE_SEQ = __import__("itertools").count()
 
 
+def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MEDIAN map from the indicator-kriging ccdf (the
+    other postik output, `operators/indicator.quantile_sql`): per-cell
+    p=0.5 crossing by integer-exact linear interpolation (BIGINT
+    nano-units — floor of an integer ratio, zero rounding tolerance)."""
+    from geostatssolvers_jl_spark.operators.indicator import quantile_sql
+
+    ccdf = q_indicator_kriging(spark, sf_dir)
+    seq = next(_ETYPE_SEQ)
+    rel = f"_qmap_ccdf_{seq}"
+    ccdf.createOrReplaceTempView(rel)
+    out = spark.sql(quantile_sql(rel, IK_THRESHOLDS, 0.5, IK_ZMIN,
+                                 IK_ZMAX))
+    spark.catalog.dropTempView(rel)
+    return out
+
+
+def _quantile_map_oracle() -> str:
+    from geostatssolvers_jl_spark.operators.indicator import quantile_sql
+
+    return quantile_sql(f"({_indicator_kriging_oracle()})",
+                        IK_THRESHOLDS, 0.5, IK_ZMIN, IK_ZMAX)
+
+
 def q_kriging_tiled_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 local kriging through the BIG-BIG tiled physical path — the same
     per-cell systems routed via knn_join_tiled_exact + gathered-array solve
@@ -3256,6 +3280,7 @@ def oracle_sql() -> dict[str, str]:
         "cokriging_collocated": _cokriging_exactness_oracle(),
         "indicator_kriging": _indicator_kriging_oracle(),
         "etype_estimate": _etype_oracle(),
+        "quantile_map": _quantile_map_oracle(),
         "kriging_pages_exactness_tiled": _kriging_pages_exactness_oracle(),
         "lwr_tiled_fixture": _lwr_fixture_oracle(),
         "lwr_weighted": _lwr_weighted_oracle(),
@@ -4007,6 +4032,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sis_conditioning": q_sis_conditioning,
         "sis_proportions": q_sis_proportions,
         "etype_estimate": q_etype_estimate,
+        "quantile_map": q_quantile_map,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,

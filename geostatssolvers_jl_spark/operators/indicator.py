@@ -143,3 +143,72 @@ SELECT cell_id,
                * (({tk!r} + {zmax!r}) / 2.0),
              {int(round_to)}) + 0.0 AS e_type
 FROM _d GROUP BY cell_id"""
+
+
+def quantile_sql(ccdf_rel: str, thresholds, p: float, zmin: float,
+                 zmax: float, prob_col: str = "prob",
+                 quantized: bool = True) -> str:
+    """Conditional p-quantile map from the corrected ccdf (the other
+    GSLIB ``postik`` output): per cell, the value where F crosses
+    ``p``, linearly interpolated within the bracketing bin — tails
+    interpolate against (zmin, 0) and an appended terminal (zmax, 1)
+    row.  The order-corrected F is non-decreasing, so the predicate
+    ``F_{i−1} < p ≤ F_i`` selects exactly one row per cell (flat
+    plateaus are skipped by the strict left inequality).
+
+    ``quantized=True`` (default, and what the gate uses) emits BIGINT
+    nano-units: thresholds/zmin/zmax must be exact at 3 decimals; the
+    interpolation becomes ``t0_nano + floor(num/den)`` of exact
+    integers — the double division of two integers below 2^53 is
+    correctly rounded identically on both engines and its floor cannot
+    sit within an ulp of a non-equal integer (denominator ≤ 1e6), so
+    the output is deterministic with zero rounding tolerance."""
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("quantile_sql: no thresholds")
+    if not 0.0 < p < 1.0:
+        raise ValueError("quantile_sql: p must be in (0, 1)")
+    zmin, zmax = float(zmin), float(zmax)
+    if not (zmin <= ts[0] and ts[-1] <= zmax):
+        raise ValueError("quantile_sql: thresholds must lie inside "
+                         "[zmin, zmax]")
+    if quantized:
+        for t in ts + [zmin, zmax]:
+            if abs(t * 1000.0 - round(t * 1000.0)) > 1e-9:
+                raise ValueError(
+                    "quantile_sql(quantized): thresholds and bounds "
+                    "must be exact at 3 decimals — use quantized=False")
+    pm = int(round(p * 1_000_000))
+    base = f"""
+WITH _c AS (
+  SELECT cell_id, threshold, {prob_col} AS pr FROM {ccdf_rel}
+  UNION ALL
+  SELECT DISTINCT cell_id, CAST({zmax!r} AS DOUBLE) AS threshold,
+         1.0 AS pr FROM {ccdf_rel}
+), _d AS (
+  SELECT cell_id, threshold, pr,
+         lag(pr, 1, 0.0) OVER (PARTITION BY cell_id
+                               ORDER BY threshold) AS pr0,
+         lag(threshold, 1, {zmin!r}) OVER (PARTITION BY cell_id
+                                           ORDER BY threshold) AS t0
+  FROM _c
+)"""
+    if quantized:
+        t_m = "CAST(round(threshold * 1000.0) AS BIGINT)"
+        t0_m = "CAST(round(t0 * 1000.0) AS BIGINT)"
+        f_u = "CAST(round(pr * 1000000.0) AS BIGINT)"
+        f0_u = "CAST(round(pr0 * 1000000.0) AS BIGINT)"
+        return base + f"""
+SELECT cell_id,
+       CAST({t0_m} * 1000000
+            + CAST(floor(CAST(({pm} - {f0_u}) * ({t_m} - {t0_m})
+                              * 1000000 AS DOUBLE)
+                         / ({f_u} - {f0_u})) AS BIGINT)
+            AS BIGINT) AS q_nano
+FROM _d
+WHERE {f0_u} < {pm} AND {pm} <= {f_u}"""
+    return base + f"""
+SELECT cell_id,
+       t0 + ({p!r} - pr0) * (threshold - t0) / (pr - pr0) AS q
+FROM _d
+WHERE pr0 < {p!r} AND {p!r} <= pr"""

@@ -386,3 +386,53 @@ def test_etype_validation():
         etype_sql("c", (0.5,), 0.6, 1.0)
     with pytest.raises(ValueError, match="not exact at 3"):
         etype_sql("c", (1.0 / 3.0,), 0.0, 1.0, quantized=True)
+
+
+def test_quantile_map_hand_computed_and_monotone(spark):
+    """Hand-checkable crossings on a 2-threshold ccdf, cross-engine
+    integer identity, and monotonicity in p."""
+    import duckdb
+
+    from geostatssolvers_jl_spark.operators.indicator import quantile_sql
+
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW ccdf AS SELECT * FROM (VALUES
+        (0, 0.4, 0.25), (0, 0.75, 0.5),
+        (1, 0.4, 1.0),  (1, 0.75, 1.0),
+        (2, 0.4, 0.0),  (2, 0.75, 0.0)) _v(cell_id, threshold, prob)""")
+    med = dict(con.execute(
+        quantile_sql("ccdf", (0.4, 0.75), 0.5, 0.0, 1.0)
+        + " ORDER BY cell_id").fetchall())
+    # cell 0: crosses 0.5 exactly at t=0.75; cell 1: within [0, 0.4]
+    # at 0.5/1.0 of the bin → 0.2; cell 2: upper tail [0.75, 1] at
+    # (0.5−0)/(1−0) → 0.875
+    assert med == {0: 750_000_000, 1: 200_000_000, 2: 875_000_000}
+    q25 = dict(con.execute(
+        quantile_sql("ccdf", (0.4, 0.75), 0.25, 0.0, 1.0)
+        + " ORDER BY cell_id").fetchall())
+    assert all(q25[c] <= med[c] for c in med)
+    spark.createDataFrame(
+        [(0, 0.4, 0.25), (0, 0.75, 0.5), (1, 0.4, 1.0), (1, 0.75, 1.0),
+         (2, 0.4, 0.0), (2, 0.75, 0.0)],
+        "cell_id long, threshold double, prob double",
+    ).createOrReplaceTempView("ccdf_q")
+    sq = {r["cell_id"]: r["q_nano"] for r in spark.sql(
+        quantile_sql("ccdf_q", (0.4, 0.75), 0.5, 0.0, 1.0)).collect()}
+    assert sq == med
+    spark.catalog.dropTempView("ccdf_q")
+    # float form agrees at 1e-9 scale
+    f = dict(con.execute(
+        quantile_sql("ccdf", (0.4, 0.75), 0.5, 0.0, 1.0,
+                     quantized=False) + " ORDER BY cell_id").fetchall())
+    assert all(abs(f[c] - med[c] / 1e9) < 1e-9 for c in med)
+
+
+def test_quantile_map_validation():
+    from geostatssolvers_jl_spark.operators.indicator import quantile_sql
+
+    with pytest.raises(ValueError, match="p must"):
+        quantile_sql("c", (0.5,), 1.0, 0.0, 1.0)
+    with pytest.raises(ValueError, match="no thresholds"):
+        quantile_sql("c", (), 0.5, 0.0, 1.0)
+    with pytest.raises(ValueError, match="exact at 3"):
+        quantile_sql("c", (1.0 / 3.0,), 0.5, 0.0, 1.0)
