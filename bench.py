@@ -143,6 +143,7 @@ def _run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "quantile_thresholds", "kmeans_assign", "kmeans_step",
         "tfidf_topterms", "variogram_cross", "pagerank", "logreg_score",
         "heavy_hitters", "indicator_kriging", "cokriging_collocated",
+        "etype_estimate", "quantile_map",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return timings, n_pages
