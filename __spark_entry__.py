@@ -831,6 +831,44 @@ def q_loo_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(loo_idw_sql(_pages_xyz(), HAV_DD, k=5))
 
 
+KFOLD_K = 4
+
+
+def _kfold_kriging_sql() -> str:
+    """Shared-dialect k-fold KRIGING cross-validation: fold = a pure
+    integer mix of data_id (Spark's hash() and DuckDB's differ, so the
+    splitter must be arithmetic); every page is estimated by the
+    fold-aware Cramer k=3 OK solve over its 3 nearest pages from OTHER
+    folds (`knn_pairs_sql(where_extra=...)` + `_kriging_local_oracle`
+    — kriging weights are geometry-only, so the same cofactor SQL
+    serves any fold pattern).  Exponential structure per the
+    conditioning lesson recorded on `q_cokriging_exactness`."""
+    pts = (f"(SELECT data_id, lon AS x, lat AS y, z, "
+           f"((data_id * 2654435761) % 1000003) % {KFOLD_K} AS _fold "
+           f"FROM {_pages_xyz()} _px)")
+    q = (f"(SELECT data_id AS cell_id, x AS lon, y AS lat, _fold "
+         f"FROM {pts} _q0)")
+    havq = Haversine(6371.0).sql(("q.lon", "q.lat"), ("d.x", "d.y"))
+    pairs = knn_pairs_sql(
+        q, pts, havq, k=3, value_cols=("x", "y", "z", "_fold"),
+        where_extra="q._fold <> d._fold", broadcast_data=True)
+    arm = _kriging_local_oracle(rng=2000.0, sill=10000.0, pairs=pairs,
+                                hav=True, k=3, vg="exponential")
+    return (
+        f"SELECT a.cell_id AS data_id, t._fold AS fold, t.z, "
+        f"a.z AS zhat, round(a.z - t.z, 4) + 0.0 AS err "
+        f"FROM ({arm}) a JOIN {pts} t ON a.cell_id = t.data_id")
+
+
+def q_kfold_kriging_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold kriging cross-validation (completes the validation suite
+    beyond `loo_idw_cv`): per-point (fold, z, zhat, err) with
+    out-of-fold neighborhoods — hash-exact cross-engine because the
+    entire fold-aware solve is the shared Cramer SQL."""
+    _register(spark, sf_dir, ("documents",))
+    return spark.sql(_kfold_kriging_sql())
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-substring spans (`dedup.dup_span_sql`, the distributed
     shingle-hash form of Lee et al. 2021 span dedup): per-document
@@ -3348,6 +3386,7 @@ def oracle_sql() -> dict[str, str]:
         "nscore_transform": _nscore_oracle(),
         "decluster_weights": _decluster_oracle(),
         "loo_idw_cv": _loo_idw_oracle(),
+        "kfold_kriging_cv": _kfold_kriging_sql(),
         "substring_dedup": _substring_dedup_oracle(),
         "corpus_curation": _curation_oracle("report"),
         "curation_funnel": _curation_oracle("funnel"),
@@ -4033,6 +4072,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sis_proportions": q_sis_proportions,
         "etype_estimate": q_etype_estimate,
         "quantile_map": q_quantile_map,
+        "kfold_kriging_cv": q_kfold_kriging_cv,
         "pages_bridge": q_pages_bridge,
         "events_hourly": q_events_hourly,
         "error_rate": q_error_rate,

@@ -300,3 +300,25 @@ def test_dup_span_on_real_corpus(spark):
         for d in dup_docs:
             assert by.loc[d, "dup_chars"] == lens[d], d
     spark.catalog.dropTempView("documents")
+
+
+def test_kfold_kriging_cv_fold_semantics(spark):
+    """The fold-aware Cramer CV: folds are balanced-ish and every
+    point's error reflects OUT-of-fold neighbors — the CV error is
+    orders of magnitude above the exactness residual (which would be
+    ~0 if a point could see itself or same-fold co-located twins)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["kfold_kriging_cv"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 500
+    folds = {}
+    for r in out:
+        folds[r["fold"]] = folds.get(r["fold"], 0) + 1
+    assert set(folds) == {0, 1, 2, 3}
+    assert min(folds.values()) > 50  # arithmetic splitter is balanced
+    import math
+
+    rmse = math.sqrt(sum(r["err"] ** 2 for r in out) / len(out))
+    assert rmse > 10.0  # genuine held-out error, not exactness ~1e-3
+    assert all(math.isfinite(r["zhat"]) for r in out)
