@@ -1172,15 +1172,27 @@ _MAT_LOCK = __import__("threading").Lock()
 
 
 def _materialize(spark: SparkSession, sql: str, view: str) -> str:
-    """Cache + force-materialize a relation under a temp view; unpersist
-    the previous incarnation (repeated entry calls would otherwise pile up
-    stale InMemoryRelations).  Keyed on (applicationId, view); the cached
-    SESSION is checked by identity — temp views are session-scoped, so a
-    hit recorded by session A must rebuild for session B (B's catalog
-    cannot resolve A's view).  Lock-guarded: the gate runs arms
-    concurrently and an unsynchronized check-then-act leaks an extra
-    InMemoryRelation per race.  Keys from OTHER applications are purged
-    on insert (stopped contexts otherwise pin DataFrames forever)."""
+    """Force-materialize a relation under a temp view via an EAGER
+    ``localCheckpoint`` and unpersist the previous incarnation (repeated
+    entry calls would otherwise pile up stale checkpoint RDDs).
+
+    localCheckpoint — not cache+count (r7): Spark's CacheManager fails
+    to substitute an InMemoryRelation into consumers that reference the
+    view from inside a WITH clause (verified: `SELECT ... FROM view`
+    plans an InMemoryTableScan, but the same view inside a CTE-shaped
+    consumer RE-PLANS the view's full subtree — every `_mat_*` consumer
+    here is CTE-shaped, so the r6 'materialize once' views silently
+    recomputed their quadratic upstreams per query).  A checkpointed
+    DataFrame is a LogicalRDD leaf: there is no subtree to re-plan, so
+    every consumer — CTE or not — reads the materialized rows.
+
+    Keyed on (applicationId, view); the cached SESSION is checked by
+    identity — temp views are session-scoped, so a hit recorded by
+    session A must rebuild for session B (B's catalog cannot resolve
+    A's view).  Lock-guarded: the gate runs arms concurrently and an
+    unsynchronized check-then-act leaks an extra checkpoint per race.
+    Keys from OTHER applications are purged on insert (stopped contexts
+    otherwise pin DataFrames forever)."""
     key = (spark.sparkContext.applicationId, view)
     with _MAT_LOCK:
         old = _MAT_CACHE.get(key)
@@ -1194,19 +1206,18 @@ def _materialize(spark: SparkSession, sql: str, view: str) -> str:
             _MAT_CACHE.pop(key, None)
         for k in [k for k in _MAT_CACHE if k[0] != key[0]]:
             _MAT_CACHE.pop(k, None)
-        df = spark.sql(sql)
-        df.cache()
-        df.count()  # materialize NOW, inside the lock
+        df = spark.sql(sql).localCheckpoint()  # eager: materializes NOW
         df.createOrReplaceTempView(view)
         _MAT_CACHE[key] = (sql, df, spark)
         return view
 
 
 def _materialize_df(spark: SparkSession, name: str, builder) -> DataFrame:
-    """DataFrame-flavored `_materialize` (no temp view): one persisted
+    """DataFrame-flavored `_materialize` (no temp view): one checkpointed
     incarnation per (application, name, session), rebuilt — and the old
     one unpersisted — when the session changes; repeated entry calls
-    reuse it instead of stacking InMemoryRelations."""
+    reuse it instead of stacking checkpoint RDDs.  localCheckpoint for
+    the same CTE-consumer reason as `_materialize`."""
     key = (spark.sparkContext.applicationId, f"_df:{name}")
     with _MAT_LOCK:
         old = _MAT_CACHE.get(key)
@@ -1218,8 +1229,7 @@ def _materialize_df(spark: SparkSession, name: str, builder) -> DataFrame:
             except Exception:
                 pass
             _MAT_CACHE.pop(key, None)
-        df = builder().persist()
-        df.count()
+        df = builder().localCheckpoint()
         _MAT_CACHE[key] = (name, df, spark)
         return df
 
