@@ -820,15 +820,64 @@ FROM (
 HAV_DD = Haversine(6371.0).sql(("q.lon", "q.lat"), ("d.lon", "d.lat"))
 
 
+LOO_IDW_K = 5
+
+
 def q_loo_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out IDW cross-validation (`validation.loo_idw_sql`) of
-    page n_chars under haversine — the A8 error-rate surface as a
-    model-validation operator: every page estimated from its 5 nearest
-    OTHER pages, per-point (z, zhat, err) rows."""
-    from geostatssolvers_jl_spark.validation import loo_idw_sql
+    """Leave-one-out IDW cross-validation of page n_chars under
+    haversine — the A8 error-rate surface as a model-validation
+    operator: every page estimated from its 5 nearest OTHER pages,
+    per-point (z, zhat, err) rows.
+
+    r7: the Spark side swaps `validation.loo_idw_sql`'s brute-force
+    O(n²) pair relation (50k pages ⇒ 2.5G haversine rows into one
+    window — measured 300 s at sf1.0) for the EXACT tiled kNN ladder
+    (`neighbors.knn_join_tiled_exact`, the same machinery the green
+    `knn_join_tiled` gate entry certifies) run at k+1 with the self
+    pair dropped afterwards: removing one element of a totally ordered
+    candidate list's top-(k+1) always leaves the top-k of the others,
+    whether or not the self pair made the list.  Distance text,
+    (dist, data_id) tie-break and the `idw_agg_sql` aggregation are the
+    SAME builders as the brute form, so the rows are identical — the
+    DuckDB oracle keeps `loo_idw_sql` (exactly the swap that builder's
+    docstring prescribes for big-data LOO)."""
+    from pyspark.sql import Window
+
+    from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
+    from geostatssolvers_jl_spark.planner import choose_tile_res
 
     _register(spark, sf_dir, ("documents",))
-    return spark.sql(loo_idw_sql(_pages_xyz(), HAV_DD, k=5))
+    pts = spark.sql(f"SELECT * FROM {_pages_xyz()} _p")
+    res = choose_tile_res(pts.count())
+    pairs = knn_join_tiled_exact(
+        pts.selectExpr("data_id AS target_id", "lon", "lat"),
+        pts.select("data_id", "lon", "lat"),
+        k=LOO_IDW_K + 1, res=res, query_id="target_id",
+        metric=Haversine(6371.0), first_replicate="data",
+    )
+    w = Window.partitionBy("target_id").orderBy(
+        F.col("dist").asc(), F.col("data_id").asc())
+    knn = (
+        pairs.filter(F.col("target_id") != F.col("data_id"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= LOO_IDW_K)
+        .join(spark.sql(f"SELECT data_id, z FROM {_pages_xyz()} _z"),
+              "data_id")
+        .select("target_id", "data_id", "dist", "z")
+    )
+    seq = next(_ETYPE_SEQ)
+    rel = f"_loo_pairs_{seq}"
+    knn.createOrReplaceTempView(rel)
+    est = idw_agg_sql(rel, var="z", exponent=1.0, qid="target_id")
+    # final SELECT: the verbatim tail of `validation.loo_idw_sql`
+    return spark.sql(f"""
+SELECT t.data_id, CAST(t.z AS DOUBLE) AS z,
+       round(e.zhat, 6) + 0.0 AS zhat,
+       round(e.zhat - CAST(t.z AS DOUBLE), 6)
+         + 0.0 AS err
+FROM {_pages_xyz()} t
+JOIN (SELECT target_id, z AS zhat FROM ({est}) _e) e
+  ON e.target_id = t.data_id""")
 
 
 KFOLD_K = 4
@@ -1193,10 +1242,18 @@ def _materialize(spark: SparkSession, sql: str, view: str) -> str:
     unsynchronized check-then-act leaks an extra checkpoint per race.
     Keys from OTHER applications are purged on insert (stopped contexts
     otherwise pin DataFrames forever)."""
+    return _materialize_any(spark, sql, view, lambda: spark.sql(sql))
+
+
+def _materialize_any(spark: SparkSession, ident: str, view: str,
+                     builder) -> str:
+    """`_materialize` core: ``ident`` is the identity string a cache hit
+    must match (the SQL text, or a kernel tag + parameters for
+    DataFrame-built relations); ``builder`` produces the DataFrame."""
     key = (spark.sparkContext.applicationId, view)
     with _MAT_LOCK:
         old = _MAT_CACHE.get(key)
-        if old is not None and old[0] == sql and old[2] is spark:
+        if old is not None and old[0] == ident and old[2] is spark:
             return view
         if old is not None:
             try:
@@ -1206,9 +1263,9 @@ def _materialize(spark: SparkSession, sql: str, view: str) -> str:
             _MAT_CACHE.pop(key, None)
         for k in [k for k in _MAT_CACHE if k[0] != key[0]]:
             _MAT_CACHE.pop(k, None)
-        df = spark.sql(sql).localCheckpoint()  # eager: materializes NOW
+        df = builder().localCheckpoint()  # eager: materializes NOW
         df.createOrReplaceTempView(view)
-        _MAT_CACHE[key] = (sql, df, spark)
+        _MAT_CACHE[key] = (ident, df, spark)
         return view
 
 
@@ -1327,49 +1384,76 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mat_buckets(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the multi-table bucket assignment once (cached view) —
     the bucket arithmetic would otherwise be inlined into every probe arm
-    and join side.  sf-keyed like `_mat_sig`."""
+    and join side.  sf-keyed like `_mat_sig`.
+
+    Repartitioned to the session parallelism before the checkpoint (r7):
+    the relation is built as a 6-arm UNION over a single-file scan, so
+    the checkpoint otherwise keeps ~6 partitions and EVERY downstream
+    no-shuffle stage — the probe explode, the broadcast candidate join
+    and its partial DISTINCT — runs on 6 tasks (measured: the sf1.0
+    candidate aggregation held 32 cores at 6 busy)."""
     from geostatssolvers_jl_spark.webtext.similarity import bucket_tables_sql
 
-    return _materialize(
-        spark,
-        bucket_tables_sql("spark") + f"\n-- source: {sf_dir}",
-        "bt_mat",
+    sql = bucket_tables_sql("spark") + f"\n-- source: {sf_dir}"
+    return _materialize_any(
+        spark, sql, "bt_mat",
+        lambda: spark.sql(sql).repartition(
+            4 * spark.sparkContext.defaultParallelism),
     )
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed bucketed ANN: bucket assign → Hamming-1 probe → per-bucket
-    exact cosine → top-3 per query, for EVERY vector (not a 20-query demo)."""
-    from geostatssolvers_jl_spark.webtext.similarity import ann_topk_lsh_sql
+    exact cosine → top-3 per query, for EVERY vector (not a 20-query demo).
+
+    r7: the Spark side scores the DISTINCT candidate pairs with the
+    bounded gather scorer (`similarity.ann_topk_lsh_spark`) instead of
+    the interpreted per-pair fold — candidate generation, rounding and
+    ranking stay the identical SQL; corpora beyond
+    `vecops.GATHER_SCORE_LIMIT` keep the per-bucket join plan."""
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        ann_topk_lsh_spark, ann_topk_lsh_sql,
+    )
+    from geostatssolvers_jl_spark.webtext.vecops import GATHER_SCORE_LIMIT
 
     _register(spark, sf_dir, ("embeddings",))
-    return spark.sql(
-        ann_topk_lsh_sql("spark", k=3, bt_rel=_mat_buckets(spark, sf_dir))
-    )
+    bt = _mat_buckets(spark, sf_dir)
+    if spark.table("embeddings").count() > GATHER_SCORE_LIMIT:
+        # beyond the broadcast bound: per-bucket SQL join plan
+        return spark.sql(ann_topk_lsh_sql("spark", k=3, bt_rel=bt))
+    return ann_topk_lsh_spark(spark, k=3, bt_rel=bt)
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the brief's second scale path, r6): pivot coarse
-    quantizer + probe + per-cell exact cosine, fully in portable SQL —
-    the DuckDB twin runs the identical quantizer, so the gate checks
-    values end to end (`similarity.ann_topk_ivf_sql` tier notes).  The
-    ranked distance relation is MATERIALIZED once (same pattern as
-    `_mat_buckets`): inlined, Spark's CTE inlining ran the O(n·cells)
-    fold twice.  The k-means-quantizer wrapper is the production form,
+    quantizer + probe + per-cell exact cosine — the DuckDB twin runs
+    the identical quantizer in portable SQL, so the gate checks values
+    end to end (`similarity.ann_topk_ivf_sql` tier notes).
+
+    r7: the Spark side runs the vectorized kernel tier — the ranked
+    quantizer relation from `similarity.ivf_ranked_spark` (sequential-
+    fold numpy, bit-identical to `ivf_ranked_sql`, still materialized
+    once) and the pair cosines from the bounded gather scorer with the
+    identical SQL round/rank tail (`similarity.ann_topk_ivf_spark`).
+    Corpora beyond `vecops.GATHER_SCORE_LIMIT` keep the per-cell SQL
+    join plan.  The k-means-quantizer wrapper is the production form,
     recall-pinned in pytest."""
     from geostatssolvers_jl_spark.webtext.similarity import (
-        ann_topk_ivf_sql, ivf_ranked_sql,
+        ann_topk_ivf_spark, ann_topk_ivf_sql, ivf_ranked_spark,
     )
+    from geostatssolvers_jl_spark.webtext.vecops import GATHER_SCORE_LIMIT
 
     _register(spark, sf_dir, ("embeddings",))
-    rk = _materialize(
-        spark,
-        ivf_ranked_sql("spark", nprobe=6, pivot_mod=51)
-        + f"\n-- source: {sf_dir}",
-        "ivf_rk_mat",
+    rk = _materialize_any(
+        spark, f"ivf_rk_kernel:nprobe=6:mod=51:{sf_dir}", "ivf_rk_mat",
+        lambda: ivf_ranked_spark(spark, "embeddings", nprobe=6,
+                                 pivot_mod=51),
     )
-    return spark.sql(ann_topk_ivf_sql("spark", k=3, nprobe=6,
-                                      pivot_mod=51, rk_rel=rk))
+    if spark.table("embeddings").count() > GATHER_SCORE_LIMIT:
+        # beyond the broadcast bound: per-cell SQL join plan
+        return spark.sql(ann_topk_ivf_sql("spark", k=3, nprobe=6,
+                                          pivot_mod=51, rk_rel=rk))
+    return ann_topk_ivf_spark(spark, k=3, nprobe=6, rk_rel=rk)
 
 
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,18 +1466,18 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mat_km_assign(spark: SparkSession, sf_dir: str) -> str:
     """Materialized Lloyd assignment (vec_id, cid, d2_r) under the
     deterministic pivot quantizer — shared by the `kmeans_assign` entry
-    and as the step entry's `assign_rel` (inlined, Spark's CTE inlining
-    would re-run the O(n·k) distance fold; the `ivf_ranked_sql`
-    lesson).  sf-keyed like `_mat_sig`."""
+    and as the step entry's `assign_rel`.  r7: built by the vectorized
+    kernel (`clustering.kmeans_assign_spark`, bit-identical sequential
+    folds) with the SQL ``round(d2, 6)`` applied on top — the SQL
+    builder remains the oracle's form.  sf-keyed like `_mat_sig`."""
     from geostatssolvers_jl_spark.webtext.clustering import (
-        kmeans_assign_sql,
+        kmeans_assign_spark,
     )
 
-    return _materialize(
-        spark,
-        kmeans_assign_sql("spark", pivot_mod=31)
-        + f"\n-- source: {sf_dir}",
-        "km_assign_mat",
+    return _materialize_any(
+        spark, f"km_assign_kernel:mod=31:{sf_dir}", "km_assign_mat",
+        lambda: kmeans_assign_spark(spark, "embeddings", pivot_mod=31)
+        .selectExpr("vec_id", "cid", "round(d2, 6) AS d2_r"),
     )
 
 

@@ -12,7 +12,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = 32
+# default shuffle parallelism = 4× the session's core count (r7): the
+# old constant 32 happened to equal the bench core count — a local-mode
+# tuning smell — and underpartitioned wide aggregations (a 500M-row
+# dedup's per-task hash table exceeded its execution-memory share and
+# spilled).  4× cores gives AQE room to coalesce small stages down
+# (coalescePartitions is on) while wide stages get smaller per-task
+# state; clusters override via SPARK_SHUFFLE_PARTITIONS or session conf
+# exactly as before.
+DEFAULT_SHUFFLE_PARTITIONS = 0  # 0 → derive 4 × cores at session build
 
 
 def get_spark(
@@ -43,9 +51,10 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_parent}{os.pathsep}{pypath}" if pypath else pkg_parent
         )
+    ncores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
     sp = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
-    )
+    ) or 4 * ncores
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -55,7 +64,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode JVM = driver AND all executors: size the heap to the
+        # TASK count, not to a driver's usual footprint (guide §5).  8g
+        # across 32 concurrent tasks left ~150 MB of execution memory
+        # each — wide aggregations spilled every run.  ~0.75 GB/task,
+        # env-overridable; real clusters size spark.executor.memory
+        # instead and this conf reverts to a plain driver heap.
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_DRIVER_MEM", f"{max(8, (3 * ncores) // 4)}g"))
+        # small single-file parquet inputs otherwise scan as 1-2 tasks
+        # and every no-shuffle chain downstream (explode scoring, kernel
+        # mapInPandas) inherits that width.  16m splits a ~100 MB input
+        # across the local cores; production bulk scans override UP
+        # (512m-1g per guide §6) via SPARK_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get(
+            "SPARK_MAX_PARTITION_BYTES", "16m"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

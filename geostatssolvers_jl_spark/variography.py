@@ -49,10 +49,27 @@ from .variogram import (
 
 _VIEW_SEQ = itertools.count()
 
-_RING9 = (
-    "(SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), "
-    "(0, 1), (1, -1), (1, 0), (1, 1)) _d(dx, dy))"
-)
+# tile subdivision of the pair join (r7): tiles are maxlag/SUBDIV wide
+# and the left side replicates into the ±SUBDIV ring.  SUBDIV=1 is the
+# classic 9-cell ring; larger values trade a bounded ×(2m+1)² replication
+# of the (id, x, y, z) projection for (a) a tighter candidate set — the
+# ring box shrinks toward the |dx|,|dy| < maxlag minimum, e.g. at
+# maxlag=60 over ±180° the candidate fraction drops from ~50% of all
+# pairs (3 lat tiles ⇒ the ring covers EVERY latitude) to ~35% at m=4 —
+# and (b) (2m+1)²·more distinct join keys: 60° tiles gave 18 keys total,
+# so at most 18 tasks ever carried the whole O(candidate) expansion
+# (measured: the sf1.0 pair stage ran on ≤18 of 32 cores).  Pair-set
+# equality: h < maxlag ⇒ |dx|,|dy| < m·w ⇒ tile deltas ≤ m, covered by
+# the ring; the id inequality dedupes exactly as before.
+_SUBDIV = 4
+
+
+def _ring_table(m: int) -> str:
+    vals = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-m, m + 1) for dy in range(-m, m + 1)
+    )
+    return f"(SELECT * FROM (VALUES {vals}) _d(dx, dy))"
 
 
 def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
@@ -84,19 +101,20 @@ def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
             f"SELECT {cols} "
             f"FROM ({base}) p JOIN ({base}) q ON p._id < q._id"
         )
-    tx = f"CAST(floor(_x / {w!r}) AS BIGINT)"
-    ty = f"CAST(floor(_y / {w!r}) AS BIGINT)"
+    wt = w / _SUBDIV
+    tx = f"CAST(floor(_x / {wt!r}) AS BIGINT)"
+    ty = f"CAST(floor(_y / {wt!r}) AS BIGINT)"
     pts = f"SELECT _b.*, {tx} AS _tx, {ty} AS _ty FROM ({base}) _b"
-    # left side replicated to its 9-cell ring → the join is a pure hash
-    # equi-join on (tile_x, tile_y); p._id < q._id keeps each unordered
-    # pair exactly once (a pair seen from both replicas has opposite
-    # ring offsets, but only one side passes the id inequality — the
-    # OTHER side's replica lands on the same joined row, which the
+    # left side replicated to its ring (see _SUBDIV) → the join is a pure
+    # hash equi-join on (tile_x, tile_y); p._id < q._id keeps each
+    # unordered pair exactly once (a pair seen from both replicas has
+    # opposite ring offsets, but only one side passes the id inequality —
+    # the OTHER side's replica lands on the same joined row, which the
     # inequality dedupes because it appears with p and q SWAPPED).
     return (
         f"SELECT {cols} "
         f"FROM (SELECT _p.*, _p._tx + _d.dx AS _jx, _p._ty + _d.dy AS _jy "
-        f"      FROM ({pts}) _p CROSS JOIN {_RING9} _d) p "
+        f"      FROM ({pts}) _p CROSS JOIN {_ring_table(_SUBDIV)} _d) p "
         f"JOIN ({pts}) q ON q._tx = p._jx AND q._ty = p._jy "
         f"AND p._id < q._id"
     )

@@ -284,3 +284,25 @@ def kmeans_fit_spark(spark, emb_df, n_centroids: int | None = None,
         spark.catalog.dropTempView(erel)
     return KMeansResult(centroids=cent, sizes=sizes, inertia=inertia,
                         n_iter=it)
+
+
+def kmeans_assign_spark(spark, emb_rel: str = "embeddings",
+                        pivot_mod: int = 31, dim: int = DIM):
+    """Kernel twin of `kmeans_assign_sql` (r7): (vec_id, cid, d2) via
+    `vecops.ranked_cells` at nprobe=1 — the same sequential-fold d2 and
+    (d2, cid) argmin, numpy-vectorized.  The caller applies the SQL
+    ``round(d2, 6)`` (rounding never happens in Python); the SQL
+    builder above remains the oracle's form."""
+    from .similarity import ivf_ranked_spark  # noqa: F401  (doc link)
+    from .vecops import ranked_cells
+
+    import numpy as np
+
+    cent = spark.sql(
+        f"SELECT vec_id, embedding FROM {emb_rel} "
+        f"WHERE vec_id % {int(pivot_mod)} = 0 ORDER BY vec_id"
+    ).toPandas()
+    cids = cent["vec_id"].to_numpy(dtype=np.int64)
+    C = np.asarray(list(cent["embedding"]), dtype=np.float64)
+    return ranked_cells(spark, spark.table(emb_rel), cids, C,
+                        nprobe=1, keep_d2=True)

@@ -634,3 +634,164 @@ def ann_topk_ivf(spark, emb_df, k: int = 3,
     for v in (erel, crel):
         spark.catalog.dropTempView(v)
     return out
+
+
+# ------------------------------------------------------------- r7 fast tier
+# Vectorized Spark-side twins of the bucketed ANN queries.  The SQL
+# builders above stay the single source of truth for the ORACLE (and the
+# unbounded fallback); these produce bit-identical rows by moving only
+# the per-pair fold into `vecops`' sequential-order numpy kernels —
+# candidate generation, rounding and ranking remain Spark SQL.
+
+
+def collect_emb_matrix(spark, emb_rel: str = "embeddings"):
+    """(sorted ids, float64 matrix) of ``emb_rel`` via one Arrow
+    transfer; None when the corpus exceeds the gather-scorer bound
+    (callers then keep the per-bucket join plan — see
+    `vecops.GATHER_SCORE_LIMIT` for the scale posture)."""
+    import numpy as np
+
+    from .vecops import GATHER_SCORE_LIMIT
+
+    if spark.table(emb_rel).count() > GATHER_SCORE_LIMIT:
+        return None
+    pdf = spark.sql(
+        f"SELECT vec_id, embedding FROM {emb_rel}").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    E = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], E[order]
+
+
+def _dot_chain(a: str, b: str, dim: int = DIM) -> str:
+    """Expanded, whole-stage-codegen-friendly spelling of `_dot_sql`'s
+    fold: ``0.0 + a[0]*b[0] + a[1]*b[1] + ...``.  Left-associated
+    addition replays the fold's exact accumulation sequence — including
+    the leading ``0.0 + t0`` step, which matters when ``t0`` is −0.0 —
+    so every partial sum (hence the result) is bit-identical, while the
+    expression compiles to straight-line JVM code instead of the
+    interpreted per-element closures of `aggregate(zip_with(...))`
+    (measured ~10 µs/pair interpreted on 64 dims).  Safe OUTSIDE window
+    stages; the folded spelling stays for contexts where the expanded
+    chain would blow the Janino method limit (see `_cos_sql`)."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _fast_rank_tail(spark, cand, emb_rel: str, k: int, dim: int = DIM):
+    """DISTINCT → exact cosine → window top-k over a candidate-pair
+    DataFrame that is ALREADY hash-partitioned by ``qid``.
+
+    The whole point of the fast tier is that hash(qid) satisfies the
+    clustering requirement of every downstream operator — the DISTINCT
+    on (qid, nid), the broadcast embedding joins, and the rank window —
+    so the pair stream (hundreds of millions of rows at sf1.0) never
+    crosses an Exchange: each task dedupes and ranks its own qid range
+    (measured: the same DISTINCT as a global hash aggregate spilled for
+    ~270 s; per-task it is seconds).  Cosine text is the verbatim
+    `_dot_sql`/`_norm_sql` spelling, so values (and the round/rank) are
+    bit-identical to the SQL twin."""
+    from pyspark.sql import functions as F
+
+    emb = spark.sql(
+        f"SELECT vec_id, e, sqrt({_dot_chain('e', 'e', dim)}) AS nrm "
+        f"FROM {_emb_double('spark', emb_rel, 'e')} _ed")
+    q = emb.select(F.col("vec_id").alias("_qv"), F.col("e").alias("qe"),
+                   F.col("nrm").alias("qnrm"))
+    d = emb.select(F.col("vec_id").alias("_dv"), F.col("e").alias("de"),
+                   F.col("nrm").alias("dnrm"))
+    cos = f"round(({_dot_chain('qe', 'de', dim)}) / (qnrm * dnrm), 6)"
+    scored = (
+        cand.distinct()
+        .join(F.broadcast(q), F.col("qid") == F.col("_qv"))
+        .join(F.broadcast(d), F.col("nid") == F.col("_dv"))
+        .select("qid", "nid", F.expr(cos).alias("cos_sim"))
+    )
+    seq = next(_AUTO_VIEW_SEQ)
+    rel = f"_ann_scored_{seq}"
+    scored.createOrReplaceTempView(rel)
+    return spark.sql(f"""
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM {rel} _i
+) _r WHERE rank <= {int(k)}""")
+
+
+def ann_topk_lsh_spark(spark, k: int = 3, n_planes: int = 5,
+                       bt_rel: str = "bt_mat",
+                       emb_rel: str = "embeddings", dim: int = DIM):
+    """Fast twin of `ann_topk_lsh_sql` (bounded tier: the bucket table
+    and embeddings broadcast — callers gate on corpus size): the probe
+    side is repartitioned by query id FIRST, the bucket join broadcasts
+    the materialized (vec_id, tbl, bucket) relation, and the shared
+    exchange-free tail dedupes/scores/ranks per task."""
+    from pyspark.sql import functions as F
+
+    nparts = 4 * spark.sparkContext.defaultParallelism
+    probes = (
+        spark.sql(_probe_union(n_planes, "spark").replace("_bt", bt_rel))
+        .repartition(nparts, "vec_id")
+    )
+    bt = spark.table(bt_rel).select(
+        F.col("vec_id").alias("_bv"), F.col("tbl").alias("_bt_t"),
+        F.col("bucket").alias("_bt_b"))
+    cand = (
+        probes.join(
+            F.broadcast(bt),
+            (F.col("tbl") == F.col("_bt_t"))
+            & (F.col("probe") == F.col("_bt_b"))
+            & (F.col("vec_id") != F.col("_bv")))
+        .select(F.col("vec_id").alias("qid"), F.col("_bv").alias("nid"))
+    )
+    return _fast_rank_tail(spark, cand, emb_rel, k, dim)
+
+
+def ann_topk_ivf_spark(spark, k: int = 3, nprobe: int = 4,
+                       rk_rel: str = "ivf_rk_mat",
+                       emb_rel: str = "embeddings", dim: int = DIM):
+    """Fast twin of `ann_topk_ivf_sql` over a pre-materialized ranked
+    relation: probes (rkc ≤ nprobe) repartitioned by query id, the
+    rkc=1 assignment broadcast, then the shared exchange-free tail."""
+    from pyspark.sql import functions as F
+
+    nparts = 4 * spark.sparkContext.defaultParallelism
+    probes = (
+        spark.sql(f"SELECT vec_id, cid FROM {rk_rel} "
+                  f"WHERE rkc <= {int(nprobe)}")
+        .repartition(nparts, "vec_id")
+    )
+    assign = spark.sql(
+        f"SELECT vec_id AS _av, cid AS _ac FROM {rk_rel} WHERE rkc = 1")
+    cand = (
+        probes.join(
+            F.broadcast(assign),
+            (F.col("cid") == F.col("_ac"))
+            & (F.col("vec_id") != F.col("_av")))
+        .select(F.col("vec_id").alias("qid"), F.col("_av").alias("nid"))
+    )
+    return _fast_rank_tail(spark, cand, emb_rel, k, dim)
+
+
+def ivf_ranked_spark(spark, emb_rel: str = "embeddings",
+                     nprobe: int = 4, pivot_mod: int = 31,
+                     dim: int = DIM):
+    """Kernel twin of `ivf_ranked_sql`: the (vec_id, cid, rkc ≤ nprobe)
+    ranked vector→cell relation under the pivot quantizer, computed by
+    `vecops.ranked_cells` (sequential-fold d2, (d2, cid) tie-break) —
+    bit-identical rows, O(n·k) numpy instead of the interpreted SQL
+    fold on however many tasks the scan produced.  The centroid collect
+    is bounded by the quantizer size (the production tier's k-means
+    keeps it ≈ √n; the pivot tier is the gate shape)."""
+    from .vecops import ranked_cells
+
+    cent = spark.sql(
+        f"SELECT vec_id, embedding FROM {emb_rel} "
+        f"WHERE vec_id % {int(pivot_mod)} = 0 ORDER BY vec_id"
+    ).toPandas()
+    import numpy as np
+
+    cids = cent["vec_id"].to_numpy(dtype=np.int64)
+    C = np.asarray(list(cent["embedding"]), dtype=np.float64)
+    return ranked_cells(spark, spark.table(emb_rel), cids, C, nprobe)
