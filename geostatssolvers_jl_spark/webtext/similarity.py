@@ -664,16 +664,17 @@ def collect_emb_matrix(spark, emb_rel: str = "embeddings"):
 
 
 def _dot_chain(a: str, b: str, dim: int = DIM) -> str:
-    """Expanded, whole-stage-codegen-friendly spelling of `_dot_sql`'s
-    fold: ``0.0 + a[0]*b[0] + a[1]*b[1] + ...``.  Left-associated
-    addition replays the fold's exact accumulation sequence — including
-    the leading ``0.0 + t0`` step, which matters when ``t0`` is −0.0 —
-    so every partial sum (hence the result) is bit-identical, while the
-    expression compiles to straight-line JVM code instead of the
-    interpreted per-element closures of `aggregate(zip_with(...))`
-    (measured ~10 µs/pair interpreted on 64 dims).  Safe OUTSIDE window
-    stages; the folded spelling stays for contexts where the expanded
-    chain would blow the Janino method limit (see `_cos_sql`)."""
+    """Expanded spelling of `_dot_sql`'s fold: ``0.0 + a[0]*b[0] + ...``
+    — bit-identical (left-associated addition replays the fold's exact
+    accumulation sequence, including the leading ``0.0 + t0`` step,
+    which matters when ``t0`` is −0.0) but REJECTED for execution and
+    kept only as the bit-equality test fixture: an interleaved A/B on
+    20M pairs measured the expanded chain 5.5× SLOWER than the fold
+    (51–70 s vs 9–17 s) — the 64-term tree pushes the generated stage
+    past HotSpot's JIT method limit, so it runs as interpreted bytecode,
+    while the `aggregate(zip_with(...))` fold's fallback loop is
+    comparatively tight.  This re-confirms `_cos_sql`'s r6 rejection
+    from the projection side."""
     terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
     return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
@@ -694,13 +695,13 @@ def _fast_rank_tail(spark, cand, emb_rel: str, k: int, dim: int = DIM):
     from pyspark.sql import functions as F
 
     emb = spark.sql(
-        f"SELECT vec_id, e, sqrt({_dot_chain('e', 'e', dim)}) AS nrm "
+        f"SELECT vec_id, e, {_norm_sql('spark', 'e', dim)} AS nrm "
         f"FROM {_emb_double('spark', emb_rel, 'e')} _ed")
     q = emb.select(F.col("vec_id").alias("_qv"), F.col("e").alias("qe"),
                    F.col("nrm").alias("qnrm"))
     d = emb.select(F.col("vec_id").alias("_dv"), F.col("e").alias("de"),
                    F.col("nrm").alias("dnrm"))
-    cos = f"round(({_dot_chain('qe', 'de', dim)}) / (qnrm * dnrm), 6)"
+    cos = f"round(({_dot_sql('spark', 'qe', 'de', dim)}) / (qnrm * dnrm), 6)"
     scored = (
         cand.distinct()
         .join(F.broadcast(q), F.col("qid") == F.col("_qv"))
