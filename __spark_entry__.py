@@ -821,6 +821,11 @@ HAV_DD = Haversine(6371.0).sql(("q.lon", "q.lat"), ("d.lon", "d.lat"))
 
 
 LOO_IDW_K = 5
+# below this the brute O(n²) pair window (≤ 1e8 pairs, one broadcast
+# join + one window) finishes in ~2 s — under the tiled ladder's fixed
+# multi-pass cost (~6 actions, measured ~3.7 s at 5k points); above it
+# the ladder's O(n·ring) wins and keeps winning forever (24× at 50k)
+LOO_BRUTE_LIMIT = 10_000
 
 
 def q_loo_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,9 +851,14 @@ def q_loo_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geostatssolvers_jl_spark.neighbors import knn_join_tiled_exact
     from geostatssolvers_jl_spark.planner import choose_tile_res
 
+    from geostatssolvers_jl_spark.validation import loo_idw_sql
+
     _register(spark, sf_dir, ("documents",))
     pts = spark.sql(f"SELECT * FROM {_pages_xyz()} _p")
-    res = choose_tile_res(pts.count())
+    n = pts.count()
+    if n < LOO_BRUTE_LIMIT:
+        return spark.sql(loo_idw_sql(_pages_xyz(), HAV_DD, k=LOO_IDW_K))
+    res = choose_tile_res(n)
     pairs = knn_join_tiled_exact(
         pts.selectExpr("data_id AS target_id", "lon", "lat"),
         pts.select("data_id", "lon", "lat"),
@@ -982,21 +992,28 @@ def q_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
+    """Brute-force cosine top-3 neighbors for the first 20 query vectors.
+
+    r7: ‖v‖ is precomputed once per VECTOR instead of once per pair
+    (the `similarity._norm_sql` precompute rule — the quotient divides
+    the same two sqrt values either way, so every cosine is
+    bit-identical), the 20-row query side is broadcast, and the index
+    side is spread with a REPARTITION hint (the single-file embeddings
+    scan otherwise ran the whole pair fold on one task)."""
     _register(spark, sf_dir, ("embeddings",))
+    nparts = spark.sparkContext.defaultParallelism
     spark.sql(
-        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
-        "FROM embeddings"
+        "SELECT vec_id, e, sqrt(aggregate(zip_with(e, e, (a, b) -> a * b),"
+        " 0.0D, (acc, x) -> acc + x)) AS nrm FROM "
+        "(SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings) _e"
     ).createOrReplaceTempView("emb_d")
     dot = "aggregate(zip_with(q.e, d.e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
-    nrm = (
-        "sqrt(aggregate(zip_with(q.e, q.e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)) * "
-        "sqrt(aggregate(zip_with(d.e, d.e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"
-    )
     inner = (
-        f"SELECT q.vec_id AS qid, d.vec_id AS nid, "
-        f"round(({dot}) / ({nrm}), 6) + 0.0 AS cos_sim "
-        f"FROM emb_d q CROSS JOIN emb_d d "
+        f"SELECT /*+ BROADCAST(q) */ q.vec_id AS qid, d.vec_id AS nid, "
+        f"round(({dot}) / (q.nrm * d.nrm), 6) + 0.0 AS cos_sim "
+        f"FROM emb_d q CROSS JOIN "
+        f"(SELECT /*+ REPARTITION({nparts}) */ * FROM emb_d) d "
         f"WHERE q.vec_id < 20 AND q.vec_id <> d.vec_id"
     )
     ranked = (
@@ -1398,8 +1415,13 @@ def _mat_buckets(spark: SparkSession, sf_dir: str) -> str:
     return _materialize_any(
         spark, sql, "bt_mat",
         lambda: spark.sql(sql).repartition(
-            4 * spark.sparkContext.defaultParallelism),
+            spark.sparkContext.defaultParallelism),
     )
+
+
+# LSH candidate volume grows ~n²/2^planes: below this the whole plain
+# SQL plan is ~1 s and the fast tier's fixed costs dominate
+ANN_FAST_MIN = 10_000
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,8 +1440,12 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, ("embeddings",))
     bt = _mat_buckets(spark, sf_dir)
-    if spark.table("embeddings").count() > GATHER_SCORE_LIMIT:
-        # beyond the broadcast bound: per-bucket SQL join plan
+    n = spark.table("embeddings").count()
+    if not ANN_FAST_MIN <= n <= GATHER_SCORE_LIMIT:
+        # tiny corpora: the candidate set is small enough that the plain
+        # SQL plan beats the fast tier's fixed costs (repartition +
+        # broadcasts — measured 1.9 s vs 3.2 s at 2k vectors); huge
+        # corpora: beyond the broadcast bound, per-bucket join plan
         return spark.sql(ann_topk_lsh_sql("spark", k=3, bt_rel=bt))
     return ann_topk_lsh_spark(spark, k=3, bt_rel=bt)
 
@@ -2305,6 +2331,19 @@ def q_indicator_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
 IK_ZMIN, IK_ZMAX = 0.0, 1.0  # the fixture's data extremes
 
 
+def _mat_ik_ccdf(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the indicator-kriging ccdf ONCE for its two postik
+    consumers (`etype_estimate`, `quantile_map`) — each otherwise
+    re-runs the full per-threshold OK solve just to integrate/invert
+    the same ccdf relation (the `_mat_zonal_cells` recipe: solve once,
+    aggregate many).  `q_indicator_kriging` itself stays a fresh
+    solve.  sf-keyed like `_mat_sig`."""
+    return _materialize_any(
+        spark, f"ik_ccdf:{IK_THRESHOLDS}:{sf_dir}", "ik_ccdf_mat",
+        lambda: q_indicator_kriging(spark, sf_dir),
+    )
+
+
 def q_etype_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E-type (conditional-mean) estimate from the indicator-kriging
     ccdf (GSLIB postik semantics, `operators/indicator.etype_sql`):
@@ -2313,14 +2352,9 @@ def q_etype_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same text over its own Cramer-recomputed ccdf."""
     from geostatssolvers_jl_spark.operators.indicator import etype_sql
 
-    ccdf = q_indicator_kriging(spark, sf_dir)
-    seq = next(_ETYPE_SEQ)
-    rel = f"_etype_ccdf_{seq}"
-    ccdf.createOrReplaceTempView(rel)
-    out = spark.sql(etype_sql(rel, IK_THRESHOLDS, IK_ZMIN, IK_ZMAX,
-                              quantized=True))
-    spark.catalog.dropTempView(rel)
-    return out
+    rel = _mat_ik_ccdf(spark, sf_dir)
+    return spark.sql(etype_sql(rel, IK_THRESHOLDS, IK_ZMIN, IK_ZMAX,
+                               quantized=True))
 
 
 _ETYPE_SEQ = __import__("itertools").count()
@@ -2333,14 +2367,9 @@ def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-units — floor of an integer ratio, zero rounding tolerance)."""
     from geostatssolvers_jl_spark.operators.indicator import quantile_sql
 
-    ccdf = q_indicator_kriging(spark, sf_dir)
-    seq = next(_ETYPE_SEQ)
-    rel = f"_qmap_ccdf_{seq}"
-    ccdf.createOrReplaceTempView(rel)
-    out = spark.sql(quantile_sql(rel, IK_THRESHOLDS, 0.5, IK_ZMIN,
-                                 IK_ZMAX))
-    spark.catalog.dropTempView(rel)
-    return out
+    rel = _mat_ik_ccdf(spark, sf_dir)
+    return spark.sql(quantile_sql(rel, IK_THRESHOLDS, 0.5, IK_ZMIN,
+                                  IK_ZMAX))
 
 
 def _quantile_map_oracle() -> str:

@@ -66,7 +66,13 @@ def main():
     from geostatssolvers_jl_spark.session import get_spark
 
     spark = get_spark("bench_extra", master=f"local[{args.cpus}]")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    # the headline is timed by bench._pipeline, not a queries() entry —
+    # expose it here under the same name for noop/subset timing
+    import bench as _bench
+
+    qs["kriging_pipeline"] = (
+        lambda sp, sf: _bench._pipeline(sp, sf))
     timings: dict[str, float] = {}
     for name in names:
         if args.explain:

@@ -12,15 +12,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# default shuffle parallelism = 4× the session's core count (r7): the
-# old constant 32 happened to equal the bench core count — a local-mode
-# tuning smell — and underpartitioned wide aggregations (a 500M-row
-# dedup's per-task hash table exceeded its execution-memory share and
-# spilled).  4× cores gives AQE room to coalesce small stages down
-# (coalescePartitions is on) while wide stages get smaller per-task
-# state; clusters override via SPARK_SHUFFLE_PARTITIONS or session conf
-# exactly as before.
-DEFAULT_SHUFFLE_PARTITIONS = 0  # 0 → derive 4 × cores at session build
+# default shuffle parallelism = the session's core count, DERIVED from
+# the master string (r7): the old literal 32 merely coincided with the
+# bench core count.  A 4× default was tried and measured: it cost the
+# multi-pass tiled kNN ladder ~0.8-1 s of pure task overhead per entry
+# at sf0.1 (knn_join_tiled 1.81 s at 1× vs 2.64 s at 4×, min-of-3
+# A/B) and bought nothing at sf1.0 once the candidate-ranking redesign
+# removed the only wide exchange (its probe repartition carries its own
+# explicit 4× factor).  Clusters override via SPARK_SHUFFLE_PARTITIONS
+# or session conf exactly as before; AQE coalescing stays on.
+DEFAULT_SHUFFLE_PARTITIONS = 0  # 0 → derive from the master's core count
 
 
 def get_spark(
@@ -54,7 +55,7 @@ def get_spark(
     ncores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
     sp = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
-    ) or 4 * ncores
+    ) or ncores
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
