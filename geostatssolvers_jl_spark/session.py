@@ -52,7 +52,10 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_parent}{os.pathsep}{pypath}" if pypath else pkg_parent
         )
-    ncores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
+    try:  # "local[32]" → 32; "local[*]" / cluster masters → os cpus
+        ncores = int(master.split("[")[1].rstrip("]"))
+    except (IndexError, ValueError):
+        ncores = os.cpu_count() or 8
     sp = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     ) or ncores
