@@ -726,8 +726,23 @@ def ann_topk_lsh_spark(spark, k: int = 3, n_planes: int = 5,
     """Fast twin of `ann_topk_lsh_sql` (bounded tier: the bucket table
     and embeddings broadcast — callers gate on corpus size): the probe
     side is repartitioned by query id FIRST, the bucket join broadcasts
-    the materialized (vec_id, tbl, bucket) relation, and the shared
-    exchange-free tail dedupes/scores/ranks per task."""
+    the materialized (vec_id, tbl, bucket) relation, and dedup/score/
+    partial-rank all run per task.
+
+    The candidate join keeps only ``p.vec_id < d.vec_id`` — HALF the
+    fold evaluations of the directional SQL twin, with exact coverage
+    because sign-LSH collision is symmetric WITHIN a table (equal
+    buckets trivially; Hamming-1 probes because b = a xor bit ⟺
+    a = b xor bit — verified numerically at sf1.0: 172,007,278
+    directional pairs = exactly 2 × 86,003,639 unordered).  Every
+    surviving copy of pair (a, b) comes from a's probe rows, so the
+    per-task DISTINCT under hash(qid) stays globally correct; the
+    missing direction is re-emitted by a swap-EXPLODE of the scored row
+    (a projection — the cosine is computed once, and the swapped
+    division/products are bit-identical because IEEE * is commutative
+    in its operands).  The rank window then restores per-query order;
+    Spark's partial WindowGroupLimit prunes each task to ≤k rows per
+    query before the one small rank exchange."""
     from pyspark.sql import functions as F
 
     nparts = 4 * spark.sparkContext.defaultParallelism
@@ -743,10 +758,37 @@ def ann_topk_lsh_spark(spark, k: int = 3, n_planes: int = 5,
             F.broadcast(bt),
             (F.col("tbl") == F.col("_bt_t"))
             & (F.col("probe") == F.col("_bt_b"))
-            & (F.col("vec_id") != F.col("_bv")))
+            & (F.col("vec_id") < F.col("_bv")))
         .select(F.col("vec_id").alias("qid"), F.col("_bv").alias("nid"))
     )
-    return _fast_rank_tail(spark, cand, emb_rel, k, dim)
+    emb = spark.sql(
+        f"SELECT vec_id, e, {_norm_sql('spark', 'e', dim)} AS nrm "
+        f"FROM {_emb_double('spark', emb_rel, 'e')} _ed")
+    q = emb.select(F.col("vec_id").alias("_qv"), F.col("e").alias("qe"),
+                   F.col("nrm").alias("qnrm"))
+    d = emb.select(F.col("vec_id").alias("_dv"), F.col("e").alias("de"),
+                   F.col("nrm").alias("dnrm"))
+    cos = f"round(({_dot_sql('spark', 'qe', 'de', dim)}) / (qnrm * dnrm), 6)"
+    scored = (
+        cand.distinct()
+        .join(F.broadcast(q), F.col("qid") == F.col("_qv"))
+        .join(F.broadcast(d), F.col("nid") == F.col("_dv"))
+        .select("qid", "nid", F.expr(cos).alias("cos_sim"))
+    )
+    both = scored.selectExpr(
+        "explode(array(named_struct('q', qid, 'n', nid), "
+        "named_struct('q', nid, 'n', qid))) AS _s", "cos_sim"
+    ).selectExpr("_s.q AS qid", "_s.n AS nid", "cos_sim")
+    seq = next(_AUTO_VIEW_SEQ)
+    rel = f"_ann_scored_{seq}"
+    both.createOrReplaceTempView(rel)
+    return spark.sql(f"""
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM {rel} _i
+) _r WHERE rank <= {int(k)}""")
 
 
 def ann_topk_ivf_spark(spark, k: int = 3, nprobe: int = 4,
