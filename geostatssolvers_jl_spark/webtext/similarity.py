@@ -679,21 +679,46 @@ def _dot_chain(a: str, b: str, dim: int = DIM) -> str:
     return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
-def _fast_rank_tail(spark, cand, emb_rel: str, k: int, dim: int = DIM):
-    """DISTINCT → exact cosine → window top-k over a candidate-pair
-    DataFrame that is ALREADY hash-partitioned by ``qid``.
+def _score_distinct_pairs(spark, cand, emb_rel: str, dim: int = DIM,
+                          gather: bool = True):
+    """DISTINCT (qid, nid) candidate pairs → (qid, nid, cos_sim).
 
-    The whole point of the fast tier is that hash(qid) satisfies the
-    clustering requirement of every downstream operator — the DISTINCT
-    on (qid, nid), the broadcast embedding joins, and the rank window —
-    so the pair stream (hundreds of millions of rows at sf1.0) never
-    crosses an Exchange: each task dedupes and ranks its own qid range
+    Scoring tier (r7, interleaved min-of-3 on the 86M-unordered-pair
+    sf1.0 shape): the bounded GATHER KERNEL
+    (`vecops.gather_score_pairs` — mapInPandas over only the pair ids,
+    with the ≤`GATHER_SCORE_LIMIT`-row corpus matrix riding the task
+    closure; at 20k×64 doubles the matrix is 10 MB, cache-resident)
+    measured **23.7 s vs 50.2 s** for the interpreted
+    ``aggregate(zip_with())`` fold, with ROW-IDENTICAL output (0 diffs
+    over the full 60k-row entry result).  The kernel replays the fold's
+    exact FP sequence (bitwise-pinned by tests/test_vecops.py) and the
+    ``round(..., 6)`` stays in SQL on the bit-identical raw value.
+    Corpora beyond the bound (`collect_emb_matrix` → None) keep the
+    broadcast-join fold — same rows, the 100-TB-posture plan.
+
+    ``gather=False`` skips the kernel outright: at the IVF tail's much
+    smaller pair volume the kernel's fixed costs (corpus count +
+    toPandas + the Arrow pair round-trip) outweigh the fold — two
+    interleaved entry-level A/Bs at sf1.0 measured fold 3.2–3.5 s vs
+    gather 4.1–5.0 s min-of-N, so `_fast_rank_tail` keeps the fold
+    while the LSH path (86M pairs) uses the kernel.
+
+    Either way the dedupe/score stage stays exchange-free: ``cand`` is
+    hash-partitioned by qid upstream, so the DISTINCT runs per task
     (measured: the same DISTINCT as a global hash aggregate spilled for
-    ~270 s; per-task it is seconds).  Cosine text is the verbatim
-    `_dot_sql`/`_norm_sql` spelling, so values (and the round/rank) are
-    bit-identical to the SQL twin."""
+    ~270 s; per-task it is seconds), and mapInPandas is narrow.  The
+    rank window downstream pays its one small exchange after the
+    partial WindowGroupLimit prune exactly as before — losing the
+    partitioning attribute across the Python boundary costs nothing."""
     from pyspark.sql import functions as F
 
+    mat = collect_emb_matrix(spark, emb_rel) if gather else None
+    if mat is not None:
+        from .vecops import gather_score_pairs
+
+        raw = gather_score_pairs(spark, cand.distinct(), mat[0], mat[1])
+        return raw.selectExpr("qid", "nid",
+                              "round(c_raw, 6) AS cos_sim")
     emb = spark.sql(
         f"SELECT vec_id, e, {_norm_sql('spark', 'e', dim)} AS nrm "
         f"FROM {_emb_double('spark', emb_rel, 'e')} _ed")
@@ -702,12 +727,25 @@ def _fast_rank_tail(spark, cand, emb_rel: str, k: int, dim: int = DIM):
     d = emb.select(F.col("vec_id").alias("_dv"), F.col("e").alias("de"),
                    F.col("nrm").alias("dnrm"))
     cos = f"round(({_dot_sql('spark', 'qe', 'de', dim)}) / (qnrm * dnrm), 6)"
-    scored = (
+    return (
         cand.distinct()
         .join(F.broadcast(q), F.col("qid") == F.col("_qv"))
         .join(F.broadcast(d), F.col("nid") == F.col("_dv"))
         .select("qid", "nid", F.expr(cos).alias("cos_sim"))
     )
+
+
+def _fast_rank_tail(spark, cand, emb_rel: str, k: int, dim: int = DIM):
+    """DISTINCT → exact cosine → window top-k over a candidate-pair
+    DataFrame that is ALREADY hash-partitioned by ``qid``.
+
+    The whole point of the fast tier is that hash(qid) satisfies the
+    clustering requirement of the per-task DISTINCT on (qid, nid) (see
+    `_score_distinct_pairs` for the scoring tiers and measurements);
+    the pair stream (hundreds of millions of rows at sf1.0) never
+    crosses an Exchange before the small post-prune rank exchange."""
+    scored = _score_distinct_pairs(spark, cand, emb_rel, dim,
+                                   gather=False)
     seq = next(_AUTO_VIEW_SEQ)
     rel = f"_ann_scored_{seq}"
     scored.createOrReplaceTempView(rel)
@@ -761,20 +799,7 @@ def ann_topk_lsh_spark(spark, k: int = 3, n_planes: int = 5,
             & (F.col("vec_id") < F.col("_bv")))
         .select(F.col("vec_id").alias("qid"), F.col("_bv").alias("nid"))
     )
-    emb = spark.sql(
-        f"SELECT vec_id, e, {_norm_sql('spark', 'e', dim)} AS nrm "
-        f"FROM {_emb_double('spark', emb_rel, 'e')} _ed")
-    q = emb.select(F.col("vec_id").alias("_qv"), F.col("e").alias("qe"),
-                   F.col("nrm").alias("qnrm"))
-    d = emb.select(F.col("vec_id").alias("_dv"), F.col("e").alias("de"),
-                   F.col("nrm").alias("dnrm"))
-    cos = f"round(({_dot_sql('spark', 'qe', 'de', dim)}) / (qnrm * dnrm), 6)"
-    scored = (
-        cand.distinct()
-        .join(F.broadcast(q), F.col("qid") == F.col("_qv"))
-        .join(F.broadcast(d), F.col("nid") == F.col("_dv"))
-        .select("qid", "nid", F.expr(cos).alias("cos_sim"))
-    )
+    scored = _score_distinct_pairs(spark, cand, emb_rel, dim)
     both = scored.selectExpr(
         "explode(array(named_struct('q', qid, 'n', nid), "
         "named_struct('q', nid, 'n', qid))) AS _s", "cos_sim"
