@@ -120,16 +120,38 @@ def pruned_count_sql(dialect: str, train_rel: str,
 
 def _score_ctes(dialect: str, train_rel: str, score_rel: str,
                 cnt_rel: str | None,
-                vocab_topk: int | None) -> str:
+                vocab_topk: int | None,
+                match_rel: str | None = None) -> str:
     """The shared train + score CTE chain (everything up to ``_ranked``)
     — `langid_model_sql` (argmax tail) and `lm_quality_sql` (fluency
     tail) differ only in their final SELECT.  See `langid_model_sql`
-    for the full design notes."""
+    for the full design notes.
+
+    ``match_rel``: optional pre-computed ``(doc_id, lang, msum)``
+    relation substituting the ``_tgs``/``_madj``/``_match`` sub-chain
+    (the kernel tier — see `match_scores_kernel`); the ORACLE never
+    passes it, so the oracle text is unchanged."""
     cnt_src = (
         f"SELECT lang, tg, c FROM {cnt_rel}" if cnt_rel else
         pruned_count_sql(dialect, train_rel, vocab_topk)
     )
     tgs_src = trigram_select(dialect, score_rel, "doc_id")
+    if match_rel is not None:
+        match_chain = f"""_match AS (
+  SELECT doc_id, lang, msum FROM {match_rel}
+)"""
+    else:
+        match_chain = f"""_tgs AS (
+  {tgs_src}
+), _madj AS (
+  SELECT m.lang, m.tg, m.lp - f.lp0 AS dlp
+  FROM _model m JOIN _floor f ON m.lang = f.lang
+), _match AS (
+  SELECT /*+ BROADCAST(a) */
+         g.doc_id, a.lang, CAST(sum(a.dlp) AS BIGINT) AS msum
+  FROM _tgs g JOIN _madj a ON a.tg = g.tg
+  GROUP BY g.doc_id, a.lang
+)"""
     return f"""
 WITH _cnt AS (
   {cnt_src}
@@ -152,17 +174,7 @@ WITH _cnt AS (
   CROSS JOIN _voc v
   CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS td
               FROM {train_rel}) td
-), _tgs AS (
-  {tgs_src}
-), _madj AS (
-  SELECT m.lang, m.tg, m.lp - f.lp0 AS dlp
-  FROM _model m JOIN _floor f ON m.lang = f.lang
-), _match AS (
-  SELECT /*+ BROADCAST(a) */
-         g.doc_id, a.lang, CAST(sum(a.dlp) AS BIGINT) AS msum
-  FROM _tgs g JOIN _madj a ON a.tg = g.tg
-  GROUP BY g.doc_id, a.lang
-), _full AS (
+), {match_chain}, _full AS (
   -- ntg (the per-doc trigram count) is a pure projection of the score
   -- corpus (length - 2, floored at 0): an earlier _doc_n CTE derived it
   -- by re-aggregating _tgs, and Spark's CTE inlining ran the score-side
@@ -188,7 +200,8 @@ WITH _cnt AS (
 def langid_model_sql(dialect: str, train_rel: str = "documents",
                      score_rel: str | None = None,
                      cnt_rel: str | None = None,
-                     vocab_topk: int | None = DEFAULT_VOCAB_TOPK) -> str:
+                     vocab_topk: int | None = DEFAULT_VOCAB_TOPK,
+                     match_rel: str | None = None) -> str:
     """One self-contained query: train on ``train_rel`` (doc_id, text,
     lang), score every ``score_rel`` document (defaults to the training
     corpus, the exactness-gate shape) → (doc_id, pred_lang, score_micro).
@@ -223,7 +236,8 @@ def langid_model_sql(dialect: str, train_rel: str = "documents",
     keeps the inline CTEs (with the identical top-K window), which
     DuckDB evaluates once."""
     score_rel = score_rel or train_rel
-    ctes = _score_ctes(dialect, train_rel, score_rel, cnt_rel, vocab_topk)
+    ctes = _score_ctes(dialect, train_rel, score_rel, cnt_rel, vocab_topk,
+                       match_rel)
     return (ctes + "\nSELECT doc_id, lang AS pred_lang, score_micro "
             "FROM _ranked WHERE rk = 1")
 
@@ -244,7 +258,8 @@ def lm_quality_sql(dialect: str, train_rel: str = "documents",
                    score_rel: str | None = None,
                    cnt_rel: str | None = None,
                    vocab_topk: int | None = DEFAULT_VOCAB_TOPK,
-                   threshold_micro: int = DEFAULT_FLUENCY_MICRO) -> str:
+                   threshold_micro: int = DEFAULT_FLUENCY_MICRO,
+                   match_rel: str | None = None) -> str:
     """Model-based quality filtering (the perplexity tier of the quality
     ladder; `textstats._text_quality_sql` is the heuristic tier): score
     every ``score_rel`` document by its NB log-likelihood under the best
@@ -262,7 +277,8 @@ def lm_quality_sql(dialect: str, train_rel: str = "documents",
     language (and its tie-break) is IDENTICAL to `langid_model_sql` —
     both tails share `_score_ctes`."""
     score_rel = score_rel or train_rel
-    ctes = _score_ctes(dialect, train_rel, score_rel, cnt_rel, vocab_topk)
+    ctes = _score_ctes(dialect, train_rel, score_rel, cnt_rel, vocab_topk,
+                       match_rel)
     t = int(threshold_micro)
     return (
         ctes
@@ -289,8 +305,8 @@ def langid_model(spark, train_df: DataFrame,
     scoring query against it."""
     return _run_with_local_model(
         spark, train_df, score_df, vocab_topk,
-        lambda trel, srel, crel: langid_model_sql(
-            "spark", trel, srel, cnt_rel=crel),
+        lambda trel, srel, crel, mrel: langid_model_sql(
+            "spark", trel, srel, cnt_rel=crel, match_rel=mrel),
         model=model,
     )
 
@@ -305,9 +321,9 @@ def lm_quality(spark, train_df: DataFrame,
     ``model=`` from `train_trigram_model` skips it entirely)."""
     return _run_with_local_model(
         spark, train_df, score_df, vocab_topk,
-        lambda trel, srel, crel: lm_quality_sql(
+        lambda trel, srel, crel, mrel: lm_quality_sql(
             "spark", trel, srel, cnt_rel=crel,
-            threshold_micro=threshold_micro),
+            threshold_micro=threshold_micro, match_rel=mrel),
         model=model,
     )
 
@@ -354,22 +370,150 @@ def train_trigram_model(spark, train_df: DataFrame,
     return spark.createDataFrame(rows, "lang string, tg string, c bigint")
 
 
+def _madj_collect_sql(cnt_rel: str) -> str:
+    """``(lang, tg, dlp)`` over the local count relation — the engine's
+    OWN evaluation of `_score_ctes`'s ``_madj`` sub-chain (same ``ln``/
+    ``round`` expression text, so the collected BIGINTs are exactly the
+    values the inline SQL would join against; a driver-side ``math.log``
+    re-implementation would race Java's ``Math.log`` on the final ulp).
+    Bounded: ≤ |langs| × vocab_topk rows.  `test_webtext` pins row
+    equality of kernel-vs-inline scoring end to end, which would catch
+    any drift between this text and `_score_ctes`."""
+    return f"""
+WITH _cnt AS (
+  SELECT lang, tg, c FROM {cnt_rel}
+), _tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM _cnt GROUP BY lang
+), _voc AS (
+  SELECT count(DISTINCT tg) AS v FROM _cnt
+), _model AS (
+  SELECT c.lang, c.tg,
+         CAST(round(ln((c.c + 1.0) / (t.n + v.v)) * 1000000) AS BIGINT)
+           AS lp
+  FROM _cnt c JOIN _tot t ON c.lang = t.lang CROSS JOIN _voc v
+), _floor AS (
+  SELECT t.lang,
+         CAST(round(ln(1.0 / (t.n + v.v)) * 1000000) AS BIGINT) AS lp0
+  FROM _tot t CROSS JOIN _voc v
+)
+SELECT m.lang, m.tg, m.lp - f.lp0 AS dlp
+FROM _model m JOIN _floor f ON m.lang = f.lang"""
+
+
+def match_scores_kernel(spark, score_df: DataFrame, madj_rows,
+                        langs: list[str]) -> DataFrame:
+    """``(doc_id, lang, msum)`` — the ``_match`` CTE (per-document sum
+    of matched-trigram ``dlp`` per language) computed by a vectorized
+    kernel instead of the explode → broadcast-join → aggregate chain
+    (r7 second session; guide §4.2: measured the SQL sub-chain at
+    3.1 s / entry at sf1.0 where the explode alone is 0.95 s — the
+    kernel removes the 15M-occurrence join+agg).
+
+    EXACTNESS BY CONSTRUCTION, not FP replay: every ``dlp`` is a
+    pre-collected BIGINT (engine-evaluated, `_madj_collect_sql`) and
+    ``msum`` is an integer sum — order-independent, so any grouping the
+    kernel uses yields the identical BIGINT the SQL emits.  Trigrams
+    are code-point triples (`substring` counts code points on Spark and
+    DuckDB, as does Python) packed into int64 (3 × 21 bits — the full
+    Unicode range) via a utf-32 view, so multi-byte text matches the
+    SQL byte-for-byte; docs shorter than 3 code points yield no
+    positions (the CASE guard's semantics), and inner-join semantics
+    are preserved by emitting only ``msum > 0`` rows (``dlp =
+    ln(c+1)·1e6 rounded ≥ 693147 > 0`` for any model row, so a zero
+    accumulator means no match).
+    """
+    import numpy as np
+    import pandas as pd
+
+    L = len(langs)
+    lang_ix = {lg: j for j, lg in enumerate(langs)}
+
+    def _pack(tg: str) -> int:
+        return (ord(tg[0]) << 42) | (ord(tg[1]) << 21) | ord(tg[2])
+
+    mtg = np.unique(np.array([_pack(r.tg) for r in madj_rows],
+                             dtype=np.int64))
+    D = np.zeros((len(mtg), L), dtype=np.int64)
+    for r in madj_rows:
+        D[int(np.searchsorted(mtg, _pack(r.tg))), lang_ix[r.lang]] = r.dlp
+
+    def fn(batches):
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "lang": pd.Series(dtype="object"),
+            "msum": pd.Series(dtype="int64"),
+        })
+        for b in batches:
+            texts = ["" if t is None else t for t in b["text"].tolist()]
+            n = len(texts)
+            if n == 0:
+                yield empty
+                continue
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=n)
+            total = int(lens.sum())
+            if total < 3:
+                yield empty
+                continue
+            buf = np.frombuffer(
+                "".join(texts).encode("utf-32-le"),
+                dtype=np.uint32).astype(np.int64)
+            ends = np.cumsum(lens)
+            dpos = np.repeat(np.arange(n), lens)[: total - 2]
+            g = np.arange(total - 2)
+            ok = (g + 3) <= ends[dpos]
+            gs, ds = g[ok], dpos[ok]
+            codes = (buf[gs] << 42) | (buf[gs + 1] << 21) | buf[gs + 2]
+            ix = np.searchsorted(mtg, codes)
+            ix[ix == len(mtg)] = 0
+            hit = mtg[ix] == codes
+            ds, ix = ds[hit], ix[hit]
+            acc = np.zeros((n, L), dtype=np.int64)
+            for j in range(L):
+                w = D[ix, j]
+                nz = w != 0
+                if nz.any():
+                    # float64 bincount is exact here: |msum| < 2^53
+                    acc[:, j] = np.bincount(
+                        ds[nz], weights=w[nz].astype(np.float64),
+                        minlength=n).astype(np.int64)
+            docs = b["doc_id"].to_numpy(dtype=np.int64)
+            dd, ll = np.nonzero(acc)
+            yield pd.DataFrame({
+                "doc_id": docs[dd],
+                "lang": np.array(langs, dtype=object)[ll],
+                "msum": acc[dd, ll],
+            })
+
+    return score_df.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, lang string, msum long")
+
+
 def _run_with_local_model(spark, train_df: DataFrame,
                           score_df: DataFrame | None,
                           vocab_topk: int | None, build_sql,
                           model: DataFrame | None = None) -> DataFrame:
     seq = next(_VIEW_SEQ)
     trel, srel = f"_lm_train_{seq}", f"_lm_score_{seq}"
-    crel = f"_lm_cnt_{seq}"
+    crel, mrel = f"_lm_cnt_{seq}", f"_lm_match_{seq}"
     _spread(train_df).createOrReplaceTempView(trel)
-    (_spread(score_df) if score_df is not None else spark.table(trel)) \
-        .createOrReplaceTempView(srel)
+    scored_df = (_spread(score_df) if score_df is not None
+                 else spark.table(trel))
+    scored_df.createOrReplaceTempView(srel)
     local = (model if model is not None
              else train_trigram_model(spark, train_df, vocab_topk))
     local.createOrReplaceTempView(crel)
-    out = spark.sql(build_sql(trel, srel, crel))
+    # kernel tier: the model is local by construction here (≤ |langs| ×
+    # vocab_topk rows), so collect its engine-evaluated dlp table and
+    # score the corpus with `match_scores_kernel`; the plain-SQL chain
+    # remains the oracle and the no-local-model form of the builders
+    madj = spark.sql(_madj_collect_sql(crel)).collect()
+    langs = sorted({r.lang for r in madj})
+    match_scores_kernel(spark, scored_df, madj, langs) \
+        .createOrReplaceTempView(mrel)
+    out = spark.sql(build_sql(trel, srel, crel, mrel))
     # spark.sql resolves views eagerly at analysis, so dropping them now
     # is safe (nothing is persisted, so nothing gets uncached)
-    for v in (trel, srel, crel):
+    for v in (trel, srel, crel, mrel):
         spark.catalog.dropTempView(v)
     return out

@@ -674,6 +674,54 @@ def test_langid_model_coverage_and_determinism(spark):
     assert by[1] == "de" and by[2] == "de"
 
 
+def test_langmodel_match_kernel_equals_inline_sql(spark):
+    """The vectorized `_match` kernel (r7: `match_scores_kernel` inside
+    `_run_with_local_model`) must emit exactly the inline SQL chain's
+    rows — including multi-byte scripts (code-point trigrams), non-BMP
+    emoji, sub-3-char and empty docs, and docs matching nothing.  Both
+    full-entry outputs AND the raw `_match` relation are compared."""
+    from geostatssolvers_jl_spark.webtext.langmodel import (
+        _madj_collect_sql, langid_model, langid_model_sql, lm_quality,
+        lm_quality_sql, match_scores_kernel, train_trigram_model,
+    )
+
+    rows = [
+        (0, "hello there friendly neighbour", "en"),
+        (1, "der die das und der die", "de"),
+        (2, "日本語のテキストです日本語", "ja"),
+        (3, "🎉🎊🎉🎊🎉 party 🎉🎊🎉", "en"),
+        (4, "ab", "en"),
+        (5, "", "de"),
+        (6, "zzzqqqxxx", "de"),
+        (7, "日本語 and english mixed こんにちは", "ja"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.createOrReplaceTempView("_mk_docs")
+    for wrapper, sqlf in ((langid_model, langid_model_sql),
+                          (lm_quality, lm_quality_sql)):
+        got = sorted(map(tuple, wrapper(spark, df).collect()))
+        want = sorted(map(tuple, spark.sql(
+            sqlf("spark", "_mk_docs")).collect()))
+        assert got == want and got
+    # raw _match relation: kernel vs the SQL sub-chain over the same
+    # engine-evaluated dlp table
+    model = train_trigram_model(spark, df)
+    model.createOrReplaceTempView("_mk_cnt")
+    madj = spark.sql(_madj_collect_sql("_mk_cnt")).collect()
+    langs = sorted({r.lang for r in madj})
+    got = sorted(map(tuple, match_scores_kernel(
+        spark, df, madj, langs).collect()))
+    spark.createDataFrame(madj, "lang string, tg string, dlp long") \
+        .createOrReplaceTempView("_mk_madj")
+    from geostatssolvers_jl_spark.webtext.langmodel import trigram_select
+    want = sorted(map(tuple, spark.sql(
+        f"SELECT g.doc_id, a.lang, CAST(sum(a.dlp) AS BIGINT) AS msum "
+        f"FROM ({trigram_select('spark', '_mk_docs', 'doc_id')}) g "
+        f"JOIN _mk_madj a ON a.tg = g.tg "
+        f"GROUP BY g.doc_id, a.lang").collect()))
+    assert got == want and got
+
+
 def test_langid_model_empty_training_corpus_raises(spark):
     """An all-sub-3-char training corpus cannot train a trigram model —
     the wrapper must refuse instead of silently emitting zero rows for
