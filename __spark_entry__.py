@@ -1314,13 +1314,27 @@ def _mat_sig(spark: SparkSession, sf_dir: str) -> str:
     min-aggregation each (the oracle's DuckDB CTE doesn't need this).
     The source-dir comment keys the cache to the CURRENT sf_dir: the
     SQL reads the session `documents` view, so a same-session sf switch
-    would otherwise serve the previous dataset's cached relation."""
-    from geostatssolvers_jl_spark.webtext.dedup import minhash128_sig_cte
+    would otherwise serve the previous dataset's cached relation.
 
-    return _materialize(
-        spark,
-        minhash128_sig_cte("spark") + f"\n-- source: {sf_dir}",
-        "mh_sig_mat",
+    Built by `dedup.minhash128_sig_kernel` (r7 second session): the SQL
+    build's explode → md5 → DISTINCT → 128-min-aggregate chain measured
+    ~23 s one-time at sf1.0 (bench-wall cost; per-query min-of-N never
+    sees it) vs ~1–2 s for the kernel's single narrow pass — identical
+    rows by integer/byte construction, pytest-pinned.  The SQL text
+    stays the cache identity AND the oracle's build recipe."""
+    from geostatssolvers_jl_spark.webtext.dedup import (
+        minhash128_sig_cte, minhash128_sig_kernel,
+    )
+
+    sql = ("kernel:" + minhash128_sig_cte("spark")
+           + f"\n-- source: {sf_dir}")
+    return _materialize_any(
+        spark, sql, "mh_sig_mat",
+        # repartition first: the single-file documents scan arrives as
+        # 1–2 tasks and the per-doc Python work would run ~serial
+        lambda: minhash128_sig_kernel(
+            spark, spark.table("documents").repartition(
+                spark.sparkContext.defaultParallelism)),
     )
 
 
@@ -1408,13 +1422,24 @@ def _mat_buckets(spark: SparkSession, sf_dir: str) -> str:
     the checkpoint otherwise keeps ~6 partitions and EVERY downstream
     no-shuffle stage — the probe explode, the broadcast candidate join
     and its partial DISTINCT — runs on 6 tasks (measured: the sf1.0
-    candidate aggregation held 32 cores at 6 busy)."""
-    from geostatssolvers_jl_spark.webtext.similarity import bucket_tables_sql
+    candidate aggregation held 32 cores at 6 busy).
 
-    sql = bucket_tables_sql("spark") + f"\n-- source: {sf_dir}"
+    Built by `vecops.bucket_tables_kernel` (r7 second session): the SQL
+    form evaluates n_tables × n_planes interpreted 64-term folds per
+    vector (7–9 s of the one-time build at sf1.0, fully charged by the
+    driver's reduced-reps big-SF run); the kernel replays the identical
+    weights and fold order (pytest-pinned row equality) in one
+    vectorized pass.  The SQL text stays the cache identity AND the
+    oracle's build recipe."""
+    from geostatssolvers_jl_spark.webtext.similarity import bucket_tables_sql
+    from geostatssolvers_jl_spark.webtext.vecops import bucket_tables_kernel
+
+    sql = ("kernel:" + bucket_tables_sql("spark")
+           + f"\n-- source: {sf_dir}")
     return _materialize_any(
         spark, sql, "bt_mat",
-        lambda: spark.sql(sql).repartition(
+        lambda: bucket_tables_kernel(
+            spark, spark.table("embeddings")).repartition(
             spark.sparkContext.defaultParallelism),
     )
 

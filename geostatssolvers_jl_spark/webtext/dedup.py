@@ -228,6 +228,78 @@ def _band_key(band: int, rows: int) -> str:
     return f"({key})"
 
 
+def minhash128_sig_kernel(spark, docs_df, k: int = 3,
+                          n_hashes: int = N_HASHES_PROD):
+    """``(doc_id, m0..m{n-1})`` — kernel twin of `minhash128_sig_cte`
+    (r7 second session): the SQL build (shingle explode → md5 →
+    DISTINCT shuffle → 128 min-aggregates) measured ~23 s one-time at
+    the sf1.0 shape (hidden from per-query min-of-N but fully in the
+    bench wall); the kernel computes the identical rows in one narrow
+    pass.
+
+    Exactness is by construction, not FP replay — every step is
+    integer/byte arithmetic with one canonical answer: Python's
+    ``hashlib.md5`` over the shingle's UTF-8 bytes equals Spark's
+    ``md5()``; the first 15 hex digits parse to the same 60-bit BIGINT;
+    the affine maps and mods are int64 with no overflow
+    (a, b, h < 2³¹ ⇒ a·h + b < 2⁶²); and min() is order-free.  Per-doc
+    DISTINCT is a set of the derived h values (exactly the SQL's
+    DISTINCT (doc_id, h)); docs with no shingles (< k tokens, NULL
+    text) emit no row, matching the SQL's empty explode.  Pinned
+    against the SQL by tests/test_webtext.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.empty(n_hashes, dtype=np.int64)
+    B = np.empty(n_hashes, dtype=np.int64)
+    for i in range(n_hashes):
+        A[i], B[i] = _mh_params(i)
+    cols = ["doc_id"] + [f"m{i}" for i in range(n_hashes)]
+    schema = ", ".join(f"{c} long" for c in cols)
+
+    def fn(batches):
+        md5 = hashlib.md5
+        for b in batches:
+            ids, hs, counts = [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < k:
+                    continue
+                seen = {
+                    int(md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                        .hexdigest()[:15], 16) % MH_PRIME
+                    for i in range(len(toks) - k + 1)
+                }
+                ids.append(doc_id)
+                counts.append(len(seen))
+                hs.extend(seen)
+            if not ids:
+                yield pd.DataFrame({c: pd.Series(dtype="int64")
+                                    for c in cols})
+                continue
+            H = np.asarray(hs, dtype=np.int64)
+            starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            sig = np.empty((len(ids), n_hashes), dtype=np.int64)
+            # hash-function blocks bound the (|H| × block) intermediate
+            # to ~tens of MB however many shingles a batch holds
+            blk = 16
+            for j in range(0, n_hashes, blk):
+                M = (H[:, None] * A[None, j:j + blk]
+                     + B[None, j:j + blk]) % MH_PRIME
+                sig[:, j:j + blk] = np.minimum.reduceat(M, starts, axis=0)
+            out = {"doc_id": np.asarray(ids, dtype=np.int64)}
+            for i in range(n_hashes):
+                out[f"m{i}"] = sig[:, i]
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "text").mapInPandas(fn, schema)
+
+
 def minhash_bands_sql(dialect: str, docs_rel: str = "documents",
                       k: int = 3, n_hashes: int = N_HASHES_PROD,
                       bands: int = BANDS_PROD,

@@ -198,3 +198,56 @@ def gather_score_pairs(spark, pairs_df, ids: np.ndarray, E: np.ndarray,
             })
 
     return pairs_df.select(qcol, ncol).mapInPandas(fn, schema)
+
+
+def bucket_tables_kernel(spark, emb_df, n_planes: int = 5,
+                         n_tables: int = 6, dim: int = 64):
+    """``(vec_id, tbl, bucket)`` — kernel twin of
+    `similarity.bucket_tables_sql` (r7 second session): the multi-table
+    sign-LSH assignment whose SQL form evaluates n_tables × n_planes
+    interpreted 64-term folds per vector (measured 7–9 s at sf1.0 —
+    invisible to a min-of-N bench but fully charged by the driver's
+    reduced-reps big-SF run).
+
+    Bit-exact replay: the hyperplane weights are the same integer
+    arithmetic (``(seed % 1000)/1000.0 − 0.5`` — each step a single
+    correctly-rounded IEEE op in both engines), and each plane's dot
+    accumulates over the dimension axis sequentially from a 0.0 seed,
+    replaying the ``aggregate(zip_with())`` fold's exact FP history; the
+    sign test ``>= 0.0`` admits −0.0 in numpy exactly as SQL's CASE
+    does.  The bucket id is pure integer arithmetic.  Pinned against
+    the SQL by `tests/test_vecops.py`."""
+    W = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                seed = t * 37199 + p * 8191 + d * 131 + 7
+                W[t, p, d] = (seed % 1000) / 1000.0 - 0.5
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def fn(batches):
+        empty = pd.DataFrame({
+            "vec_id": pd.Series(dtype="int64"),
+            "tbl": pd.Series(dtype="int32"),
+            "bucket": pd.Series(dtype="int32"),
+        })
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                yield empty
+                continue
+            X = np.asarray(list(b["embedding"]), dtype=np.float64)
+            vid = b["vec_id"].to_numpy(dtype=np.int64)
+            for t in range(n_tables):
+                acc = np.zeros((n, n_planes), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + X[:, d:d + 1] * W[t, :, d][None, :]
+                bucket = ((acc >= 0.0).astype(np.int64) * pows).sum(axis=1)
+                yield pd.DataFrame({
+                    "vec_id": vid,
+                    "tbl": np.full(n, t, dtype=np.int32),
+                    "bucket": bucket.astype(np.int32),
+                })
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id long, tbl int, bucket int")

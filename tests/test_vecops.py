@@ -162,6 +162,26 @@ def test_ann_fast_paths_match_sql_twins(spark, emb_df):
     assert got == want and want
 
 
+def test_bucket_tables_kernel_matches_sql(spark, emb_df):
+    """The kernel bucket assignment must equal `bucket_tables_sql`'s
+    rows exactly — same weights, same fold order, same sign test
+    (including −0.0 dots admitted by `>= 0.0`)."""
+    from geostatssolvers_jl_spark.webtext.similarity import (
+        bucket_tables_sql,
+    )
+    from geostatssolvers_jl_spark.webtext.vecops import (
+        bucket_tables_kernel,
+    )
+
+    emb_df.createOrReplaceTempView("_vo_emb_bt")
+    want = sorted(map(tuple, spark.sql(
+        bucket_tables_sql("spark", "_vo_emb_bt", n_planes=4, n_tables=3,
+                          dim=8)).collect()))
+    got = sorted(map(tuple, bucket_tables_kernel(
+        spark, emb_df, n_planes=4, n_tables=3, dim=8).collect()))
+    assert got == want and len(got) == 60 * 3
+
+
 def test_dot_chain_bitwise_equals_fold(spark):
     """The expanded codegen chain must replay the fold's accumulation
     bit-for-bit — including signed zeros, which exercise the leading

@@ -674,6 +674,27 @@ def test_langid_model_coverage_and_determinism(spark):
     assert by[1] == "de" and by[2] == "de"
 
 
+def test_minhash_sig_kernel_equals_sql(spark):
+    """`minhash128_sig_kernel` must emit exactly `minhash128_sig_cte`'s
+    rows — including sub-k-token docs and NULL/empty text (no row, like
+    the SQL's empty explode), unicode shingles, and repeated shingles
+    (the per-doc DISTINCT)."""
+    from geostatssolvers_jl_spark.webtext.dedup import (
+        minhash128_sig_cte, minhash128_sig_kernel,
+    )
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a b"), (2, None), (3, ""),
+            (4, "日本 語 の テキスト です 日本 語 の"),
+            (5, "x y z x y z x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_sigk_docs")
+    want = sorted(map(tuple, spark.sql(
+        minhash128_sig_cte("spark", "_sigk_docs")).collect()))
+    got = sorted(map(tuple, minhash128_sig_kernel(spark, df).collect()))
+    assert got == want and len(got) == 3
+
+
 def test_langmodel_match_kernel_equals_inline_sql(spark):
     """The vectorized `_match` kernel (r7: `match_scores_kernel` inside
     `_run_with_local_model`) must emit exactly the inline SQL chain's
