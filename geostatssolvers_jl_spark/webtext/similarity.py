@@ -354,7 +354,12 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
                     spark.catalog.dropTempView(prev_view)
             except Exception:
                 pass
-        bt = spark.sql(bucket_tables_sql("spark", emb_rel, p, n_tables, dim))
+        # kernel build (r7 second session): same rows as
+        # `bucket_tables_sql` (pytest-pinned), one vectorized pass
+        # instead of n_tables × n_planes interpreted folds per vector
+        from .vecops import bucket_tables_kernel
+
+        bt = bucket_tables_kernel(spark, emb_df, p, n_tables, dim)
         bt.persist().createOrReplaceTempView(bt_rel)
         _LAST_BUCKETS[app] = (spark, bt, bt_rel)
 
