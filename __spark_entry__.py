@@ -1472,7 +1472,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcasts — measured 1.9 s vs 3.2 s at 2k vectors); huge
         # corpora: beyond the broadcast bound, per-bucket join plan
         return spark.sql(ann_topk_lsh_sql("spark", k=3, bt_rel=bt))
-    return ann_topk_lsh_spark(spark, k=3, bt_rel=bt)
+    return ann_topk_lsh_spark(spark, k=3, bt_rel=bt, known_n=n)
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

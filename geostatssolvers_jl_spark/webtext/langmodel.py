@@ -118,6 +118,24 @@ def pruned_count_sql(dialect: str, train_rel: str,
     )
 
 
+# the model CTE chain and the Laplace-floor expression, shared VERBATIM
+# by `_score_ctes` (the oracle-hashed scoring text) and
+# `_madj_collect_sql` (the kernel tier's engine-evaluated dlp table) —
+# one spelling, so the two can never drift apart
+_MODEL_CTES = """_tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM _cnt GROUP BY lang
+), _voc AS (
+  SELECT count(DISTINCT tg) AS v FROM _cnt
+), _model AS (
+  SELECT c.lang, c.tg,
+         CAST(round(ln((c.c + 1.0) / (t.n + v.v)) * 1000000) AS BIGINT)
+           AS lp
+  FROM _cnt c JOIN _tot t ON c.lang = t.lang CROSS JOIN _voc v
+)"""
+
+_LP0_EXPR = "CAST(round(ln(1.0 / (t.n + v.v)) * 1000000) AS BIGINT) AS lp0"
+
+
 def _score_ctes(dialect: str, train_rel: str, score_rel: str,
                 cnt_rel: str | None,
                 vocab_topk: int | None,
@@ -155,18 +173,9 @@ def _score_ctes(dialect: str, train_rel: str, score_rel: str,
     return f"""
 WITH _cnt AS (
   {cnt_src}
-), _tot AS (
-  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM _cnt GROUP BY lang
-), _voc AS (
-  SELECT count(DISTINCT tg) AS v FROM _cnt
-), _model AS (
-  SELECT c.lang, c.tg,
-         CAST(round(ln((c.c + 1.0) / (t.n + v.v)) * 1000000) AS BIGINT)
-           AS lp
-  FROM _cnt c JOIN _tot t ON c.lang = t.lang CROSS JOIN _voc v
-), _floor AS (
+), {_MODEL_CTES}, _floor AS (
   SELECT t.lang,
-         CAST(round(ln(1.0 / (t.n + v.v)) * 1000000) AS BIGINT) AS lp0,
+         {_LP0_EXPR},
          CAST(round(ln(d.nd / td.td) * 1000000) AS BIGINT) AS pr
   FROM _tot t
   JOIN (SELECT lang, CAST(count(*) AS DOUBLE) AS nd
@@ -372,28 +381,19 @@ def train_trigram_model(spark, train_df: DataFrame,
 
 def _madj_collect_sql(cnt_rel: str) -> str:
     """``(lang, tg, dlp)`` over the local count relation — the engine's
-    OWN evaluation of `_score_ctes`'s ``_madj`` sub-chain (same ``ln``/
-    ``round`` expression text, so the collected BIGINTs are exactly the
-    values the inline SQL would join against; a driver-side ``math.log``
-    re-implementation would race Java's ``Math.log`` on the final ulp).
-    Bounded: ≤ |langs| × vocab_topk rows.  `test_webtext` pins row
-    equality of kernel-vs-inline scoring end to end, which would catch
-    any drift between this text and `_score_ctes`."""
+    OWN evaluation of `_score_ctes`'s ``_madj`` sub-chain, built from
+    the SAME `_MODEL_CTES`/`_LP0_EXPR` fragments (one spelling; the
+    collected BIGINTs are exactly the values the inline SQL would join
+    against — a driver-side ``math.log`` re-implementation would race
+    Java's ``Math.log`` on the final ulp).  Bounded: ≤ |langs| ×
+    vocab_topk rows.  `test_webtext` additionally pins row equality of
+    kernel-vs-inline scoring end to end."""
     return f"""
 WITH _cnt AS (
   SELECT lang, tg, c FROM {cnt_rel}
-), _tot AS (
-  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM _cnt GROUP BY lang
-), _voc AS (
-  SELECT count(DISTINCT tg) AS v FROM _cnt
-), _model AS (
-  SELECT c.lang, c.tg,
-         CAST(round(ln((c.c + 1.0) / (t.n + v.v)) * 1000000) AS BIGINT)
-           AS lp
-  FROM _cnt c JOIN _tot t ON c.lang = t.lang CROSS JOIN _voc v
-), _floor AS (
+), {_MODEL_CTES}, _floor AS (
   SELECT t.lang,
-         CAST(round(ln(1.0 / (t.n + v.v)) * 1000000) AS BIGINT) AS lp0
+         {_LP0_EXPR}
   FROM _tot t CROSS JOIN _voc v
 )
 SELECT m.lang, m.tg, m.lp - f.lp0 AS dlp
@@ -421,6 +421,15 @@ def match_scores_kernel(spark, score_df: DataFrame, madj_rows,
     are preserved by emitting only ``msum > 0`` rows (``dlp =
     ln(c+1)·1e6 rounded ≥ 693147 > 0`` for any model row, so a zero
     accumulator means no match).
+
+    Precondition: ``score_df`` carries one row per ``doc_id`` (the
+    module's per-document coverage contract — every corpus here
+    satisfies it).  The inline SQL's GROUP BY would merge duplicate
+    doc_ids across the whole corpus; the kernel accumulates per input
+    row, so duplicated ids would emit one row each.  An empty
+    ``madj_rows`` yields an empty relation (matching the inline
+    chain's empty inner join; `train_trigram_model` refuses to build
+    such a model in the first place).
     """
     import numpy as np
     import pandas as pd
@@ -446,7 +455,7 @@ def match_scores_kernel(spark, score_df: DataFrame, madj_rows,
         for b in batches:
             texts = ["" if t is None else t for t in b["text"].tolist()]
             n = len(texts)
-            if n == 0:
+            if n == 0 or len(mtg) == 0:
                 yield empty
                 continue
             lens = np.fromiter((len(t) for t in texts), dtype=np.int64,

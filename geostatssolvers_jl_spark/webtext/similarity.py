@@ -356,10 +356,17 @@ def _prepare_auto(spark, emb_df, n_planes, n_tables, dim):
                 pass
         # kernel build (r7 second session): same rows as
         # `bucket_tables_sql` (pytest-pinned), one vectorized pass
-        # instead of n_tables × n_planes interpreted folds per vector
+        # instead of n_tables × n_planes interpreted folds per vector.
+        # Repartition first — a single-file corpus scans as 1–2 tasks,
+        # which would serialize the kernel AND pin every downstream
+        # no-shuffle stage of the persisted relation to that width
+        # (the `_mat_buckets` lesson)
         from .vecops import bucket_tables_kernel
 
-        bt = bucket_tables_kernel(spark, emb_df, p, n_tables, dim)
+        bt = bucket_tables_kernel(
+            spark,
+            emb_df.repartition(spark.sparkContext.defaultParallelism),
+            p, n_tables, dim)
         bt.persist().createOrReplaceTempView(bt_rel)
         _LAST_BUCKETS[app] = (spark, bt, bt_rel)
 
@@ -649,16 +656,20 @@ def ann_topk_ivf(spark, emb_df, k: int = 3,
 # candidate generation, rounding and ranking remain Spark SQL.
 
 
-def collect_emb_matrix(spark, emb_rel: str = "embeddings"):
+def collect_emb_matrix(spark, emb_rel: str = "embeddings",
+                       known_n: int | None = None):
     """(sorted ids, float64 matrix) of ``emb_rel`` via one Arrow
     transfer; None when the corpus exceeds the gather-scorer bound
     (callers then keep the per-bucket join plan — see
-    `vecops.GATHER_SCORE_LIMIT` for the scale posture)."""
+    `vecops.GATHER_SCORE_LIMIT` for the scale posture).  ``known_n``:
+    a row count the caller already computed, skipping the gate's
+    count job."""
     import numpy as np
 
     from .vecops import GATHER_SCORE_LIMIT
 
-    if spark.table(emb_rel).count() > GATHER_SCORE_LIMIT:
+    n = (spark.table(emb_rel).count() if known_n is None else known_n)
+    if n > GATHER_SCORE_LIMIT:
         return None
     pdf = spark.sql(
         f"SELECT vec_id, embedding FROM {emb_rel}").toPandas()
@@ -685,7 +696,8 @@ def _dot_chain(a: str, b: str, dim: int = DIM) -> str:
 
 
 def _score_distinct_pairs(spark, cand, emb_rel: str, dim: int = DIM,
-                          gather: bool = True):
+                          gather: bool = True,
+                          known_n: int | None = None):
     """DISTINCT (qid, nid) candidate pairs → (qid, nid, cos_sim).
 
     Scoring tier (r7, interleaved min-of-3 on the 86M-unordered-pair
@@ -717,7 +729,8 @@ def _score_distinct_pairs(spark, cand, emb_rel: str, dim: int = DIM,
     partitioning attribute across the Python boundary costs nothing."""
     from pyspark.sql import functions as F
 
-    mat = collect_emb_matrix(spark, emb_rel) if gather else None
+    mat = (collect_emb_matrix(spark, emb_rel, known_n)
+           if gather else None)
     if mat is not None:
         from .vecops import gather_score_pairs
 
@@ -765,7 +778,8 @@ SELECT qid, nid, cos_sim, rank FROM (
 
 def ann_topk_lsh_spark(spark, k: int = 3, n_planes: int = 5,
                        bt_rel: str = "bt_mat",
-                       emb_rel: str = "embeddings", dim: int = DIM):
+                       emb_rel: str = "embeddings", dim: int = DIM,
+                       known_n: int | None = None):
     """Fast twin of `ann_topk_lsh_sql` (bounded tier: the bucket table
     and embeddings broadcast — callers gate on corpus size): the probe
     side is repartitioned by query id FIRST, the bucket join broadcasts
@@ -804,7 +818,8 @@ def ann_topk_lsh_spark(spark, k: int = 3, n_planes: int = 5,
             & (F.col("vec_id") < F.col("_bv")))
         .select(F.col("vec_id").alias("qid"), F.col("_bv").alias("nid"))
     )
-    scored = _score_distinct_pairs(spark, cand, emb_rel, dim)
+    scored = _score_distinct_pairs(spark, cand, emb_rel, dim,
+                                   known_n=known_n)
     both = scored.selectExpr(
         "explode(array(named_struct('q', qid, 'n', nid), "
         "named_struct('q', nid, 'n', qid))) AS _s", "cos_sim"

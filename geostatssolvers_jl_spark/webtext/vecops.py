@@ -242,7 +242,11 @@ def bucket_tables_kernel(spark, emb_df, n_planes: int = 5,
                 acc = np.zeros((n, n_planes), dtype=np.float64)
                 for d in range(dim):
                     acc = acc + X[:, d:d + 1] * W[t, :, d][None, :]
-                bucket = ((acc >= 0.0).astype(np.int64) * pows).sum(axis=1)
+                # Spark's `dot >= 0.0` orders NaN ABOVE every double
+                # (sets the bit); numpy's NaN >= 0.0 is False — OR in
+                # isnan so a NaN dot buckets identically
+                sign = (acc >= 0.0) | np.isnan(acc)
+                bucket = (sign.astype(np.int64) * pows).sum(axis=1)
                 yield pd.DataFrame({
                     "vec_id": vid,
                     "tbl": np.full(n, t, dtype=np.int32),

@@ -180,6 +180,18 @@ def test_bucket_tables_kernel_matches_sql(spark, emb_df):
     got = sorted(map(tuple, bucket_tables_kernel(
         spark, emb_df, n_planes=4, n_tables=3, dim=8).collect()))
     assert got == want and len(got) == 60 * 3
+    # NaN components: Spark's `dot >= 0.0` orders NaN above every
+    # double (bit set); the kernel must bucket identically
+    nan_df = spark.createDataFrame(
+        [(1, [float("nan")] * 8), (2, [1.0, float("nan")] + [0.5] * 6)],
+        "vec_id long, embedding array<float>")
+    nan_df.createOrReplaceTempView("_vo_emb_nan")
+    want = sorted(map(tuple, spark.sql(
+        bucket_tables_sql("spark", "_vo_emb_nan", n_planes=4,
+                          n_tables=2, dim=8)).collect()))
+    got = sorted(map(tuple, bucket_tables_kernel(
+        spark, nan_df, n_planes=4, n_tables=2, dim=8).collect()))
+    assert got == want and len(got) == 4
 
 
 def test_dot_chain_bitwise_equals_fold(spark):
