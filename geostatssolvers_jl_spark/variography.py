@@ -111,8 +111,17 @@ def _pair_sql(points_rel: str, maxlag: float, *, tiled: bool,
     # opposite ring offsets, but only one side passes the id inequality —
     # the OTHER side's replica lands on the same joined row, which the
     # inequality dedupes because it appears with p and q SWAPPED).
+    # SHUFFLE_HASH(q) (r7 second session, guide §3.1): the planner's
+    # default sort-merge SORTS the (2m+1)²-replicated left stream (4M
+    # rows at sf1.0) on both sides of its exchange; hashing the compact
+    # q side per partition keeps the same scale-correct shuffles but
+    # skips both sorts — interleaved count-sink min-of-3 at sf1.0:
+    # empirical 3.40 → 2.62 s, cross 3.35 → 2.53 s, rows equal.  (A
+    # BROADCAST(q) hint measured 51 s — and would be scale-wrong: q is
+    # the unbounded point relation.)  Spark-only text: the oracle uses
+    # the tiled=False brute form, so the hint never reaches DuckDB.
     return (
-        f"SELECT {cols} "
+        f"SELECT /*+ SHUFFLE_HASH(q) */ {cols} "
         f"FROM (SELECT _p.*, _p._tx + _d.dx AS _jx, _p._ty + _d.dy AS _jy "
         f"      FROM ({pts}) _p CROSS JOIN {_ring_table(_SUBDIV)} _d) p "
         f"JOIN ({pts}) q ON q._tx = p._jx AND q._ty = p._jy "
