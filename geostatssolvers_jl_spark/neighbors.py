@@ -42,6 +42,21 @@ from pyspark.sql import functions as F
 from .distances import Distance, Euclidean, Haversine
 from . import tiling
 
+# join-strategy hint for the tiled candidate joins.  The hint's
+# purpose is to forbid AQE from broadcasting a halo'd 10¹²-row side
+# whose mapInPandas-derived stats it cannot see; "merge" (sort-merge)
+# is the measured choice.  A "shuffle_hash" variant — which also
+# forbids the broadcast and skips sort-merge's sorts, and which DID
+# win 25% for the variography ring join (variography._pair_sql) — was
+# interleaved-A/B'd here at the sf1.0 shape (r7 second session) and
+# REJECTED: wash on knn_join_tiled (2.51 vs 2.44 s min-of-3) and
+# idw_pages_tiled (3.35 vs 3.38), consistently WORSE on the
+# multi-pass loo_idw_cv ladder (7.8–10.1 vs 5.7–6.3 s, every rep) —
+# the escalation/terminal passes lose more to per-partition hash
+# builds than they save in sorts.  Kept as a constant so the
+# experiment is one flip to reproduce.
+_CAND_JOIN_HINT = "merge"
+
 
 @dataclass
 class PointData:
@@ -496,7 +511,7 @@ def knn_join_tiled(
             F.col("neighbor").alias("_jcell"),
             data_id, "_dlon", "_dlat",
         )
-        cand = q.hint("merge").join(
+        cand = q.hint(_CAND_JOIN_HINT).join(
             d_rep, F.col("_qcell") == F.col("_jcell"), "inner"
         )
     elif replicate == "queries":
@@ -508,7 +523,7 @@ def knn_join_tiled(
             query_id, "_qcell", "_qlon", "_qlat",
             F.col("neighbor").alias("_jcell"),
         )
-        cand = q_rep.hint("merge").join(
+        cand = q_rep.hint(_CAND_JOIN_HINT).join(
             d, F.col("_jcell") == F.col("_dcell"), "inner"
         )
     else:  # pragma: no cover - guarded by callers
@@ -654,7 +669,7 @@ def _bounded_terminal(
     )
     # merge hint: the probe side is explode-derived (no stats) — never
     # let AQE broadcast the data side here
-    cand = probes.hint("merge").join(
+    cand = probes.hint(_CAND_JOIN_HINT).join(
         d, F.col("_ccell") == F.col("_dcell"), "inner"
     )
     dist_sql = metric.sql(("_qlon", "_qlat"), ("_dlon", "_dlat"))
